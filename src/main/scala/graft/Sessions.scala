@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Centralized SparkSession construction so every entry point (Verify,
+  * Bench, ScalaTest suites) shares the exact same session semantics.
+  *
+  * Two settings are load-bearing for correctness against the driver's
+  * DuckDB oracle:
+  *
+  *   - `spark.sql.session.timeZone=UTC` — the reference stores naive-UTC
+  *     timestamps (see reference `charting/server.py:36-60`); all oracle
+  *     comparisons assume UTC.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the driver's
+  *     `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS),
+  *     which Spark 4.1 otherwise rejects with [PARQUET_TYPE_ILLEGAL].
+  *     With the flag, `ts` reads as BIGINT epoch-nanoseconds.
+  *
+  * Shuffle partitions are sized for local[N] (match cores, not the 200
+  * default); on a real cluster this would be driven by AQE +
+  * `spark.sql.adaptive.coalescePartitions`, which we also enable.
+  */
+object Sessions {
+
+  def builder(master: String, cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Standard local session: `local[cores]` with matching shuffle width. */
+  def local(cores: Int = 32): SparkSession = {
+    val spark = builder(s"local[$cores]", cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

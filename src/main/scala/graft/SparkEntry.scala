@@ -1,13 +1,271 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 gets a `queries` entry
+  * (Spark DataFrame program over the driver's test tables) and, where
+  * SQL-expressible, an `oracleSql` entry (DuckDB SQL over the same
+  * tables). Column names and types are aligned on both sides; float
+  * aggregates are rounded identically so partial-aggregation ordering
+  * differences cannot flip the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.a3PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_latest_per_key"  -> (Queries.a1LatestPerKey _),
+    "a2_dedup_keep_last" -> (Queries.a2DedupKeepLast _),
+    "a3_pricing_summary" -> (Queries.a3PricingSummary _),
+    "a7_weighted_avg"    -> (Queries.a7WeightedAvg _),
+    "a9_distinct_agg"    -> (Queries.a9DistinctAgg _),
+    "j1_region_revenue"  -> (Queries.j1RegionRevenue _),
+    "j10_anti_join"      -> (Queries.j10AntiJoin _),
+    "o4_topk_per_group"  -> (Queries.o4TopKPerGroup _),
+    "f13_json_extract"   -> (Queries.f13JsonExtract _),
+    "u2_union_diagonal"  -> (Queries.u2UnionDiagonal _)
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
+
+  /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
+    * semantics); the driver records a weaker rows-only check for these and
+    * ScalaTest specs carry the correctness burden instead.
+    */
+  def oracleFree: Set[String] = Set()
+}
+
+/** The concrete query programs, one per SURVEY §2 operator. */
+object Queries {
+
+  /** A1/W11 — latest event per user (the Redis latest-value table,
+    * reference `messaging/processors/default.py:62-68`).
+    */
+  def a1LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Relational
+      .latestPerKey(ev, Seq("user_id"), "ts_us", "event_id")
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** A2/T6 — keep-last upsert on a composite key (candle dedup,
+    * reference `processors/default.py:80-91`).
+    */
+  def a2DedupKeepLast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Relational
+      .latestPerKey(ev, Seq("user_id", "event_type"), "ts_us", "event_id")
+      .select("user_id", "event_type", "event_id", "ts_us", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** A3/A4/A6-family — multi-aggregate rollup (strategy netting shape,
+    * reference `strategies/models.py:160-247`). TPC-H Q1-like so the
+    * DuckDB oracle is exact; money sums rounded 2dp on both sides.
+    */
+  def a3PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A7 — weighted average price Σ(price×qty)/Σ(qty) per part
+    * (reference `transactions.py:213-226`).
+    */
+  def a7WeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(
+        round(sum($"l_extendedprice" * $"l_quantity") / sum($"l_quantity"), 6).as("wavg_price"),
+        round(sum($"l_quantity"), 2).as("total_qty")
+      )
+      .orderBy("l_partkey")
+
+  /** A9 — distinct-count rollup (expiration summary shape,
+    * reference `subscription/cli.py:693-703`).
+    */
+  def a9DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(spark, dir)
+      .groupBy($"p_brand")
+      .agg(
+        countDistinct($"p_type").as("n_types"),
+        count(lit(1)).as("n_parts"),
+        min($"p_retailprice").as("min_rp"),
+        max($"p_retailprice").as("max_rp")
+      )
+      .orderBy("p_brand")
+
+  /** J1-family — dimension join chain with broadcast small sides
+    * (positions ⋈ latest quotes shape, reference
+    * `analytics/metrics.py:158-173`). region/nation/customer are the
+    * broadcast dims; orders is the fact side.
+    */
+  def j1RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("r_name")
+  }
+
+  /** J10/U3 — anti-join diff (subscription resolver,
+    * reference `subscription/resolver.py:101-112`).
+    */
+  def j10AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** O4 — deterministic top-k per group (row-cap/tail retention shape,
+    * reference `processors/default.py:39-48`).
+    */
+  def o4TopKPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Relational
+      .topKPerGroup(
+        Tables.orders(spark, dir),
+        Seq("o_orderpriority"),
+        Seq($"o_totalprice".desc, $"o_orderkey".asc),
+        3
+      )
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  /** F13 — JSON field extraction + rollup (event JSON encode/decode,
+    * reference `redis.py:28-38`). Regex-based so Spark and DuckDB share
+    * identical extraction semantics.
+    */
+  def f13JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn("k", regexp_extract($"props", """"k"\s*:\s*(\d+)""", 1).cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        count($"k").as("n_k"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("event_type")
+
+  /** U1/U2 — diagonal (schema-widening) union,
+    * reference `providers/market.py:351-358`.
+    */
+  def u2UnionDiagonal(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(spark, dir)
+      .select(
+        $"c_custkey".cast("long").as("key"),
+        $"c_acctbal".as("bal"),
+        lit("customer").as("side"),
+        $"c_mktsegment".as("mktsegment")
+      )
+    val s = Tables
+      .supplier(spark, dir)
+      .select(
+        $"s_suppkey".cast("long").as("key"),
+        $"s_acctbal".as("bal"),
+        lit("supplier").as("side")
+      )
+    Relational.unionDiagonal(Seq(c, s)).orderBy("side", "key")
+  }
+
+  // Column shorthand without a SparkSession in scope.
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}
+
+/** DuckDB oracle SQL, keyed identically to [[SparkEntry.queries]].
+  * Conventions: BIGINT casts on counts/int-sums (DuckDB widens to
+  * HUGEINT), identical `round()` placement as the Spark side, and
+  * `epoch_us(ts)` for the nano-timestamp events table.
+  */
+object Oracles {
+  val sql: Map[String, String] = Map(
+    "a1_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "a2_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "a3_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a7_weighted_avg" ->
+      """SELECT l_partkey,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "a9_distinct_agg" ->
+      """SELECT p_brand,
+        |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  min(p_retailprice) AS min_rp,
+        |  max(p_retailprice) AS max_rp
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j1_region_revenue" ->
+      """SELECT r_name,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "o4_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "f13_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT event_type, TRY_CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u2_union_diagonal" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS key, c_acctbal AS bal, 'customer' AS side, c_mktsegment AS mktsegment FROM customer
+        |UNION ALL
+        |SELECT CAST(s_suppkey AS BIGINT) AS key, s_acctbal AS bal, 'supplier' AS side, NULL AS mktsegment FROM supplier
+        |ORDER BY side, key""".stripMargin
+  )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("all registered queries run and have stable schemas") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+  }
+
+  test("every query has an oracle or is explicitly oracle-free") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Oracle-free queries get a weaker rows-only check from the driver;
+    // keep this list tight and intentional.
+    assert(missing.forall(SparkEntry.oracleFree.contains), s"missing oracles: $missing")
+  }
+
+  test("latestPerKey keeps exactly one row per key, the max-order one") {
+    val ev = Tables.events(spark, sf0001)
+    val latest = Relational.latestPerKey(ev, Seq("user_id"), "ts_us", "event_id")
+    assert(latest.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val users = ev.select("user_id").distinct().count()
+    assert(latest.count() == users)
+    // the kept ts is the max ts per user
+    val maxTs = ev.groupBy("user_id").agg(max("ts_us").as("m"))
+    val joined = latest.join(maxTs, "user_id").filter(col("ts_us") =!= col("m"))
+    assert(joined.count() == 0)
+  }
+
+  test("asOfJoin picks most recent right value at or before left time") {
+    import spark.implicits._
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("b", 15L, 9.0)
+    ).toDF("k", "t", "v")
+    val left = Seq(("a", 5L), ("a", 20L), ("a", 25L), ("b", 100L)).toDF("k", "lt")
+    val out = Relational
+      .asOfJoin(left.withColumn("t", col("lt")), right, "k", "t", "t", Seq("v"))
+      .select("k", "lt", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+      .toSet
+    assert(out == Set(
+      ("a", 5L, None),          // no right row yet
+      ("a", 20L, Some(2.0)),    // ties: right row at same t wins (<=)
+      ("a", 25L, Some(2.0)),
+      ("b", 100L, Some(9.0))
+    ))
+  }
+
+  test("forwardFillGrid emits only gap rows, carrying last value") {
+    import spark.implicits._
+    val obs = Seq(("a", 0L, 1.0), ("a", 30L, 4.0)).toDF("k", "b", "v")
+    val out = Relational
+      .forwardFillGrid(obs, "k", "b", 10L, Seq("v"))
+      .select("k", "b", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set(("a", 10L, 1.0), ("a", 20L, 1.0)))
+  }
+
+  test("nearestKey resolves ties toward the smaller key") {
+    import spark.implicits._
+    val targets = Seq(10, 25).toDF("target")
+    val avail = Seq(5, 15, 35).toDF("k")
+    val out = Relational
+      .nearestKey(targets, "target", avail, "k")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .toSet
+    // 10 is equidistant from 5 and 15 -> 5; 25 equidistant from 15 and 35 -> 15
+    assert(out == Set((10, 5), (25, 15)))
+  }
+}
