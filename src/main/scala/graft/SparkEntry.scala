@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.indicators.Indicators
 import graft.io.Tables
 import graft.ops.Relational
 
@@ -30,7 +31,11 @@ object SparkEntry {
     "j10_anti_join"      -> (Queries.j10AntiJoin _),
     "o4_topk_per_group"  -> (Queries.o4TopKPerGroup _),
     "f13_json_extract"   -> (Queries.f13JsonExtract _),
-    "u2_union_diagonal"  -> (Queries.u2UnionDiagonal _)
+    "u2_union_diagonal"  -> (Queries.u2UnionDiagonal _),
+    "w1_padded_wma"      -> (Queries.w1PaddedWma _),
+    "w2_hull"            -> (Queries.w2Hull _),
+    "w3_ema_seeded"      -> (Queries.w3EmaSeeded _),
+    "w4_macd"            -> (Queries.w4Macd _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -196,6 +201,53 @@ object Queries {
     Relational.unionDiagonal(Seq(c, s)).orderBy("side", "key")
   }
 
+  /** W1 — padded weighted MA over each user's value series, pad = first
+    * value (reference `momentum.py:10-40`). Pure window expressions;
+    * bit-exact against the DuckDB lag-formula oracle.
+    */
+  def w1PaddedWma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pad = first($"value").over(w)
+    ev.withColumn("wma", Indicators.paddedWmaCol($"value", pad, 5, w))
+      .select("user_id", "ts_us", "event_id", "wma")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** W2 — Hull MA (length 8 → half 4, √ → 3) per user, pad = first value
+    * (reference `momentum.py:43-98`).
+    */
+  def w2Hull(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Indicators
+      .withHull(ev, "user_id", Seq("ts", "event_id"), "value", 8, padCol = None)
+      .select("user_id", "ts_us", "event_id", "hma", "hma_color")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** W3 — seeded EMA (length 5, seed = first value) per user
+    * (reference `momentum.py:101-113`); single-pass per-key fold.
+    */
+  def w3EmaSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Indicators
+      .withEmaSeeded(ev, "user_id", Seq("ts", "event_id"), "value", None, 5, "ema")
+      .select("user_id", "ts_us", "event_id", "ema")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** W4 — MACD(4,8,3) per user, prior close = first value, signal seed 0
+    * (reference `momentum.py:116-193`); one streaming pass.
+    */
+  def w4Macd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Indicators
+      .withMacd(ev, "user_id", Seq("ts", "event_id"), "value", None, 4, 8, 3)
+      .select("user_id", "ts_us", "event_id", "macd_value", "avg", "diff", "diff_color")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   // Column shorthand without a SparkSession in scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -266,6 +318,66 @@ object Oracles {
       """SELECT CAST(c_custkey AS BIGINT) AS key, c_acctbal AS bal, 'customer' AS side, c_mktsegment AS mktsegment FROM customer
         |UNION ALL
         |SELECT CAST(s_suppkey AS BIGINT) AS key, s_acctbal AS bal, 'supplier' AS side, NULL AS mktsegment FROM supplier
-        |ORDER BY side, key""".stripMargin
+        |ORDER BY side, key""".stripMargin,
+    "w1_padded_wma" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us, value,
+        |         first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pad
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id,
+        |  (5.0*value + 4.0*coalesce(lag(value,1) OVER w, pad) + 3.0*coalesce(lag(value,2) OVER w, pad) + 2.0*coalesce(lag(value,3) OVER w, pad) + 1.0*coalesce(lag(value,4) OVER w, pad)) / 15.0 AS wma
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "w2_hull" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us, value,
+        |         first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pad
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, ts, event_id, ts_us, pad,
+        |    2.0*((4.0*value + 3.0*coalesce(lag(value,1) OVER w, pad) + 2.0*coalesce(lag(value,2) OVER w, pad) + 1.0*coalesce(lag(value,3) OVER w, pad))/10.0)
+        |    - ((8.0*value + 7.0*coalesce(lag(value,1) OVER w, pad) + 6.0*coalesce(lag(value,2) OVER w, pad) + 5.0*coalesce(lag(value,3) OVER w, pad) + 4.0*coalesce(lag(value,4) OVER w, pad) + 3.0*coalesce(lag(value,5) OVER w, pad) + 2.0*coalesce(lag(value,6) OVER w, pad) + 1.0*coalesce(lag(value,7) OVER w, pad))/36.0) AS hd
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |h AS (
+        |  SELECT user_id, ts, event_id, ts_us,
+        |    (3.0*hd + 2.0*coalesce(lag(hd,1) OVER w, pad) + 1.0*coalesce(lag(hd,2) OVER w, pad))/6.0 AS hma
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, ts_us, event_id, hma,
+        |  CASE WHEN hma > lag(hma,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 'Up' ELSE 'Down' END AS hma_color
+        |FROM h ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "w3_ema_seeded" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seed,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id,
+        |  list_reduce(list_prepend(seed, pre), (acc, x) -> (2.0/6.0)*x + (1.0 - 2.0/6.0)*acc) AS ema
+        |FROM b ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "w4_macd" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id,
+        |         first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seed,
+        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, ts_us, event_id,
+        |    list_reduce(list_prepend(seed, pre), (acc, x) -> (2.0/5.0)*x + (1.0 - 2.0/5.0)*acc)
+        |    - list_reduce(list_prepend(seed, pre), (acc, x) -> (2.0/9.0)*x + (1.0 - 2.0/9.0)*acc) AS macd_value
+        |  FROM b),
+        |s AS (
+        |  SELECT user_id, ts, ts_us, event_id, macd_value,
+        |    list_reduce(list_prepend(0.0, list(macd_value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), (acc, x) -> (2.0/4.0)*x + (1.0 - 2.0/4.0)*acc) AS avg
+        |  FROM m),
+        |d AS (SELECT *, macd_value - avg AS diff FROM s),
+        |e AS (SELECT *, lag(diff,1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pd FROM d)
+        |SELECT user_id, ts_us, event_id, macd_value, avg, diff,
+        |  CASE WHEN pd IS NULL THEN (CASE WHEN diff > 0 THEN '#04FE00' ELSE '#FE0000' END)
+        |       WHEN diff > 0 THEN (CASE WHEN diff > pd THEN '#04FE00' ELSE '#006401' END)
+        |       ELSE (CASE WHEN diff < pd THEN '#FE0000' ELSE '#7E0100' END) END AS diff_color
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }
