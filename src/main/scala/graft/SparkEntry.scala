@@ -32,6 +32,12 @@ object SparkEntry {
     "o4_topk_per_group"  -> (Queries.o4TopKPerGroup _),
     "f13_json_extract"   -> (Queries.f13JsonExtract _),
     "u2_union_diagonal"  -> (Queries.u2UnionDiagonal _),
+    "j6_asof_join"       -> (Queries.j6AsofJoin _),
+    "w6_forward_fill"    -> (Queries.w6ForwardFill _),
+    "w7_prior_period"    -> (Queries.w7PriorPeriod _),
+    "p7_nearest_key"     -> (Queries.p7NearestKey _),
+    "p1_filter_pushdown" -> (Queries.p1FilterPushdown _),
+    "s7_pivot_wide"      -> (Queries.s7PivotWide _),
     "w1_padded_wma"      -> (Queries.w1PaddedWma _),
     "w2_hull"            -> (Queries.w2Hull _),
     "w3_ema_seeded"      -> (Queries.w3EmaSeeded _),
@@ -201,6 +207,100 @@ object Queries {
     Relational.unionDiagonal(Seq(c, s)).orderBy("side", "key")
   }
 
+  /** J6 — as-of join (reference `backtest/publisher.py:112-128`): each
+    * error event picks up the most recent purchase value at or before it
+    * for the same user. Union+window formulation — one shuffle, no range
+    * explosion.
+    */
+  def j6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter($"event_type" === "error")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("purchase_value"))
+    Relational
+      .asOfJoin(errors, purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+      .select("user_id", "ts_us", "event_id", "purchase_value")
+      .orderBy("user_id", "ts_us")
+  }
+
+  /** W6 — forward-fill onto an hourly grid, emitting only gap rows
+    * (reference `utils/time_series.py:72-96`).
+    */
+  def w6ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables
+      .events(spark, dir)
+      .withColumn("bucket_us", expr(s"(ts_us div $hourUs) * $hourUs"))
+    val perBucket = Relational
+      .latestPerKey(ev, Seq("user_id", "bucket_us"), "ts_us", "event_id")
+      .select("user_id", "bucket_us", "value")
+    Relational
+      .forwardFillGrid(perBucket, "user_id", "bucket_us", hourUs, Seq("value"))
+      .select("user_id", "bucket_us", "value")
+      .orderBy("user_id", "bucket_us")
+  }
+
+  /** W7 — prior-trading-day close analog (reference
+    * `providers/market.py:187-235`): per (user, day) last value, plus the
+    * previous *available* day's value.
+    */
+  def w7PriorPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+    Relational
+      .priorPeriodLast(ev, "user_id", expr(s"(ts_us div $dayUs) * $dayUs"), Seq("ts_us", "event_id"), "value")
+      .select($"user_id", $"period".as("day_us"), $"period_last", $"prior_last")
+      .orderBy("user_id", "day_us")
+  }
+
+  /** P7 — nearest-available-key match (reference
+    * `market/option_chains.py:144-172` DTE-closest-expiration), targets
+    * broadcast against the distinct key set.
+    */
+  def p7NearestKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = Seq(5, 15, 25, 48).toDF("target")
+    Relational
+      .nearestKey(targets, "target", Tables.part(spark, dir), "p_size")
+      .orderBy("target")
+  }
+
+  /** P1/P2/P3 — predicate + projection pushdown to the parquet scan
+    * (reference `providers/market.py:130-140` Flux range/filter).
+    */
+  def p1FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_returnflag" === "R" &&
+          $"l_shipdate" >= lit(java.time.LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+          $"l_shipdate" < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
+      )
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        $"l_quantity",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date")
+      )
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S7 — tall→wide pivot (InfluxDB Flux `pivot`, reference
+    * `providers/market.py:130-140`): per (user, day), one column per
+    * event type. Pivot values are declared, not discovered — at scale a
+    * `.pivot(col)` without values triggers an extra collect job.
+    */
+  def s7PivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    Tables
+      .events(spark, dir)
+      .withColumn("day_us", expr(s"(ts_us div $dayUs) * $dayUs"))
+      .groupBy($"user_id", $"day_us")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum($"value"), 6))
+      .orderBy("user_id", "day_us")
+  }
+
   /** W1 — padded weighted MA over each user's value series, pad = first
     * value (reference `momentum.py:10-40`). Pure window expressions;
     * bit-exact against the DuckDB lag-formula oracle.
@@ -319,6 +419,54 @@ object Oracles {
         |UNION ALL
         |SELECT CAST(s_suppkey AS BIGINT) AS key, s_acctbal AS bal, 'supplier' AS side, NULL AS mktsegment FROM supplier
         |ORDER BY side, key""".stripMargin,
+    "j6_asof_join" ->
+      """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, ts_us""".stripMargin,
+    "w6_forward_fill" ->
+      """WITH ranked AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us, value,
+        |         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000 ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT user_id, bucket_us, value FROM ranked WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi FROM o GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us FROM bounds),
+        |j AS (SELECT g.user_id, g.bucket_us, o.value, o.user_id IS NOT NULL AS obs
+        |      FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.bucket_us = o.bucket_us),
+        |f AS (SELECT user_id, bucket_us, obs,
+        |        last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |      FROM j)
+        |SELECT user_id, bucket_us, value FROM f WHERE NOT obs ORDER BY user_id, bucket_us""".stripMargin,
+    "w7_prior_period" ->
+      """WITH ranked AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS day_us, value,
+        |         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000 ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT user_id, day_us, value AS period_last FROM ranked WHERE rn = 1)
+        |SELECT user_id, day_us, period_last,
+        |       lag(period_last, 1) OVER (PARTITION BY user_id ORDER BY day_us) AS prior_last
+        |FROM o ORDER BY user_id, day_us""".stripMargin,
+    "p7_nearest_key" ->
+      """SELECT target, k AS matched FROM (
+        |  SELECT t.target, a.k, row_number() OVER (PARTITION BY t.target ORDER BY abs(a.k - t.target), a.k) AS rn
+        |  FROM (SELECT unnest([5, 15, 25, 48]) AS target) t
+        |  CROSS JOIN (SELECT DISTINCT p_size AS k FROM part) a) x
+        |WHERE rn = 1 ORDER BY target""".stripMargin,
+    "p1_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s7_pivot_wide" ->
+      """SELECT user_id, (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+        |FROM events GROUP BY user_id, day_us ORDER BY user_id, day_us""".stripMargin,
     "w1_padded_wma" ->
       """WITH b AS (
         |  SELECT user_id, ts, event_id, epoch_us(ts) AS ts_us, value,

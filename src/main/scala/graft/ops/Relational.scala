@@ -167,11 +167,11 @@ object Relational {
     * `lag` the previous period's value, skipping periods with no data
     * (`last(ignoreNulls)` over the preceding frame).
     */
-  def priorPeriodLast(df: DataFrame, key: String, periodCol: Column, orderCol: String, valueCol: String): DataFrame = {
+  def priorPeriodLast(df: DataFrame, key: String, periodCol: Column, orderCols: Seq[String], valueCol: String): DataFrame = {
     val perPeriod = df
       .withColumn("__period", periodCol)
       .groupBy(col(key), col("__period"))
-      .agg(max_by(col(valueCol), col(orderCol)).as("period_last"))
+      .agg(max_by(col(valueCol), struct(orderCols.map(col): _*)).as("period_last"))
     val w = Window.partitionBy(col(key)).orderBy(col("__period"))
     perPeriod
       .withColumn("prior_last", lag(col("period_last"), 1).over(w))
