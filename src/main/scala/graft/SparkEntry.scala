@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.indicators.Indicators
 import graft.io.Tables
 import graft.ops.Relational
+import graft.similarity.Similarity
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +44,18 @@ object SparkEntry {
     "w1_padded_wma"      -> (Queries.w1PaddedWma _),
     "w2_hull"            -> (Queries.w2Hull _),
     "w3_ema_seeded"      -> (Queries.w3EmaSeeded _),
-    "w4_macd"            -> (Queries.w4Macd _)
+    "w4_macd"            -> (Queries.w4Macd _),
+    "x1_text_stats"      -> (Queries.x1TextStats _),
+    "x3_lang_id"         -> (Queries.x3LangId _),
+    "x4_fingerprint"     -> (Queries.x4Fingerprint _),
+    "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
+    "d2_minhash_lsh"     -> (Queries.d2MinhashLsh _),
+    "d3_simhash"         -> (Queries.d3Simhash _),
+    "d4_ngram_jaccard"   -> (Queries.d4NgramJaccard _),
+    "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
+    "n1_ann_brute"       -> (Queries.n1AnnBrute _),
+    "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
+    "m1_multimodal"      -> (Queries.m1Multimodal _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -50,7 +64,17 @@ object SparkEntry {
     * semantics); the driver records a weaker rows-only check for these and
     * ScalaTest specs carry the correctness burden instead.
     */
-  def oracleFree: Set[String] = Set()
+  def oracleFree: Set[String] = Set(
+    // simhash needs hex→int64 conversion DuckDB v1.0.0 lacks (`conv`);
+    // correctness carried by DedupSpec (planted near-dups + hamming).
+    "d3_simhash",
+    // LSH hyperplanes are Scala-generated; correctness = recall vs the
+    // oracle-checked brute-force n1 (SimilaritySpec).
+    "n2_ann_lsh",
+    // batched binary decode is a mapPartitions kernel (the point is the
+    // non-SQL batch plumbing); correctness carried by MultimodalSpec.
+    "m1_multimodal"
+  )
 }
 
 /** The concrete query programs, one per SURVEY §2 operator. */
@@ -348,6 +372,115 @@ object Queries {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Text analysis (training-data pipeline): token counts, word-piece
+    * counts, punctuation ratio, stopword hits, composite quality score —
+    * all codegen'd column expressions at scan speed.
+    */
+  def x1TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tokens"),
+        TextOps.wordPieceCount($"text").cast("long").as("n_pieces"),
+        TextOps.punctRatio($"text").as("punct_ratio"),
+        TextOps.stopwordCount($"text").cast("long").as("stop_cnt"),
+        TextOps.qualityScore($"text").as("quality")
+      )
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: argmax of per-language marker-token hits. */
+  def x3LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        $"lang",
+        TextOps.langIdHeuristic($"text").as("lang_pred")
+      )
+      .orderBy("doc_id")
+
+  /** Content fingerprint (rolling-identity hash of normalized text). */
+  def x4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", graft.text.TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Exact dedup by content hash. The test corpus has no natural exact
+    * dups, so the query dedups the corpus unioned with an id-shifted
+    * copy of itself — every doc forms a group of 2 with a keeper.
+    */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val copies = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    Dedup
+      .exactDuplicates(docs.unionByName(copies), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash (k=16) + LSH banding (4 bands × 4 rows) near-dup pairs,
+    * verified with exact 3-gram Jaccard ≥ 0.3.
+    */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** 60-bit SimHash near-dup pairs (hamming ≤ 20 over synthetic docs —
+    * wide threshold so the operator produces work on this corpus).
+    */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 20)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard near-dup pairs with length-band blocking. */
+  def d4NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", "n_chars", n = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs (exact baseline; threshold set to
+    * the corpus's actual similarity regime).
+    */
+  def d5EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def n1AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5)
+      .orderBy("query_id", "nbr_id")
+  }
+
+  /** Multi-table sign-LSH ANN top-5 (6 tables × 4 bits). */
+  def n2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .lshTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, bits = 4, tables = 6)
+      .orderBy("query_id", "nbr_id")
+  }
+
+  /** Multimodal pipeline: pack → batched (stub) decode → rollup of the
+    * 16-bin byte-histogram features per synthetic format.
+    */
+  def m1Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.packDocuments(Tables.documents(spark, dir))
+    graft.multimodal.Multimodal
+      .extractFeatures(media, "media")
+      .groupBy($"meta.format".as("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(avg(element_at($"features", 1)), 6).as("avg_f0"),
+        round(avg($"meta.width"), 2).as("avg_width")
+      )
+      .orderBy("format")
+  }
+
   // Column shorthand without a SparkSession in scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -419,6 +552,105 @@ object Oracles {
         |UNION ALL
         |SELECT CAST(s_suppkey AS BIGINT) AS key, s_acctbal AS bal, 'supplier' AS side, NULL AS mktsegment FROM supplier
         |ORDER BY side, key""".stripMargin,
+    "x1_text_stats" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |t AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+        |s AS (
+        |  SELECT doc_id, norm, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_pieces,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by'], x))) AS BIGINT) AS stop_cnt
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_pieces, punct_ratio, stop_cnt,
+        |  0.4 * (stop_cnt::DOUBLE / n_tokens::DOUBLE)
+        |  + 0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+        |  + 0.3 * (CASE WHEN length(norm)::DOUBLE / n_tokens::DOUBLE >= 3.0 AND length(norm)::DOUBLE / n_tokens::DOUBLE <= 12.0 THEN 1.0 ELSE 0.0 END)
+        |  - punct_ratio AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x3_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','las','que','de','y','es'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','que','des','est','un'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta','men'], x))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM all_docs),
+        |g AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id,
+        |              count(*) OVER (PARTITION BY fingerprint) AS group_size FROM fp)
+        |SELECT doc_id, keeper_id, fingerprint, CAST(group_size AS BIGINT) AS group_size
+        |FROM g WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
+    "d2_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents)),
+        |filt AS (SELECT * FROM base WHERE len(sh) > 0),
+        |sig AS (
+        |  SELECT id, list_transform(range(0, 16), i -> list_min(list_transform(sh, s -> md5(concat(CAST(i AS VARCHAR), '|', s))))) AS sig
+        |  FROM filt),
+        |banded AS (
+        |  SELECT id, b.band, md5(array_to_string(sig[b.band*4+1:b.band*4+4], ',')) AS band_key
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+        |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id, n_chars AS len,
+        |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM s a JOIN s b ON a.id < b.id AND abs(a.len - b.len)::DOUBLE <= 0.5 * greatest(a.len, b.len)
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * a.v[i])), (acc, x) -> acc + x))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> b.v[i] * b.v[i])), (acc, x) -> acc + x))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "n1_ann_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS nbr_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.qv[i] * e.v[i])), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])), (acc, x) -> acc + x))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM scored) t
+        |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin,
     "j6_asof_join" ->
       """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, r.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'error') l

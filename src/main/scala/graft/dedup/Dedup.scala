@@ -1,0 +1,188 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication suite for training-data pipelines: exact (hash),
+  * MinHash+LSH (the 100 TB path), exact n-gram Jaccard (the verifier /
+  * small-scale baseline), SimHash (bit-sketch), and embedding-cosine
+  * near-dup (see [[graft.similarity.Similarity]] for the kernel).
+  *
+  * Scale shape:
+  *   - exact dedup = one hash aggregation (map-side combinable).
+  *   - MinHash+LSH = per-doc signature (scan-local) → explode k/r bands
+  *     (k/r× row inflation, tiny rows) → shuffle on (band, key) →
+  *     candidate pairs only within same bucket → exact verify on the
+  *     candidates. Never O(n²).
+  *   - exact Jaccard is O(pairs) and exists to verify LSH candidates and
+  *     as the DuckDB-oracle-checkable ground truth at test scale; the
+  *     length-band blocking keeps the pair count bounded.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set of the normalized text (distinct). Texts
+    * with fewer than n tokens yield an empty set (note: a bare
+    * `sequence(1, len-n+1)` would COUNT DOWN when len < n — Spark's
+    * sequence infers a negative step — hence the explicit guard).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate groups by content fingerprint: every doc in a group
+    * of >1 identical normalized texts, with the group's keeper (min id).
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fingerprint"))
+    fp.withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") > 1)
+      .select(col(idCol), col("keeper_id"), col("fingerprint"), col("group_size"))
+  }
+
+  /** MinHash signature as an array of `k` lexicographic-min md5 hex
+    * strings over the shingle set — engine-portable (any system with md5
+    * and string min reproduces it bit-for-bit; no 64-bit hash needed).
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => md5(concat(i.cast("string"), lit("|"), s).cast("binary"))))
+    )
+
+  /** MinHash + LSH banding near-dup pairs.
+    *
+    * Pipeline: shingle → k minhashes → r-wide bands → md5 band key →
+    * self-join on (band_index, band_key) → distinct candidate pairs →
+    * exact Jaccard verify ≥ `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val base = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = base.withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sig
+      .select(
+        col("id"),
+        col("sh"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).cast("binary"))
+          )
+        ).as(Seq("band", "band_key"))
+      )
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a
+      .join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact pairwise n-gram Jaccard with length-band blocking: only pairs
+    * whose char lengths differ by ≤ `lenBandRel` (relative) are compared
+    * — a standard dedup blocking rule that keeps the exact comparison
+    * from being O(n²) on pathological data while remaining
+    * oracle-expressible.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lenCol: String,
+      n: Int = 3,
+      threshold: Double = 0.3,
+      lenBandRel: Double = 0.5
+  ): DataFrame = {
+    val s = df.select(
+      col(idCol).as("id"),
+      col(lenCol).as("len"),
+      shingles(col(textCol), n).as("sh")
+    )
+    val a = s.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"))
+    val b = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
+    a.join(
+        b,
+        col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")).cast("double") <= lit(lenBandRel) * greatest(col("len_a"), col("len_b"))
+      )
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 60-bit SimHash + candidate pairs by 15-bit chunk match + hamming
+    * verification ≤ `maxHamming` (pigeonhole: hamming ≤ 3 ⇒ at least one
+    * of 4 chunks identical).
+    *
+    * Token hash = first 15 hex chars of md5 (60 bits, fits a signed
+    * long); bit b of the sketch is the sign of Σ_tokens(±1). The sketch
+    * is computed scan-locally per row (no shuffle); only the tiny
+    * (chunk, id, sim) projection shuffles for the bucket join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val s = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("hs", expr("transform(toks, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"))
+      .withColumn(
+        "sim",
+        expr(
+          """aggregate(sequence(0, 59), 0L, (acc, b) ->
+            |  acc | if(aggregate(hs, 0, (c, h) -> c + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+            |          shiftleft(1L, b), 0L))""".stripMargin
+        )
+      )
+      .select("id", "sim")
+    val chunked = s.select(
+      col("id"),
+      col("sim"),
+      posexplode(expr("transform(sequence(0, 3), c -> shiftright(sim, c * 15) & 32767)")).as(Seq("chunk", "chunk_val"))
+    )
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

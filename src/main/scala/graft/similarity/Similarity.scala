@@ -1,0 +1,136 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Kernels are higher-order-function expressions with a *defined* fold
+  * order (cast to double, zip-multiply, left-fold sum) so results are
+  * bit-reproducible across engines — the DuckDB oracle evaluates the
+  * identical fold.
+  *
+  * Scale shape: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one scan, no shuffle of the corpus, partial
+  * top-k per partition via the window on (query, score). The LSH variant
+  * prunes the corpus side to matching sign-buckets first: candidates
+  * shrink by ~2^bits, and the final exact re-rank touches only
+  * candidates. On 100 TB the bucketed corpus would be written
+  * pre-partitioned by bucket so probes are partition-pruned scans.
+  */
+object Similarity {
+
+  /** Defined-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity with defined evaluation order:
+    * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), deterministic tie-break on corpus id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ `threshold` (id_a < id_b).
+    * Exact O(n²) — the verifier/baseline; LSH below is the scale path.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
+    * components in [-1, 1), derived from a splitmix64-style counter hash
+    * of (seed, plane, component). Pure Scala, reproducible everywhere.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dim) { d =>
+        var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * dim + d + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, p)) =>
+      val planeCol = array(plane.map(lit): _*)
+      acc.bitwiseOR(when(dot(vec, planeCol) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** Multi-table sign-LSH approximate top-k (classic OR-amplification):
+    * `tables` independent hash tables of `bits` hyperplane sign bits
+    * each; a corpus vector is a candidate iff it shares a bucket with the
+    * query in ANY table; candidates are exactly re-ranked by cosine.
+    *
+    * Recall ≈ 1 − (1 − p^bits)^tables where p = 1 − θ/π per bit — tune
+    * (bits, tables) to the corpus's similarity regime. Candidates arrive
+    * via an equi-join on (table, bucket) — shuffle-free here because the
+    * query side broadcasts; at 100 TB the corpus would be written
+    * bucket-partitioned so each probe is a pruned scan, and duplicate
+    * candidates from multiple tables collapse with dropDuplicates before
+    * the (expensive) exact re-rank.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 4,
+      tables: Int = 6
+  ): DataFrame = {
+    val dim = 64
+    val tablePlanes = Array.tabulate(tables)(t => hyperplanes(bits, dim, seed = 42L + 1000L * t))
+    def buckets(vec: Column): Column =
+      array(tablePlanes.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), signBucket(vec, planes).as("bucket"))
+      }: _*)
+    val c = corpus
+      .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
+      .select(col("nbr_id"), col("nbr_vec"), explode(buckets(col("nbr_vec"))).as("tb"))
+      .select(col("nbr_id"), col("nbr_vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val candidates = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+    val scored = candidates.withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
+}

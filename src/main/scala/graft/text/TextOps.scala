@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token counting, quality scoring, language ID and
+  * document fingerprinting. All pure column expressions (whole-stage
+  * codegen, no UDFs) so they run at full scan speed on 100 TB and push
+  * down through Catalyst.
+  *
+  * Determinism contract: every expression has a DuckDB-expressible twin
+  * (same normalization, same split, same regex class patterns) so the
+  * driver's oracle can hash-match the outputs.
+  */
+object TextOps {
+
+  /** Canonical normalization: trim, lowercase, collapse whitespace runs
+    * to single spaces. All downstream ops (tokens, fingerprints,
+    * shingles) run over this form.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. Split on the single space
+    * the normalization guarantees — avoids engine-specific regex-split
+    * edge cases.
+    */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish word-piece count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks (a common pre-tokenizer shape).
+    */
+  def wordPieceCount(text: Column): Column =
+    size(regexp_extract_all(normalize(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val n = normalize(text)
+    length(regexp_replace(n, "[^.!?,;:]", "")).cast("double") / length(n)
+  }
+
+  /** Common-English stopword hit count over tokens (quality signal). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at", "by")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val set = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * moderate token length, penalizes punctuation density. Deliberately
+    * simple arithmetic (fixed evaluation order) for oracle parity.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / nTok
+    val avgTokLen = length(normalize(text)).cast("double") / nTok
+    val lenOk = when(nTok >= 10 && nTok <= 100000, lit(1.0)).otherwise(lit(0.0))
+    lit(0.4) * stopRatio + lit(0.3) * lenOk + lit(0.3) * when(avgTokLen >= 3.0 && avgTokLen <= 12.0, lit(1.0)).otherwise(lit(0.0)) - punctRatio(text)
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the operator shape (scored argmax over
+    * per-language token-set hits) is what a real pipeline runs with a
+    * bigger table; thresholds/sets are configuration.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "des", "est", "un"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men")
+  )
+
+  /** Heuristic language ID: argmax of marker-set hits, ties resolved in
+    * declared language order (deterministic).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (langName, markers) =>
+      val set = array(markers.map(lit): _*)
+      langName -> size(filter(toks, t => array_contains(set, t)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (langName, s)) =>
+      when(acc.isNotNull, acc).otherwise(when(s === best, lit(langName)))
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup
+    * key (reference analog: dedup-on-write jitter,
+    * `visualizations/models.py:130-147`, repurposed for content identity).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+}

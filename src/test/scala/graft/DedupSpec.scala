@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", 0L),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", 0L), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", 0L), // near dup of 1
+    (4L, "completely different content about spark query engines at scale", 0L),
+    (5L, "tiny", 0L) // fewer tokens than the shingle width
+  ).toDF("doc_id", "text", "pad")
+
+  test("shingles yields empty set below n tokens (no descending-sequence bug)") {
+    val out = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter($"doc_id" === 5L)
+      .select(size($"sh"))
+      .as[Int]
+      .head()
+    assert(out == 0)
+  }
+
+  test("exactDuplicates groups identical normalized texts only") {
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text")
+    val rows = out.select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("minhashLshPairs finds exact and near dup, skips unrelated") {
+    val pairs = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(p => (p._1, p._2) -> p._3)
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhashPairs: identical texts hamming 0; near-dups small; unrelated pruned") {
+    val pairs = Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 20)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(p => (p._1, p._2) -> p._3)
+      .toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.get((1L, 3L)).exists(_ <= 20L))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("LSH candidates cover all exact-jaccard pairs on real corpus (recall=1 here)") {
+    val docsReal = graft.io.Tables.documents(spark, sf0001)
+    val exact = Dedup
+      .ngramJaccardPairs(docsReal, "doc_id", "text", "n_chars", n = 3, threshold = 0.3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val lsh = Dedup
+      .minhashLshPairs(docsReal, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+}

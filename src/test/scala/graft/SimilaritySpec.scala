@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel: identical vectors -> 1, orthogonal -> 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))
+    ).toDF("id", "a", "b")
+    val out = df
+      .select(
+        $"id",
+        Similarity.cosine(Similarity.toDoubleArr($"a"), Similarity.toDoubleArr($"b")).as("cos")
+      )
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(out(2L) == 0.0)
+  }
+
+  test("bruteForceTopK returns k nearest excluding self, deterministic ties") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", corpus.filter($"vec_id" === 0L), 2)
+      .select("nbr_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(out == Set(1L, 2L)) // nearest then orthogonal; -x excluded by k
+  }
+
+  test("hyperplanes are deterministic and bounded") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("LSH ANN recall vs brute force is substantial on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val lsh = Similarity
+      .lshTopK(emb, "vec_id", "embedding", queries, 5, bits = 4, tables = 6)
+      .select("query_id", "nbr_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low") // ANN trade-off; tuned in bench
+  }
+}
