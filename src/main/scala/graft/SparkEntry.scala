@@ -55,7 +55,10 @@ object SparkEntry {
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
-    "m1_multimodal"      -> (Queries.m1Multimodal _)
+    "m1_multimodal"      -> (Queries.m1Multimodal _),
+    "a8_lifo"            -> (Queries.a8Lifo _),
+    "g1_signal_engine"   -> (Queries.g1SignalEngine _),
+    "s11_classify"       -> (Queries.s11Classify _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -73,7 +76,17 @@ object SparkEntry {
     "n2_ann_lsh",
     // batched binary decode is a mapPartitions kernel (the point is the
     // non-SQL batch plumbing); correctness carried by MultimodalSpec.
-    "m1_multimodal"
+    "m1_multimodal",
+    // order-sensitive LIFO fold with cross-row netting (SURVEY A8) —
+    // not SQL-expressible; correctness carried by LifoSpec (reference
+    // scenario ports).
+    "a8_lifo",
+    // per-symbol position-aware state machine (SURVEY T5) — correctness
+    // carried by HullMacdSpec (reference golden scenarios).
+    "g1_signal_engine",
+    // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
+    // carried by StrategiesSpec (reference canonical cases).
+    "s11_classify"
   )
 }
 
@@ -479,6 +492,68 @@ object Queries {
         round(avg($"meta.width"), 2).as("avg_width")
       )
       .orderBy("format")
+  }
+
+  /** A8 — LIFO entry-credit replay over a synthetic fill stream derived
+    * deterministically from lineitem (symbol per supplier, open/close
+    * actions from the line number, Decimal money).
+    */
+  def a8Lifo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val txns = li.select(
+      concat(lit("S"), $"l_suppkey").as("symbol"),
+      (unix_timestamp($"l_shipdate") * 1000000L + $"l_orderkey").as("executed_at_us"),
+      element_at(
+        array(lit("Buy to Open"), lit("Sell to Close"), lit("Sell to Open"), lit("Buy to Close")),
+        (pmod($"l_linenumber", lit(4)) + 1).cast("int")
+      ).as("action"),
+      round($"l_extendedprice" / greatest($"l_quantity", lit(1.0)), 4).as("price"),
+      $"l_extendedprice".as("value"),
+      when($"l_discount" > 0.05, "Credit").otherwise("Debit").as("value_effect"),
+      round($"l_extendedprice" * (lit(1.0) + $"l_tax"), 4).as("net_value"),
+      greatest($"l_quantity".cast("int"), lit(1)).as("quantity")
+    )
+    val positions = txns.select("symbol").distinct().withColumn("current_qty", lit(25))
+    graft.accounts.Lifo.entryCredits(txns, positions).orderBy("symbol")
+  }
+
+  /** T5 — HullMacd confluence signal engine over each user's value
+    * series (user ≈ symbol, value ≈ close, ET session gates on the
+    * event timestamps).
+    */
+  def g1SignalEngine(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value")
+    graft.signals.HullMacd
+      .detectSignals(ev, "symbol", "ts_us", "value")
+      .orderBy("symbol", "time_us", "signal_type")
+  }
+
+  /** §2.11 — greedy strategy classification over synthetic option legs
+    * derived deterministically from part (underlying per brand).
+    */
+  def s11Classify(spark: SparkSession, dir: String): DataFrame = {
+    val legs = Tables
+      .part(spark, dir)
+      .select(
+        concat(lit("L"), $"p_partkey").as("symbol"),
+        $"p_brand".as("underlying"),
+        when(pmod($"p_partkey", lit(7)) === 0, "Equity").otherwise("Equity Option").as("instrument_type"),
+        (when(pmod($"p_partkey", lit(2)) === 0, 1.0).otherwise(-1.0) *
+          (pmod($"p_partkey", lit(3)) + 1)).as("signed_quantity"),
+        when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("string"))
+          .otherwise(when(pmod($"p_size", lit(2)) === 0, "C").otherwise("P")).as("option_type"),
+        when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("decimal(12,3)"))
+          .otherwise(round($"p_retailprice", 0).cast("decimal(12,3)")).as("strike"),
+        when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("date"))
+          .otherwise(date_add(lit(java.sql.Date.valueOf("2026-03-20")), (pmod($"p_size", lit(3)) * 28).cast("int"))).as("expiration")
+      )
+    graft.strategies.Strategies
+      .classify(spark, legs)
+      .groupBy($"underlying", $"strategy_type")
+      .agg(count(lit(1)).as("n"), sum($"n_legs").as("total_legs"))
+      .orderBy("underlying", "strategy_type")
   }
 
   // Column shorthand without a SparkSession in scope.

@@ -1,0 +1,165 @@
+package graft.accounts
+
+import java.math.{BigDecimal => JBigDecimal, MathContext}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LIFO entry-credit replay (reference `accounts/transactions.py:158-232`,
+  * SURVEY A8): walk a symbol's fills newest→oldest, net out closes
+  * against opens, consume surviving opens pro-rata until the current
+  * position quantity is accounted for; emit the entry credit, fees and
+  * weighted per-unit price of the identified fills.
+  *
+  * This is an order-sensitive fold with cross-row netting — NOT a
+  * commutative aggregate — so it runs as a per-symbol fold over
+  * key-sorted partitions (same engine shape as
+  * [[graft.indicators.Indicators.withFold]]): one shuffle on symbol,
+  * streaming within each key, O(1) state. Money stays `BigDecimal`
+  * end-to-end (DecimalType(18,6)) — the reference deliberately keeps
+  * accounting off floats.
+  */
+object Lifo {
+
+  val OpenActions: Set[String] = Set("Sell to Open", "Buy to Open")
+  val CloseActions: Set[String] = Set("Buy to Close", "Sell to Close")
+
+  /** One fill, newest-first ordered within a symbol. */
+  case class Txn(
+      symbol: String,
+      executedAtUs: Long,
+      action: String,
+      price: BigDecimal,
+      value: BigDecimal,
+      valueEffect: String,
+      netValue: BigDecimal,
+      quantity: Int
+  )
+
+  case class LifoResult(
+      symbol: String,
+      entryCredit: BigDecimal,
+      fees: BigDecimal,
+      weightedPrice: Option[BigDecimal],
+      transactionCount: Int
+  )
+
+  private val MC = MathContext.DECIMAL128
+
+  /** Pure-Scala replay of one symbol's transactions (any order; sorted
+    * internally newest-first like the reference). Returns None when the
+    * surviving opens cannot account for `currentQty` (incomplete
+    * history), matching the reference's null result.
+    */
+  def replay(txns: Seq[Txn], currentQty: Int): Option[LifoResult] = {
+    if (currentQty == 0)
+      return Some(LifoResult(txns.headOption.map(_.symbol).getOrElse(""), BigDecimal(0), BigDecimal(0), None, txns.size))
+    val sorted = txns.sortBy(t => (-t.executedAtUs, -t.quantity))
+    var remaining = math.abs(currentQty)
+    var closeBuffer = 0
+    var entryCredit = BigDecimal(0)
+    var totalFees = BigDecimal(0)
+    var priceXQty = BigDecimal(0)
+    var totalQty = 0
+    val it = sorted.iterator
+    while (it.hasNext && remaining != 0) {
+      val txn = it.next()
+      val qty = txn.quantity
+      if (CloseActions.contains(txn.action)) {
+        closeBuffer += qty
+      } else if (OpenActions.contains(txn.action)) {
+        val consumed = math.min(qty, closeBuffer)
+        closeBuffer -= consumed
+        val surviving = qty - consumed
+        val take = math.min(surviving, remaining)
+        if (take > 0) {
+          val fraction = BigDecimal(new JBigDecimal(take).divide(new JBigDecimal(qty), MC))
+          val proportionalValue = txn.value * fraction
+          val sign = if (txn.valueEffect == "Credit") BigDecimal(1) else BigDecimal(-1)
+          entryCredit += proportionalValue * sign
+          totalFees += (txn.netValue - txn.value).abs * fraction
+          priceXQty += txn.price * take
+          totalQty += take
+          remaining -= take
+        }
+      }
+    }
+    if (remaining != 0) None
+    else {
+      val wp =
+        if (totalQty > 0) Some(BigDecimal(priceXQty.bigDecimal.divide(new JBigDecimal(totalQty), MC)))
+        else None
+      Some(LifoResult(txns.head.symbol, entryCredit, totalFees, wp, txns.size))
+    }
+  }
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("entry_credit", DecimalType(18, 6)),
+    StructField("fees", DecimalType(18, 6)),
+    StructField("weighted_price", DecimalType(18, 6), nullable = true),
+    StructField("transaction_count", IntegerType)
+  ))
+
+  /** Distributed driver: `txns` needs columns (symbol, executed_at_us,
+    * action, price, value, value_effect, net_value, quantity);
+    * `positions` maps symbol → current absolute quantity. Symbols whose
+    * history cannot account for the position are dropped (reference
+    * returns None and skips the symbol).
+    *
+    * Shape: repartition by symbol, sort within partitions newest-first,
+    * stream each symbol's run through [[replay]] — the sort replaces the
+    * reference's in-memory `sorted(..., reverse=True)` and the engine
+    * spills if a symbol's history is huge.
+    */
+  def entryCredits(txns: DataFrame, positions: DataFrame): DataFrame = {
+    val joined = txns
+      .join(positions.select(col("symbol"), col("current_qty")), Seq("symbol"))
+      .select(
+        col("symbol"),
+        col("executed_at_us").cast("long"),
+        col("action"),
+        col("price").cast("decimal(18,6)"),
+        col("value").cast("decimal(18,6)"),
+        col("value_effect"),
+        col("net_value").cast("decimal(18,6)"),
+        col("quantity").cast("int"),
+        col("current_qty").cast("int")
+      )
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("executed_at_us").desc, col("quantity").desc)
+    joined.mapPartitions { rows =>
+      val grouped = new Iterator[(String, Int, Vector[Txn])] {
+        val buf = rows.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): (String, Int, Vector[Txn]) = {
+          val sym = buf.head.getString(0)
+          var qty = 0
+          var acc = Vector.empty[Txn]
+          while (buf.hasNext && buf.head.getString(0) == sym) {
+            val r = buf.next()
+            qty = r.getInt(8)
+            acc :+= Txn(
+              r.getString(0), r.getLong(1), r.getString(2),
+              BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
+              r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)
+            )
+          }
+          (sym, qty, acc)
+        }
+      }
+      grouped.flatMap { case (sym, qty, ts) =>
+        replay(ts, qty).map { res =>
+          Row(
+            sym,
+            res.entryCredit.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
+            res.fees.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
+            res.weightedPrice.map(_.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal).orNull,
+            res.transactionCount
+          )
+        }
+      }
+    }(Encoders.row(outputSchema))
+  }
+}

@@ -1,0 +1,379 @@
+package graft.strategies
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Option-strategy classification (reference
+  * `analytics/strategies/patterns.py` + `classifier.py:100-163`,
+  * SURVEY §2.11): group legs by underlying, apply matchers
+  * most-complex→simplest greedily (each matcher loops until it stops
+  * matching), leftovers become single-leg strategies.
+  *
+  * The combinatorial search is pure Scala over tiny groups (positions
+  * per underlying), distributed via `groupBy(underlying)` +
+  * per-partition iteration — the 100 TB-safe shape because group size is
+  * bounded by portfolio width, not data volume.
+  */
+object Strategies {
+
+  case class ParsedLeg(
+      symbol: String,
+      underlying: String,
+      instrumentType: String, // Equity | Equity Option | Future | Future Option | Cryptocurrency
+      signedQuantity: Double,
+      optionType: Option[String], // C | P
+      strike: Option[BigDecimal],
+      expiration: Option[LocalDate]
+  ) {
+    def isLong: Boolean = signedQuantity > 0
+    def isShort: Boolean = signedQuantity < 0
+    def isCall: Boolean = optionType.contains("C")
+    def isPut: Boolean = optionType.contains("P")
+    def isOption: Boolean = instrumentType == "Equity Option" || instrumentType == "Future Option"
+    def isStock: Boolean = instrumentType == "Equity" || instrumentType == "Future" || instrumentType == "Cryptocurrency"
+    def absQuantity: Double = math.abs(signedQuantity)
+  }
+
+  case class Match(strategyType: String, legs: List[ParsedLeg])
+
+  private def sameExpiration(legs: Seq[ParsedLeg]): Boolean =
+    legs.flatMap(_.expiration).distinct.size == 1
+
+  private def sameAbsQuantity(legs: Seq[ParsedLeg]): Boolean =
+    legs.map(_.absQuantity).distinct.size == 1
+
+  private def sortedByStrike(legs: Seq[ParsedLeg]): List[ParsedLeg] =
+    legs.sortBy(_.strike.getOrElse(BigDecimal(0))).toList
+
+  /** Iron condor / iron butterfly / iron BWB share the long-low-put /
+    * short-high-put / short-low-call / long-high-call frame; they differ
+    * in the short-strike and wing-width relations.
+    */
+  private def matchIronFamily(legs: List[ParsedLeg], which: String): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 4) return None
+    options.combinations(4).foreach { combo =>
+      if (sameExpiration(combo) && sameAbsQuantity(combo)) {
+        val puts = sortedByStrike(combo.filter(_.isPut))
+        val calls = sortedByStrike(combo.filter(_.isCall))
+        if (puts.size == 2 && calls.size == 2 &&
+          puts(0).isLong && puts(1).isShort && calls(0).isShort && calls(1).isLong) {
+          (puts(0).strike, puts(1).strike, calls(0).strike, calls(1).strike) match {
+            case (Some(pl), Some(ps), Some(cs), Some(cl)) =>
+              which match {
+                case "condor" if ps < cs =>
+                  return Some(Match("IRON_CONDOR", combo))
+                case "butterfly" if ps == cs && (ps - pl) == (cl - cs) =>
+                  return Some(Match("IRON_BUTTERFLY", combo))
+                case "bwb" if ps == cs && (ps - pl) != (cl - cs) =>
+                  return Some(Match("IRON_BROKEN_FLY", combo))
+                case _ => ()
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** 1:2:1 butterfly over one option type; `equalSpacing` selects the
+    * regular vs broken-wing variant.
+    */
+  private def matchButterfly(legs: List[ParsedLeg], put: Boolean, equalSpacing: Boolean, name: String): Option[Match] = {
+    val options = legs.filter(l => l.isOption && (if (put) l.isPut else l.isCall))
+    if (options.size < 3) return None
+    options.combinations(3).foreach { combo =>
+      val sorted = sortedByStrike(combo)
+      if (sameExpiration(sorted)) {
+        val (low, mid, high) = (sorted(0), sorted(1), sorted(2))
+        (low.strike, mid.strike, high.strike) match {
+          case (Some(l), Some(m), Some(h)) =>
+            val spacingEq = (m - l) == (h - m)
+            if (spacingEq == equalSpacing &&
+              low.isLong && mid.isShort && high.isLong &&
+              low.absQuantity == high.absQuantity && mid.absQuantity == 2 * low.absQuantity)
+              return Some(Match(name, sorted))
+          case _ => ()
+        }
+      }
+    }
+    None
+  }
+
+  private def matchBrokenWing(legs: List[ParsedLeg]): Option[Match] =
+    matchButterfly(legs, put = false, equalSpacing = false, "BROKEN_FLY")
+      .orElse(matchButterfly(legs, put = true, equalSpacing = false, "BROKEN_FLY"))
+
+  private def matchCoveredJadeLizard(legs: List[ParsedLeg]): Option[Match] = {
+    val stocks = legs.filter(l => l.isStock && l.isLong)
+    val options = legs.filter(_.isOption)
+    if (stocks.isEmpty || options.size < 3) return None
+    val stock = stocks.head
+    options.combinations(3).foreach { combo =>
+      if (sameExpiration(combo)) {
+        val sp = combo.filter(l => l.isPut && l.isShort)
+        val sc = combo.filter(l => l.isCall && l.isShort)
+        val lc = combo.filter(l => l.isCall && l.isLong)
+        if (sp.size == 1 && sc.size == 1 && lc.size == 1)
+          (sc.head.strike, lc.head.strike) match {
+            case (Some(s), Some(l)) if s < l => return Some(Match("COVERED_JADE_LIZARD", stock :: combo))
+            case _                           => ()
+          }
+      }
+    }
+    None
+  }
+
+  private def matchBigLizard(legs: List[ParsedLeg]): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 3) return None
+    options.combinations(3).foreach { combo =>
+      if (sameExpiration(combo)) {
+        val sc = combo.filter(l => l.isCall && l.isShort)
+        val sp = combo.filter(l => l.isPut && l.isShort)
+        val lc = combo.filter(l => l.isCall && l.isLong)
+        if (sc.size == 1 && sp.size == 1 && lc.size == 1 &&
+          sc.head.strike == sp.head.strike &&
+          (for (l <- lc.head.strike; s <- sc.head.strike) yield l > s).getOrElse(false))
+          return Some(Match("BIG_LIZARD", combo))
+      }
+    }
+    None
+  }
+
+  private def matchJadeLizard(legs: List[ParsedLeg]): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 3) return None
+    options.combinations(3).foreach { combo =>
+      if (sameExpiration(combo) && sameAbsQuantity(combo)) {
+        val sp = combo.filter(l => l.isPut && l.isShort)
+        val sc = combo.filter(l => l.isCall && l.isShort)
+        val lc = combo.filter(l => l.isCall && l.isLong)
+        val lp = combo.filter(l => l.isPut && l.isLong)
+        if (sp.size == 1 && sc.size == 1 && lc.size == 1 &&
+          (for (s <- sc.head.strike; l <- lc.head.strike) yield s < l).getOrElse(false))
+          return Some(Match("JADE_LIZARD", combo))
+        if (sc.size == 1 && sp.size == 1 && lp.size == 1 &&
+          (for (l <- lp.head.strike; s <- sp.head.strike) yield l < s).getOrElse(false))
+          return Some(Match("JADE_LIZARD", combo))
+      }
+    }
+    None
+  }
+
+  private def matchCollar(legs: List[ParsedLeg]): Option[Match] = {
+    val stocks = legs.filter(l => l.isStock && l.isLong)
+    val options = legs.filter(_.isOption)
+    if (stocks.isEmpty || options.size < 2) return None
+    val stock = stocks.head
+    options.combinations(2).foreach { combo =>
+      if (sameExpiration(combo)) {
+        val lp = combo.filter(l => l.isPut && l.isLong)
+        val sc = combo.filter(l => l.isCall && l.isShort)
+        if (lp.size == 1 && sc.size == 1) return Some(Match("COLLAR", stock :: combo))
+      }
+    }
+    None
+  }
+
+  private def matchCoveredCall(legs: List[ParsedLeg]): Option[Match] = {
+    val stocks = legs.filter(l => l.isStock && l.isLong)
+    val shortCalls = legs.filter(l => l.isOption && l.isCall && l.isShort)
+    if (stocks.isEmpty || shortCalls.isEmpty) None
+    else Some(Match("COVERED_CALL", List(stocks.head, shortCalls.head)))
+  }
+
+  private def matchProtectivePut(legs: List[ParsedLeg]): Option[Match] = {
+    val stocks = legs.filter(l => l.isStock && l.isLong)
+    val longPuts = legs.filter(l => l.isOption && l.isPut && l.isLong)
+    if (stocks.isEmpty || longPuts.isEmpty) None
+    else Some(Match("PROTECTIVE_PUT", List(stocks.head, longPuts.head)))
+  }
+
+  private def matchVertical(legs: List[ParsedLeg]): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 2) return None
+    options.combinations(2).foreach { combo =>
+      val (a, b) = (combo(0), combo(1))
+      if (a.optionType == b.optionType && a.expiration == b.expiration && a.expiration.isDefined &&
+        a.strike != b.strike && a.strike.isDefined && b.strike.isDefined &&
+        a.absQuantity == b.absQuantity) {
+        val (low, high) = if (a.strike.get < b.strike.get) (a, b) else (b, a)
+        if (a.isCall) {
+          if (low.isLong && high.isShort) return Some(Match("BULL_CALL_SPREAD", List(low, high)))
+          if (low.isShort && high.isLong) return Some(Match("BEAR_CALL_SPREAD", List(low, high)))
+        } else {
+          if (low.isLong && high.isShort) return Some(Match("BEAR_PUT_SPREAD", List(low, high)))
+          if (low.isShort && high.isLong) return Some(Match("BULL_PUT_SPREAD", List(low, high)))
+        }
+      }
+    }
+    None
+  }
+
+  private def matchRatio(legs: List[ParsedLeg]): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 2) return None
+    options.combinations(2).foreach { combo =>
+      val (a, b) = (combo(0), combo(1))
+      if (a.optionType == b.optionType && a.expiration == b.expiration && a.expiration.isDefined &&
+        a.strike != b.strike && a.strike.isDefined && b.strike.isDefined &&
+        a.absQuantity != b.absQuantity &&
+        ((a.isLong && b.isShort) || (a.isShort && b.isLong)))
+        return Some(Match("RATIO_SPREAD", combo))
+    }
+    None
+  }
+
+  private def matchStraddleStrangle(legs: List[ParsedLeg], sameStrike: Boolean): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 2) return None
+    options.combinations(2).foreach { combo =>
+      val (a, b) = (combo(0), combo(1))
+      if (a.optionType != b.optionType && a.expiration == b.expiration && a.expiration.isDefined &&
+        a.strike.isDefined && b.strike.isDefined &&
+        (if (sameStrike) a.strike == b.strike else a.strike != b.strike) &&
+        a.absQuantity == b.absQuantity && a.isLong == b.isLong) {
+        val name =
+          if (sameStrike) { if (a.isLong) "LONG_STRADDLE" else "SHORT_STRADDLE" }
+          else { if (a.isLong) "LONG_STRANGLE" else "SHORT_STRANGLE" }
+        return Some(Match(name, combo))
+      }
+    }
+    None
+  }
+
+  private def matchSynthetic(legs: List[ParsedLeg]): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 2) return None
+    options.combinations(2).foreach { combo =>
+      val (a, b) = (combo(0), combo(1))
+      if (a.optionType != b.optionType && a.expiration == b.expiration && a.expiration.isDefined &&
+        a.strike == b.strike && a.strike.isDefined &&
+        a.absQuantity == b.absQuantity && a.isLong != b.isLong) {
+        val call = if (a.isCall) a else b
+        val put = if (a.isCall) b else a
+        val name = if (call.isLong && put.isShort) "SYNTHETIC_LONG" else "SYNTHETIC_SHORT"
+        return Some(Match(name, combo))
+      }
+    }
+    None
+  }
+
+  private def matchCalendarDiagonal(legs: List[ParsedLeg], sameStrike: Boolean): Option[Match] = {
+    val options = legs.filter(_.isOption)
+    if (options.size < 2) return None
+    options.combinations(2).foreach { combo =>
+      val (a, b) = (combo(0), combo(1))
+      if (a.optionType == b.optionType &&
+        (if (sameStrike) a.strike == b.strike && a.strike.isDefined
+         else a.strike != b.strike && a.strike.isDefined && b.strike.isDefined) &&
+        a.expiration != b.expiration && a.expiration.isDefined && b.expiration.isDefined &&
+        a.absQuantity == b.absQuantity)
+        return Some(Match(if (sameStrike) "CALENDAR_SPREAD" else "DIAGONAL_SPREAD", combo))
+    }
+    None
+  }
+
+  def matchSingleLeg(leg: ParsedLeg): String = leg.instrumentType match {
+    case "Equity"         => if (leg.isLong) "LONG_STOCK" else "SHORT_STOCK"
+    case "Future"         => if (leg.isLong) "LONG_FUTURE" else "SHORT_FUTURE"
+    case "Cryptocurrency" => if (leg.isLong) "LONG_CRYPTO" else "SHORT_CRYPTO"
+    case _ =>
+      if (leg.isCall) { if (leg.isLong) "LONG_CALL" else "NAKED_CALL" }
+      else if (leg.isPut) { if (leg.isLong) "LONG_PUT" else "NAKED_PUT" }
+      else "CUSTOM"
+  }
+
+  /** Matchers in the reference's priority order (`patterns.py:678-704`). */
+  val multiLegMatchers: List[List[ParsedLeg] => Option[Match]] = List(
+    matchIronFamily(_, "condor"),
+    matchIronFamily(_, "butterfly"),
+    matchIronFamily(_, "bwb"),
+    matchCoveredJadeLizard,
+    matchBigLizard,
+    matchButterfly(_, put = false, equalSpacing = true, "CALL_BUTTERFLY"),
+    matchButterfly(_, put = true, equalSpacing = true, "PUT_BUTTERFLY"),
+    matchBrokenWing,
+    matchJadeLizard,
+    matchCollar,
+    matchCoveredCall,
+    matchProtectivePut,
+    matchVertical,
+    matchRatio,
+    matchStraddleStrangle(_, sameStrike = true),
+    matchStraddleStrangle(_, sameStrike = false),
+    matchSynthetic,
+    matchCalendarDiagonal(_, sameStrike = true),
+    matchCalendarDiagonal(_, sameStrike = false)
+  )
+
+  /** Greedy classification of one underlying's legs (reference
+    * `classifier.py:127-163`): each matcher repeats until exhausted,
+    * consuming matched legs; leftovers become single-leg strategies.
+    */
+  def classifyGroup(underlying: String, legs: List[ParsedLeg]): List[Match] = {
+    var remaining = legs
+    val out = List.newBuilder[Match]
+    multiLegMatchers.foreach { matcher =>
+      var res = if (remaining.nonEmpty) matcher(remaining) else None
+      while (res.isDefined) {
+        val m = res.get
+        out += m
+        val matchedRefs = m.legs.map(l => System.identityHashCode(l)).toSet
+        remaining = remaining.filterNot(l => matchedRefs.contains(System.identityHashCode(l)))
+        res = if (remaining.nonEmpty) matcher(remaining) else None
+      }
+    }
+    remaining.foreach(l => out += Match(matchSingleLeg(l), List(l)))
+    out.result()
+  }
+
+  val strategySchema: StructType = StructType(Seq(
+    StructField("underlying", StringType),
+    StructField("strategy_type", StringType),
+    StructField("n_legs", IntegerType),
+    StructField("leg_symbols", ArrayType(StringType)),
+    StructField("net_qty", DoubleType)
+  ))
+
+  /** Distributed classifier: `legs` needs columns (symbol, underlying,
+    * instrument_type, signed_quantity, option_type, strike: decimal,
+    * expiration: date). One shuffle on underlying; group combinatorics
+    * run leg-local.
+    */
+  def classify(spark: SparkSession, legs: DataFrame): DataFrame = {
+    val idx = legs.schema.fieldIndex _
+    val (si, ui, ii, qi, oi, ki, ei) = (
+      idx("symbol"), idx("underlying"), idx("instrument_type"), idx("signed_quantity"),
+      idx("option_type"), idx("strike"), idx("expiration")
+    )
+    val sorted = legs.repartition(col("underlying")).sortWithinPartitions(col("underlying"), col("symbol"))
+    sorted.mapPartitions { rows =>
+      val buf = rows.buffered
+      new Iterator[List[Row]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): List[Row] = {
+          val u = buf.head.getString(ui)
+          var acc = List.newBuilder[ParsedLeg]
+          while (buf.hasNext && buf.head.getString(ui) == u) {
+            val r = buf.next()
+            acc += ParsedLeg(
+              r.getString(si), u, r.getString(ii), r.getDouble(qi),
+              Option(r.getString(oi)),
+              Option(r.getDecimal(ki)).map(BigDecimal(_)),
+              Option(r.getDate(ei)).map(_.toLocalDate)
+            )
+          }
+          classifyGroup(u, acc.result()).map { m =>
+            Row(u, m.strategyType, m.legs.size, m.legs.map(_.symbol), m.legs.map(_.signedQuantity).sum)
+          }
+        }
+      }.flatten
+    }(Encoders.row(strategySchema))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.accounts.Lifo
+import graft.accounts.Lifo.Txn
+
+/** Ports the reference's LIFO scenarios (FIXTURES.md A5;
+  * reference `unit_tests/accounts/test_transactions.py` semantics).
+  */
+class LifoSpec extends SparkSpec {
+
+  private def txn(
+      t: Long,
+      action: String,
+      qty: Int,
+      value: BigDecimal,
+      effect: String = "Credit",
+      price: BigDecimal = BigDecimal(1),
+      net: BigDecimal = null
+  ) = Txn("SYM", t, action, price, value, effect, Option(net).getOrElse(value), qty)
+
+  test("simple open fully accounts the position") {
+    val r = Lifo.replay(Seq(txn(1, "Sell to Open", 5, BigDecimal(500))), 5).get
+    assert(r.entryCredit == BigDecimal(500))
+    assert(r.fees == BigDecimal(0))
+    assert(r.weightedPrice.get == BigDecimal(1))
+  }
+
+  test("close buffer nets out the most recent opens (open→close→reopen)") {
+    // newest-first: reopen 3 @300c, close 2, open 4 @400c
+    // position 5: reopen contributes 3; close consumes 2 of the older
+    // open, leaving 2 surviving of which 2 are taken.
+    val r = Lifo
+      .replay(
+        Seq(
+          txn(3, "Sell to Open", 3, BigDecimal(300)),
+          txn(2, "Buy to Close", 2, BigDecimal(999)),
+          txn(1, "Sell to Open", 4, BigDecimal(400))
+        ),
+        5
+      )
+      .get
+    // 300 (full) + 400 * (2/4) = 500
+    assert(r.entryCredit == BigDecimal(500))
+  }
+
+  test("partial fill consumes pro-rata value and fees") {
+    val r = Lifo
+      .replay(
+        Seq(txn(1, "Sell to Open", 4, BigDecimal(400), net = BigDecimal(396))),
+        1
+      )
+      .get
+    assert(r.entryCredit == BigDecimal(100)) // 400 * 1/4
+    assert(r.fees == BigDecimal(1)) // |396-400| * 1/4
+  }
+
+  test("Debit effect flips the sign") {
+    val r = Lifo.replay(Seq(txn(1, "Buy to Open", 2, BigDecimal(200), "Debit")), 2).get
+    assert(r.entryCredit == BigDecimal(-200))
+  }
+
+  test("incomplete history returns None") {
+    assert(Lifo.replay(Seq(txn(1, "Sell to Open", 2, BigDecimal(200))), 5).isEmpty)
+  }
+
+  test("zero position short-circuits to zeros") {
+    val r = Lifo.replay(Seq(txn(1, "Sell to Open", 2, BigDecimal(200))), 0).get
+    assert(r.entryCredit == BigDecimal(0) && r.weightedPrice.isEmpty)
+  }
+
+  test("weighted price = sum(price*take)/sum(take)") {
+    val r = Lifo
+      .replay(
+        Seq(
+          txn(2, "Sell to Open", 2, BigDecimal(20), price = BigDecimal(10)),
+          txn(1, "Sell to Open", 2, BigDecimal(40), price = BigDecimal(20))
+        ),
+        4
+      )
+      .get
+    assert(r.weightedPrice.get == BigDecimal(15))
+  }
+
+  test("distributed entryCredits matches pure replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val txns = Seq(
+      ("A", 3L, "Sell to Open", 1.0, 300.0, "Credit", 300.0, 3),
+      ("A", 2L, "Buy to Close", 1.0, 999.0, "Credit", 999.0, 2),
+      ("A", 1L, "Sell to Open", 1.0, 400.0, "Credit", 400.0, 4),
+      ("B", 1L, "Sell to Open", 1.0, 100.0, "Credit", 100.0, 1)
+    ).toDF("symbol", "executed_at_us", "action", "price", "value", "value_effect", "net_value", "quantity")
+    val pos = Seq(("A", 5), ("B", 5)).toDF("symbol", "current_qty") // B incomplete -> dropped
+    val out = Lifo.entryCredits(txns, pos).collect()
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.getString(0) == "A")
+    assert(a.getDecimal(1).doubleValue() == 500.0)
+  }
+}

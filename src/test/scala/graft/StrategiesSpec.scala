@@ -1,0 +1,121 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.strategies.Strategies
+import graft.strategies.Strategies.ParsedLeg
+
+/** Ports the reference's canonical pattern cases
+  * (`unit_tests/analytics/strategies/test_patterns.py`, FIXTURES.md A4).
+  */
+class StrategiesSpec extends SparkSpec {
+
+  private val exp1 = LocalDate.of(2026, 3, 20)
+  private val exp2 = LocalDate.of(2026, 4, 17)
+  private var n = 0
+
+  private def opt(tpe: String, strike: Int, qty: Double, exp: LocalDate = exp1): ParsedLeg = {
+    n += 1
+    ParsedLeg(s"OPT$n", "SPY", "Equity Option", qty, Some(tpe), Some(BigDecimal(strike)), Some(exp))
+  }
+  private def stock(qty: Double): ParsedLeg = {
+    n += 1
+    ParsedLeg(s"STK$n", "SPY", "Equity", qty, None, None, None)
+  }
+
+  private def types(legs: List[ParsedLeg]): List[String] =
+    Strategies.classifyGroup("SPY", legs).map(_.strategyType)
+
+  test("iron condor") {
+    assert(types(List(opt("P", 95, 1), opt("P", 100, -1), opt("C", 110, -1), opt("C", 115, 1))) == List("IRON_CONDOR"))
+  }
+
+  test("iron butterfly vs broken wing") {
+    assert(types(List(opt("P", 90, 1), opt("P", 100, -1), opt("C", 100, -1), opt("C", 110, 1))) == List("IRON_BUTTERFLY"))
+    assert(types(List(opt("P", 85, 1), opt("P", 100, -1), opt("C", 100, -1), opt("C", 110, 1))) == List("IRON_BROKEN_FLY"))
+  }
+
+  test("1:2:1 butterflies, equal vs unequal spacing") {
+    assert(types(List(opt("C", 100, 1), opt("C", 110, -2), opt("C", 120, 1))) == List("CALL_BUTTERFLY"))
+    assert(types(List(opt("P", 100, 1), opt("P", 110, -2), opt("P", 120, 1))) == List("PUT_BUTTERFLY"))
+    assert(types(List(opt("C", 100, 1), opt("C", 110, -2), opt("C", 125, 1))) == List("BROKEN_FLY"))
+  }
+
+  test("jade lizard both variants") {
+    assert(types(List(opt("P", 95, -1), opt("C", 105, -1), opt("C", 110, 1))) == List("JADE_LIZARD"))
+    assert(types(List(opt("C", 110, -1), opt("P", 105, -1), opt("P", 95, 1))) == List("JADE_LIZARD"))
+  }
+
+  test("big lizard: short straddle + long OTM call") {
+    assert(types(List(opt("C", 100, -1), opt("P", 100, -1), opt("C", 105, 2))) == List("BIG_LIZARD"))
+  }
+
+  test("covered jade lizard consumes the stock leg") {
+    val r = types(List(stock(100), opt("P", 95, -1), opt("C", 105, -1), opt("C", 110, 1)))
+    assert(r == List("COVERED_JADE_LIZARD"))
+  }
+
+  test("collar / covered call / protective put") {
+    assert(types(List(stock(100), opt("P", 95, 1), opt("C", 105, -1))) == List("COLLAR"))
+    assert(types(List(stock(100), opt("C", 105, -1))) == List("COVERED_CALL"))
+    assert(types(List(stock(100), opt("P", 95, 1))) == List("PROTECTIVE_PUT"))
+  }
+
+  test("vertical spreads, all four orientations") {
+    assert(types(List(opt("C", 100, 1), opt("C", 110, -1))) == List("BULL_CALL_SPREAD"))
+    assert(types(List(opt("C", 100, -1), opt("C", 110, 1))) == List("BEAR_CALL_SPREAD"))
+    assert(types(List(opt("P", 100, 1), opt("P", 110, -1))) == List("BEAR_PUT_SPREAD"))
+    assert(types(List(opt("P", 100, -1), opt("P", 110, 1))) == List("BULL_PUT_SPREAD"))
+  }
+
+  test("ratio spread needs different quantities") {
+    assert(types(List(opt("C", 100, 1), opt("C", 110, -2))) == List("RATIO_SPREAD"))
+  }
+
+  test("straddle / strangle / synthetic") {
+    assert(types(List(opt("C", 100, 1), opt("P", 100, 1))) == List("LONG_STRADDLE"))
+    assert(types(List(opt("C", 100, -1), opt("P", 100, -1))) == List("SHORT_STRADDLE"))
+    assert(types(List(opt("C", 110, 1), opt("P", 90, 1))) == List("LONG_STRANGLE"))
+    assert(types(List(opt("C", 110, -1), opt("P", 90, -1))) == List("SHORT_STRANGLE"))
+    assert(types(List(opt("C", 100, 1), opt("P", 100, -1))) == List("SYNTHETIC_LONG"))
+    assert(types(List(opt("C", 100, -1), opt("P", 100, 1))) == List("SYNTHETIC_SHORT"))
+  }
+
+  test("calendar vs diagonal") {
+    assert(types(List(opt("C", 100, 1), opt("C", 100, -1, exp2))) == List("CALENDAR_SPREAD"))
+    assert(types(List(opt("C", 100, 1), opt("C", 110, -1, exp2))) == List("DIAGONAL_SPREAD"))
+  }
+
+  test("single-leg fallbacks") {
+    assert(types(List(opt("C", 100, 1))) == List("LONG_CALL"))
+    assert(types(List(opt("C", 100, -1))) == List("NAKED_CALL"))
+    assert(types(List(opt("P", 100, 1))) == List("LONG_PUT"))
+    assert(types(List(opt("P", 100, -1))) == List("NAKED_PUT"))
+    assert(types(List(stock(100))) == List("LONG_STOCK"))
+    assert(types(List(stock(-100))) == List("SHORT_STOCK"))
+  }
+
+  test("greedy consumption: condor + leftover stock") {
+    val r = types(List(stock(100), opt("P", 95, 1), opt("P", 100, -1), opt("C", 110, -1), opt("C", 115, 1)))
+    assert(r.sorted == List("IRON_CONDOR", "LONG_STOCK"))
+  }
+
+  test("distributed classify matches pure classifyGroup") {
+    import spark.implicits._
+    val legs = Seq(
+      ("O1", "SPY", "Equity Option", 1.0, "P", BigDecimal(95), java.sql.Date.valueOf("2026-03-20")),
+      ("O2", "SPY", "Equity Option", -1.0, "P", BigDecimal(100), java.sql.Date.valueOf("2026-03-20")),
+      ("O3", "SPY", "Equity Option", -1.0, "C", BigDecimal(110), java.sql.Date.valueOf("2026-03-20")),
+      ("O4", "SPY", "Equity Option", 1.0, "C", BigDecimal(115), java.sql.Date.valueOf("2026-03-20")),
+      ("O5", "QQQ", "Equity Option", 1.0, "C", BigDecimal(400), java.sql.Date.valueOf("2026-03-20")),
+      ("O6", "QQQ", "Equity Option", -1.0, "C", BigDecimal(410), java.sql.Date.valueOf("2026-03-20"))
+    ).toDF("symbol", "underlying", "instrument_type", "signed_quantity", "option_type", "strike", "expiration")
+    val out = Strategies
+      .classify(spark, legs)
+      .select("underlying", "strategy_type")
+      .as[(String, String)]
+      .collect()
+      .toSet
+    assert(out == Set(("SPY", "IRON_CONDOR"), ("QQQ", "BULL_CALL_SPREAD")))
+  }
+}
