@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.signals.HullMacd
+
+/** Structured Streaming twins of the batch operators (SURVEY §2.9).
+  *
+  * The reference's live pipeline (DXLink WS → per-channel queues →
+  * processors) maps to: file/Kafka `readStream` → the same declarative
+  * transforms as batch → `writeStream` sinks. Streaming-specific
+  * semantics live here: watermarked keep-last upsert (T2), tumbling
+  * windows (T3), stateful dedup (T6), and the incremental
+  * indicator+signal state (W5/T5).
+  */
+object Streams {
+
+  /** S1/S3 analog: schema-declared file stream (no inference on the hot
+    * path — reference generates its wire field list from the model,
+    * `configurations.py:42-46`).
+    */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** A1/T2 — streaming latest-value table: watermarked update-mode
+    * aggregation keeping the max-(time, tiebreak) row per key
+    * (reference Redis HSET latest, `redis.py:36-38`; late data beyond
+    * the watermark is dropped — the reference has no lateness bound,
+    * SURVEY §7.5.4 documents the divergence).
+    */
+  def latestPerKey(df: DataFrame, key: String, tsCol: String, watermark: String, valueCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(key))
+      .agg(max_by(struct((tsCol +: valueCols).map(col): _*), col(tsCol)).as("__latest"))
+      .select(col(key) +: (tsCol +: valueCols).map(c => col(s"__latest.$c").as(c)): _*)
+
+  /** T3/A11 — tumbling event-time window aggregate. */
+  def windowedAgg(df: DataFrame, tsCol: String, watermark: String, windowDur: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** T6 — stateful dedup by id within the watermark horizon (reference
+    * fill-id dedup, `orchestrator.py:339-371`).
+    */
+  def dedupByIds(df: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+
+  // ---------------------------------------------------------------------
+  // W5/T5: incremental indicator + signal state
+  // ---------------------------------------------------------------------
+
+  case class CandleIn(symbol: String, timeUs: Long, close: Double)
+
+  /** Per-symbol incremental indicator state: trailing close/diff rings
+    * for the Hull WMAs, EMA scalars for MACD, and the engine's
+    * position-aware state. O(hullLength) memory per key, O(1) update —
+    * the streaming twin of the batch recompute, and (unlike the
+    * reference, which accepts drift between its engine and chart paths,
+    * `Proposal.MD:136`) numerically IDENTICAL to the batch fold because
+    * both evaluate the same trailing-window/recursion arithmetic.
+    */
+  case class IndicatorState(
+      closes: List[Double],
+      diffs: List[Double],
+      prevHma: Option[Double],
+      fast: Double,
+      slow: Double,
+      signal: Double,
+      count: Int,
+      pad: Double,
+      engine: HullMacd.State
+  )
+
+  case class SignalOut(
+      symbol: String,
+      time_us: Long,
+      signal_type: String,
+      direction: String,
+      trigger: String,
+      close_price: Double
+  )
+
+  /** Reference-order padded WMA over the trailing ring (newest last):
+    * identical term order to `Indicators.paddedWmaCol`.
+    */
+  private def wmaPadded(ring: List[Double], period: Int, pad: Double): Double = {
+    val n = ring.size
+    var acc = 0.0
+    var k = 0
+    while (k < period) {
+      val v = if (k < n) ring(n - 1 - k) else pad
+      acc += (period - k).toDouble * v
+      k += 1
+    }
+    acc / (period * (period + 1) / 2).toDouble
+  }
+
+  def stepIndicator(
+      st: IndicatorState,
+      c: CandleIn,
+      hullLength: Int,
+      fastLen: Int,
+      slowLen: Int,
+      signalLen: Int
+  ): (IndicatorState, List[SignalOut]) = {
+    val half = math.round(hullLength / 2.0).toInt
+    val sqrtLen = math.round(math.sqrt(hullLength.toDouble)).toInt
+    val pad = if (st.count == 0) c.close else st.pad
+    val closes = (st.closes :+ c.close).takeRight(hullLength)
+    val diff = 2.0 * wmaPadded(closes, half, pad) - wmaPadded(closes, hullLength, pad)
+    val diffs = (st.diffs :+ diff).takeRight(sqrtLen)
+    val hma = wmaPadded(diffs, sqrtLen, pad)
+    val hullColor = if (st.prevHma.exists(hma > _)) "Up" else "Down"
+    val aF = 2.0 / (fastLen + 1.0)
+    val aS = 2.0 / (slowLen + 1.0)
+    val aM = 2.0 / (signalLen + 1.0)
+    val fast0 = if (st.count == 0) pad else st.fast
+    val slow0 = if (st.count == 0) pad else st.slow
+    val fast = aF * c.close + (1 - aF) * fast0
+    val slow = aS * c.close + (1 - aS) * slow0
+    val value = fast - slow
+    val signal = aM * value + (1 - aM) * st.signal
+    val hist = value - signal
+    val candle = HullMacd.Candle(c.timeUs, c.close, hullColor, hma, value, signal, hist)
+    val (engine2, sigs) =
+      if (st.count + 1 < 2) (st.engine, Nil) // reference: >= 2 candles
+      else HullMacd.step(st.engine, candle)
+    val next = IndicatorState(closes, diffs, Some(hma), fast, slow, signal, st.count + 1, pad, engine2)
+    (next, sigs.map(s => SignalOut(c.symbol, s.timeUs, s.signalType, s.direction, s.trigger, s.closePrice)))
+  }
+
+  def emptyIndicatorState: IndicatorState =
+    IndicatorState(Nil, Nil, None, 0.0, 0.0, 0.0, 0, 0.0, HullMacd.State())
+
+  /** Streaming signal detection: keyed incremental state via
+    * `flatMapGroupsWithState` (append mode). Candles within a micro-batch
+    * are sorted by event time; cross-batch order is the source's
+    * responsibility (the reference's live engine likewise processes
+    * in arrival order; its keep-last upsert is the batch path's job).
+    */
+  def detectSignalsStream(
+      candles: org.apache.spark.sql.Dataset[CandleIn],
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[SignalOut] = {
+    import candles.sparkSession.implicits._
+    candles
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[CandleIn], state: GroupState[IndicatorState]) =>
+          var st = state.getOption.getOrElse(emptyIndicatorState)
+          val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
+            val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
+            st = ns
+            sigs
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.CandleIn
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventCandles() =
+    graft.io.Tables
+      .events(spark, sf0001)
+      .select(col("user_id").cast("string").as("symbol"), col("ts_us").as("timeUs"), col("value").as("close"))
+      .as[CandleIn]
+
+  test("streaming signal engine == batch fold, across micro-batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    val all = eventCandles().collect().sortBy(c => (c.symbol, c.timeUs))
+    // split by time so most symbols span multiple micro-batches
+    val cut = all.map(_.timeUs).sorted.apply(all.length / 2)
+    val (b1, b2) = all.partition(_.timeUs < cut)
+
+    val input = MemoryStream[CandleIn]
+    val q = Streams
+      .detectSignalsStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sigs")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark
+      .table("sigs")
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)]
+      .collect()
+      .toSet
+
+    val batch = graft.signals.HullMacd
+      .detectSignals(
+        eventCandles().toDF().withColumnRenamed("timeUs", "ts_us").withColumnRenamed("close", "value"),
+        "symbol",
+        "ts_us",
+        "value"
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)]
+      .collect()
+      .toSet
+
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming latest-per-key (complete mode) matches batch max_by") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDS().toDF("k", "ts", "value")
+    val q = Streams
+      .latestPerKey(df, "k", "ts", "10 minutes", Seq("value"))
+      .writeStream
+      .format("memory")
+      .queryName("latest")
+      .outputMode("complete")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData(("a", t(10), 1.0), ("a", t(20), 2.0), ("b", t(5), 9.0))
+      q.processAllAvailable()
+      input.addData(("a", t(30), 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("latest").select("k", "value").as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 3.0, "b" -> 9.0))
+  }
+
+  test("stateful dedup drops repeated ids across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDS().toDF("fill_id", "ts", "value")
+    val q = Streams
+      .dedupByIds(df, "ts", "1 hour", Seq("fill_id"))
+      .writeStream
+      .format("memory")
+      .queryName("fills")
+      .outputMode("append")
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      input.addData((1L, t(10), 1.0), (2L, t(11), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, t(10), 1.0), (3L, t(12), 3.0)) // duplicate fill 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("fills").count() == 3)
+  }
+}
