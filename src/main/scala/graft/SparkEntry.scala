@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
+import graft.functions.{Functions => Funcs}
 import graft.indicators.Indicators
 import graft.io.Tables
 import graft.ops.Relational
@@ -58,7 +59,13 @@ object SparkEntry {
     "m1_multimodal"      -> (Queries.m1Multimodal _),
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
-    "s11_classify"       -> (Queries.s11Classify _)
+    "s11_classify"       -> (Queries.s11Classify _),
+    "f1_normalize"       -> (Queries.f1Normalize _),
+    "f2_symbol_munge"    -> (Queries.f2SymbolMunge _),
+    "f6_occ_roundtrip"   -> (Queries.f6OccRoundtrip _),
+    "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
+    "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
+    "w12_jitter"         -> (Queries.w12Jitter _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -556,6 +563,106 @@ object Queries {
       .orderBy("underlying", "strategy_type")
   }
 
+  /** F1 — ingest float normalization: NaN/±Inf → null, 10dp rounding
+    * (reference `events.py:37-53`); NaN/Inf synthesized deterministically.
+    */
+  def f1Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod($"event_id", lit(10)) === 0, lit(Double.PositiveInfinity))
+      .when(pmod($"event_id", lit(10)) === 1, lit(Double.NaN))
+      .when(pmod($"event_id", lit(10)) === 2, lit(Double.NegativeInfinity))
+      .otherwise($"value")
+    Tables
+      .events(spark, dir)
+      .select($"event_id", Funcs.normalizeFloat(raw).as("norm_value"))
+      .orderBy("event_id")
+  }
+
+  /** F2/F3 — candle symbol munging: strip implied-1 interval, parse back
+    * ticker + re-prefixed interval (reference `utils/helpers.py:33-47`).
+    */
+  def f2SymbolMunge(spark: SparkSession, dir: String): DataFrame = {
+    val interval = element_at(
+      map(
+        lit("click"), lit("1m"), lit("error"), lit("5m"), lit("purchase"), lit("1h"),
+        lit("signup"), lit("1d"), lit("view"), lit("1w")
+      ),
+      $"event_type"
+    )
+    val sym = concat(lit("U"), $"user_id", lit("{="), interval, lit("}"))
+    Tables
+      .events(spark, dir)
+      .select($"event_id", sym.as("sym"))
+      .select(
+        $"event_id",
+        $"sym",
+        Funcs.stripCandleInterval($"sym").as("stripped"),
+        Funcs.candleTicker(Funcs.stripCandleInterval($"sym")).as("ticker"),
+        Funcs.candleInterval(Funcs.stripCandleInterval($"sym")).as("interval"),
+        Funcs.intervalToMillis(Funcs.candleInterval(Funcs.stripCandleInterval($"sym"))).as("interval_ms")
+      )
+      .orderBy("event_id")
+  }
+
+  /** F6 — OCC option-symbol build + parse round trip (reference
+    * `positions.py:599-633`).
+    */
+  def f6OccRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val occ = concat(
+      rpad(substring($"p_brand", 1, 6), 6, " "),
+      lit("260320"),
+      when(pmod($"p_size", lit(2)) === 0, "C").otherwise("P"),
+      lpad((round($"p_retailprice", 0) * 1000).cast("long").cast("string"), 8, "0")
+    )
+    Tables
+      .part(spark, dir)
+      .select($"p_partkey", occ.as("occ"))
+      .select(
+        $"p_partkey",
+        $"occ",
+        date_format(Funcs.occExpiry($"occ"), "yyyy-MM-dd").as("expiry"),
+        Funcs.occType($"occ").as("opt_type"),
+        Funcs.occStrike($"occ").as("strike")
+      )
+      .orderBy("p_partkey")
+  }
+
+  /** J3 — left join with fallback synthesis when the dimension row is
+    * missing (reference `strategies/classifier.py:40-62` instrument
+    * fallback parse).
+    */
+  def j3CoalesceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val known = Tables.customer(spark, dir).filter(pmod($"c_custkey", lit(3)) === 0)
+    o.join(broadcast(known), o("o_custkey") === known("c_custkey"), "left")
+      .select(
+        $"o_orderkey",
+        coalesce($"c_name", concat(lit("CUST-"), $"o_custkey")).as("display_name")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  /** W9 — snapshot-complete bitmask gate (reference
+    * `messaging/processors/snapshot.py:6-26,82`).
+    */
+  def w9FlagsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("flags", pmod($"event_id", lit(32)).cast("int"))
+    ev.filter(Funcs.snapshotComplete($"flags"))
+      .select($"event_id", $"flags", $"event_type")
+      .orderBy("event_id")
+  }
+
+  /** W12 — deterministic sha-derived dedup jitter (reference
+    * `visualizations/models.py:130-147`).
+    */
+  def w12Jitter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        Funcs.jitterMicros(concat($"source", lit("|"), $"doc_id")).as("jitter_us")
+      )
+      .orderBy("doc_id")
+
   // Column shorthand without a SparkSession in scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -627,6 +734,65 @@ object Oracles {
         |UNION ALL
         |SELECT CAST(s_suppkey AS BIGINT) AS key, s_acctbal AS bal, 'supplier' AS side, NULL AS mktsegment FROM supplier
         |ORDER BY side, key""".stripMargin,
+    "f1_normalize" ->
+      """SELECT event_id,
+        |  CASE WHEN isnan(raw) OR isinf(raw) THEN NULL ELSE round(raw, 10) END AS norm_value
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_id % 10 = 0 THEN 'inf'::DOUBLE
+        |             WHEN event_id % 10 = 1 THEN 'nan'::DOUBLE
+        |             WHEN event_id % 10 = 2 THEN '-inf'::DOUBLE
+        |             ELSE value END AS raw
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
+    "f2_symbol_munge" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |    concat('U', CAST(user_id AS VARCHAR), '{=',
+        |      CASE event_type WHEN 'click' THEN '1m' WHEN 'error' THEN '5m' WHEN 'purchase' THEN '1h'
+        |                      WHEN 'signup' THEN '1d' WHEN 'view' THEN '1w' END, '}') AS sym
+        |  FROM events),
+        |t AS (SELECT event_id, sym, regexp_replace(sym, '\{=1([a-zA-Z])\}', '{=\1}') AS stripped FROM s),
+        |u AS (SELECT event_id, sym, stripped,
+        |        regexp_extract(stripped, '^(.*?)\{=', 1) AS ticker,
+        |        regexp_extract(stripped, '\{=([^}]+)\}', 1) AS rawint
+        |      FROM t),
+        |v AS (SELECT event_id, sym, stripped, ticker,
+        |        CASE WHEN regexp_matches(rawint, '^[a-zA-Z]') THEN concat('1', rawint) ELSE rawint END AS interval
+        |      FROM u)
+        |SELECT event_id, sym, stripped, ticker, interval,
+        |  CAST(CASE WHEN regexp_extract(interval, '^(\d+)', 1) = '' THEN 1
+        |            ELSE CAST(regexp_extract(interval, '^(\d+)', 1) AS BIGINT) END *
+        |    CASE regexp_extract(interval, '([a-zA-Z]+)$', 1)
+        |      WHEN 's' THEN 1000 WHEN 'm' THEN 60000 WHEN 'h' THEN 3600000
+        |      WHEN 'd' THEN 86400000 WHEN 'w' THEN 604800000 END AS BIGINT) AS interval_ms
+        |FROM v ORDER BY event_id""".stripMargin,
+    "f6_occ_roundtrip" ->
+      """WITH o AS (
+        |  SELECT p_partkey,
+        |    concat(rpad(substr(p_brand, 1, 6), 6, ' '), '260320',
+        |           CASE WHEN p_size % 2 = 0 THEN 'C' ELSE 'P' END,
+        |           lpad(CAST(CAST(round(p_retailprice, 0) * 1000 AS BIGINT) AS VARCHAR), 8, '0')) AS occ
+        |  FROM part)
+        |SELECT p_partkey, occ,
+        |  strftime(strptime(concat('20', regexp_extract(occ, '(\d{6})([CP])(.+)$', 1)), '%Y%m%d'), '%Y-%m-%d') AS expiry,
+        |  regexp_extract(occ, '(\d{6})([CP])(.+)$', 2) AS opt_type,
+        |  CASE WHEN length(regexp_extract(occ, '(\d{6})([CP])(.+)$', 3)) = 8
+        |       THEN CAST(regexp_extract(occ, '(\d{6})([CP])(.+)$', 3) AS DOUBLE) / 1000.0
+        |       ELSE CAST(regexp_extract(occ, '(\d{6})([CP])(.+)$', 3) AS DOUBLE) END AS strike
+        |FROM o ORDER BY p_partkey""".stripMargin,
+    "j3_coalesce_join" ->
+      """SELECT o_orderkey,
+        |  coalesce(c_name, concat('CUST-', CAST(o_custkey AS VARCHAR))) AS display_name
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "w9_flags_filter" ->
+      """SELECT event_id, CAST(event_id % 32 AS INTEGER) AS flags, event_type
+        |FROM events WHERE ((event_id % 32) & 24) <> 0 ORDER BY event_id""".stripMargin,
+    "w12_jitter" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(sha256(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 6))::BIGINT % 1000 AS jitter_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x1_text_stats" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),

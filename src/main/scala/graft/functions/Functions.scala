@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.8): float normalization, candle
+  * symbol munging, interval parsing, OCC option-symbol parsing, signed
+  * money effects, session/date helpers, dedup jitter. All pure column
+  * expressions (codegen'd; no UDFs).
+  */
+object Functions {
+
+  /** F1 — float normalize on ingest (reference `events.py:37-53`):
+    * NaN/±Inf → null, else round to 10 decimal places.
+    */
+  def normalizeFloat(x: Column): Column =
+    when(isnan(x) || x === Double.PositiveInfinity || x === Double.NegativeInfinity, lit(null))
+      .otherwise(round(x, 10))
+
+  /** F2 — candle symbol interval strip `AAPL{=1d}` → `AAPL{=d}`
+    * (reference `utils/helpers.py:33-35`). Written without lookbehind so
+    * RE2-based engines evaluate the same pattern.
+    */
+  def stripCandleInterval(sym: Column): Column =
+    regexp_replace(sym, """\{=1([a-zA-Z])\}""", "{=$1}")
+
+  /** F3 — candle symbol parse → (ticker, interval), re-prefixing the
+    * implied 1 (reference `helpers.py:38-47`).
+    */
+  def candleTicker(sym: Column): Column = regexp_extract(sym, """^(.*?)\{=""", 1)
+  def candleInterval(sym: Column): Column = {
+    val raw = regexp_extract(sym, """\{=([^}]+)\}""", 1)
+    when(raw.rlike("^[a-zA-Z]"), concat(lit("1"), raw)).otherwise(raw)
+  }
+
+  /** F4 — interval string → milliseconds (reference `messages.py:133-180`). */
+  def intervalToMillis(interval: Column): Column = {
+    val n = when(regexp_extract(interval, "^(\\d+)", 1) === "", lit(1L))
+      .otherwise(regexp_extract(interval, "^(\\d+)", 1).cast("long"))
+    val unit = regexp_extract(interval, "([a-zA-Z]+)$", 1)
+    n * when(unit === "s", 1000L)
+      .when(unit === "m", 60L * 1000)
+      .when(unit === "h", 3600L * 1000)
+      .when(unit === "d", 86400L * 1000)
+      .when(unit === "w", 7L * 86400 * 1000)
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** F5 — floor a timestamp (millis) to an interval boundary
+    * (reference `messages.py:189-203`).
+    */
+  def floorToInterval(tMillis: Column, intervalMillis: Column): Column =
+    (tMillis.cast("long") / intervalMillis).cast("long") * intervalMillis
+
+  /** F6 — OCC option symbol parse (reference `positions.py:599-633`):
+    * `SPY   260320C00510000` → (expiry 2026-03-20, C, 510.0). 8-digit
+    * equity strikes divide by 1000.
+    */
+  val OccPattern = """(\d{6})([CP])(.+)$"""
+  def occExpiry(sym: Column): Column =
+    to_date(concat(lit("20"), regexp_extract(sym, OccPattern, 1)), "yyyyMMdd")
+  def occType(sym: Column): Column = regexp_extract(sym, OccPattern, 2)
+  def occStrike(sym: Column): Column = {
+    val raw = regexp_extract(sym, OccPattern, 3)
+    when(length(raw) === 8, raw.cast("double") / 1000.0).otherwise(raw.cast("double"))
+  }
+
+  /** F7 — apply Credit/Debit effect as a sign (reference
+    * `positions.py:32-43`).
+    */
+  def applyEffect(amount: Column, effect: Column): Column =
+    when(effect === "Debit", -amount).otherwise(amount)
+
+  /** F8 — mid price (reference `metrics.py:167-172`). */
+  def midPrice(bid: Column, ask: Column, scale: Int = 4): Column =
+    round((bid + ask) / 2.0, scale)
+
+  /** F9 — dollar theta = theta × signed qty × multiplier (reference
+    * `positions.py:710-721`).
+    */
+  def dollarTheta(theta: Column, signedQty: Column, multiplier: Column): Column =
+    theta * signedQty * multiplier
+
+  /** F12 — last weekday at or before a date (reference
+    * `helpers.py:16-30`): Sunday → Friday(−2), Saturday → Friday(−1).
+    */
+  def lastWeekday(d: Column): Column =
+    when(dayofweek(d) === 1, date_sub(d, 2))
+      .when(dayofweek(d) === 7, date_sub(d, 1))
+      .otherwise(d)
+
+  /** W9 — snapshot-complete bitmask gate: SNAPSHOT_END(0x08) |
+    * SNAPSHOT_SNIP(0x10) (reference `snapshot.py:6-26,82`).
+    */
+  def snapshotComplete(flags: Column): Column = (flags.bitwiseAND(lit(0x18))) =!= 0
+
+  /** W12 — deterministic dedup-avoidance jitter: 0–999 µs derived from
+    * sha256(label) (reference `visualizations/models.py:130-147`).
+    */
+  def jitterMicros(label: Column): Column =
+    conv(substring(sha2(label, 256), 1, 6), 16, 10).cast("long") % 1000
+}

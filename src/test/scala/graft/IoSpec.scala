@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Functions => F}
+import graft.io.{OptionChains, WireDecoder}
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wire decoder chunks compact arrays by field count") {
+    // two Quote events in one frame + one Trade frame (reference
+    // handlers.py:150-232 FEED_DATA shape)
+    val frames = Seq(
+      ("Quote", Seq("AAPL", "1.0", "1.1", "2.0", "2.1", "MSFT", "3.0", "3.1", "4.0", "4.1")),
+      ("Trade", Seq("AAPL", "99.5", "100"))
+    ).toDF("eventType", "values")
+    val quotes = WireDecoder
+      .decode(frames, "Quote", Seq("eventSymbol", "bidPrice", "askPrice", "bidSize", "askSize"))
+      .orderBy("seq")
+      .collect()
+    assert(quotes.length == 2)
+    assert(quotes(0).getAs[String]("eventSymbol") == "AAPL")
+    assert(quotes(1).getAs[String]("eventSymbol") == "MSFT")
+    assert(quotes(1).getAs[String]("bidPrice") == "3.0")
+    // trailing partial chunks drop
+    val partial = Seq(("Quote", Seq("AAPL", "1.0", "1.1"))).toDF("eventType", "values")
+    assert(WireDecoder.decode(partial, "Quote", Seq("a", "b", "c", "d", "e")).count() == 0)
+  }
+
+  test("option chain flattens to one row per contract, missing sides drop") {
+    val json =
+      """{"underlying":"SPY","root":"SPY","expirations":[
+        |{"expiration_date":"2026-03-20","days_to_expiration":30,"settlement_type":"PM","strikes":[
+        |  {"strike_price":"500.0","call":"SPY  260320C00500000","put":"SPY  260320P00500000"},
+        |  {"strike_price":"505.0","call":"SPY  260320C00505000","put":null}]},
+        |{"expiration_date":"2026-04-17","days_to_expiration":58,"settlement_type":"PM","strikes":[
+        |  {"strike_price":"500.0","call":"SPY  260417C00500000","put":"SPY  260417P00500000"}]}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val out = OptionChains.flatten(Seq(json).toDF("json"))
+    assert(out.count() == 5) // 2+2 first exp minus missing put (3) + 2 second exp
+    val row = out.filter($"option_type" === "P" && $"days_to_expiration" === 30).collect()
+    assert(row.length == 1 && row(0).getAs[java.math.BigDecimal]("strike").doubleValue() == 500.0)
+  }
+
+  test("scalar functions: interval parse, floor, effect, mid, weekday") {
+    val df = Seq(("5m", 1234567L, "Debit", 10.0, 11.0, "2026-08-09")).toDF("iv", "t", "eff", "bid", "ask", "d")
+    val r = df
+      .select(
+        F.intervalToMillis($"iv").as("ms"),
+        F.floorToInterval($"t", F.intervalToMillis($"iv")).as("floored"),
+        F.applyEffect(lit(100.5), $"eff").as("signed"),
+        F.midPrice($"bid", $"ask").as("mid"),
+        F.lastWeekday(to_date($"d")).as("wd") // 2026-08-09 is a Sunday
+      )
+      .collect()
+      .head
+    assert(r.getAs[Long]("ms") == 300000L)
+    assert(r.getAs[Long]("floored") == 1200000L)
+    assert(r.getAs[Double]("signed") == -100.5)
+    assert(r.getAs[Double]("mid") == 10.5)
+    assert(r.getAs[java.sql.Date]("wd").toString == "2026-08-07")
+  }
+
+  test("normalizeFloat nulls NaN/Inf and keeps 10dp") {
+    val df = Seq(1.23456789012345, Double.NaN, Double.PositiveInfinity).toDF("x")
+    val out = df.select(F.normalizeFloat($"x").as("n")).collect().map(r => Option(r.get(0)))
+    assert(out(0).contains(1.2345678901))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("candle symbol munge round-trips implied-1 intervals") {
+    val df = Seq("AAPL{=1d}", "SPX{=5m}").toDF("sym")
+    val out = df
+      .select(
+        F.stripCandleInterval($"sym").as("s"),
+        F.candleInterval(F.stripCandleInterval($"sym")).as("iv")
+      )
+      .collect()
+    assert(out(0).getString(0) == "AAPL{=d}" && out(0).getString(1) == "1d")
+    assert(out(1).getString(0) == "SPX{=5m}" && out(1).getString(1) == "5m")
+  }
+}
