@@ -34,10 +34,15 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Standard local session: `local[cores]` with matching shuffle width. */
+  /** Standard local session: `local[cores]` with matching shuffle width.
+    * Also registers graft's native Catalyst expressions.
+    */
   def local(cores: Int = 32): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.DotProduct.register(spark)
+    graft.expressions.SortedJaccard.register(spark)
+    graft.expressions.Simhash60.register(spark)
     spark
   }
 }

@@ -541,11 +541,14 @@ object Queries {
     * derived deterministically from part (underlying per brand).
     */
   def s11Classify(spark: SparkSession, dir: String): DataFrame = {
+    // underlying = blocks of 10 consecutive partkeys: group size stays
+    // portfolio-shaped (~10 legs) at every scale factor — the greedy
+    // matcher's combinations(n, 4) must never see data-volume-sized n
     val legs = Tables
       .part(spark, dir)
       .select(
         concat(lit("L"), $"p_partkey").as("symbol"),
-        $"p_brand".as("underlying"),
+        concat(lit("U"), expr("p_partkey div 10")).as("underlying"),
         when(pmod($"p_partkey", lit(7)) === 0, "Equity").otherwise("Equity Option").as("instrument_type"),
         (when(pmod($"p_partkey", lit(2)) === 0, 1.0).otherwise(-1.0) *
           (pmod($"p_partkey", lit(3)) + 1)).as("signed_quantity"),
@@ -868,7 +871,7 @@ object Oracles {
         |  FROM (SELECT doc_id, n_chars, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents))
         |SELECT a.id AS id_a, b.id AS id_b,
         |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
-        |FROM s a JOIN s b ON a.id < b.id AND abs(a.len - b.len)::DOUBLE <= 0.5 * greatest(a.len, b.len)
+        |FROM s a JOIN s b ON a.id < b.id AND abs(a.len - b.len)::DOUBLE <= 0.15 * greatest(a.len, b.len)
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "d5_embed_neardup" ->

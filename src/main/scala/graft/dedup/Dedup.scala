@@ -126,24 +126,46 @@ object Dedup {
       lenCol: String,
       n: Int = 3,
       threshold: Double = 0.3,
-      lenBandRel: Double = 0.5
+      lenBandRel: Double = 0.15
   ): DataFrame = {
-    val s = df.select(
-      col(idCol).as("id"),
-      col(lenCol).as("len"),
-      shingles(col(textCol), n).as("sh")
+    // Shingles are compared as SORTED 60-bit hashes via the codegen'd
+    // merge-Jaccard expression: |∩|/|∪| is unchanged (md5-prefix
+    // collisions negligible), but each candidate pair costs one O(n+m)
+    // merge instead of hash-set intersect + union allocations.
+    val s = df
+      .select(
+        col(idCol).as("id"),
+        col(lenCol).as("len"),
+        shingles(col(textCol), n).as("sh_str")
+      )
+      .withColumn(
+        "sh",
+        sort_array(expr("transform(sh_str, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))"))
+      )
+      .drop("sh_str")
+    // Length blocking as an EQUI join: log-scale length buckets, the
+    // probe side exploding ±2 neighbor buckets. A plain range condition
+    // would plan as a nested-loop join (O(n²) condition evaluations — a
+    // non-starter at scale); bucketing turns it into a hash/sort-merge
+    // join, and the exact band predicate still applies afterwards.
+    // ±2 covers the worst-case floor straddle of the 1/(1−r) ratio.
+    val logBase = math.log(1.0 + lenBandRel)
+    val withBucket = s.withColumn("bucket", floor(log(col("len").cast("double")) / lit(logBase)).cast("long"))
+    val a = withBucket.select(
+      col("id").as("id_a"),
+      col("len").as("len_a"),
+      col("sh").as("sh_a"),
+      explode(array((-2 to 2).map(d => col("bucket") + d): _*)).as("bucket")
     )
-    val a = s.select(col("id").as("id_a"), col("len").as("len_a"), col("sh").as("sh_a"))
-    val b = s.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"))
-    a.join(
-        b,
+    val b = withBucket.select(col("id").as("id_b"), col("len").as("len_b"), col("sh").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(
         col("id_a") < col("id_b") &&
           abs(col("len_a") - col("len_b")).cast("double") <= lit(lenBandRel) * greatest(col("len_a"), col("len_b"))
       )
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -162,14 +184,7 @@ object Dedup {
     val s = df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("hs", expr("transform(toks, t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))"))
-      .withColumn(
-        "sim",
-        expr(
-          """aggregate(sequence(0, 59), 0L, (acc, b) ->
-            |  acc | if(aggregate(hs, 0, (c, h) -> c + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-            |          shiftleft(1L, b), 0L))""".stripMargin
-        )
-      )
+      .withColumn("sim", call_function(graft.expressions.Simhash60.FunctionName, col("hs")))
       .select("id", "sim")
     val chunked = s.select(
       col("id"),

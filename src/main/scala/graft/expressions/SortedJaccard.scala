@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd Jaccard similarity over two SORTED, DISTINCT `array<long>`
+  * columns: one merge pass counts the intersection (O(n+m), zero
+  * allocation), union = n + m − intersection.
+  *
+  * Replaces the `array_intersect`/`array_union` pair formulation, which
+  * builds two hash sets and two result arrays per evaluated pair — the
+  * dominant cost when a near-dup join evaluates millions of candidate
+  * pairs. Inputs must be sorted ascending with no duplicates
+  * (`sort_array(array_distinct(...))` upstream); the value equals
+  * set-Jaccard exactly, so DuckDB oracles computing
+  * `len(list_intersect)/len(union)` on the un-hashed shingle sets match
+  * bit-for-bit (both are exact ratios of the same small integers).
+  * Returns null when both sides are empty.
+  */
+case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sorted_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (n + m == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |if ($n + $m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0; int $inter = 0;
+         |  while ($i < $n && $j < $m) {
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $inter++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} = (double) $inter / (double) ($n + $m - $inter);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccard {
+  val FunctionName = "graft_sorted_jaccard"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName,
+      exprs => SortedJaccard(exprs(0), exprs(1)),
+      "built-in"
+    )
+}

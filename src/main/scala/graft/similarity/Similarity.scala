@@ -21,17 +21,34 @@ import graft.ops.Relational
   */
 object Similarity {
 
-  /** Defined-order dot product of two double arrays. */
+  /** Defined-order dot product: the codegen'd native expression
+    * ([[graft.expressions.DotProduct]], registered by `Sessions.local`),
+    * bit-compatible with the HOF left fold and the DuckDB `list_reduce`
+    * oracle. `dotHof` keeps the portable HOF formulation for sessions
+    * without the registration.
+    */
   def dot(a: Column, b: Column): Column =
+    call_function(graft.expressions.DotProduct.FunctionName, a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
 
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Cosine similarity with defined evaluation order:
-    * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
+    * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))). Prefer the precomputed-norm
+    * pair form below in joins — norms belong on the vector, not the pair.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Pair cosine with norms already materialized on each side: the join
+    * evaluates ONE dot product per pair instead of three.
+    */
+  def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), deterministic tie-break on corpus id.
@@ -43,11 +60,15 @@ object Similarity {
       queries: DataFrame,
       k: Int
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
-    val q = queries.select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+    val c = corpus
+      .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("cos", cosinePre(col("q_vec"), col("nbr_vec"), col("q_norm"), col("nbr_norm")))
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
@@ -57,11 +78,13 @@ object Similarity {
     * Exact O(n²) — the verifier/baseline; LSH below is the scale path.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    val v = df
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -129,6 +152,7 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
     val scored = candidates.withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    // (norm precompute matters less here: candidates ≪ pairs)
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
