@@ -65,7 +65,12 @@ object SparkEntry {
     "f6_occ_roundtrip"   -> (Queries.f6OccRoundtrip _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
-    "w12_jitter"         -> (Queries.w12Jitter _)
+    "w12_jitter"         -> (Queries.w12Jitter _),
+    "a4_strategy_netting" -> (Queries.a4StrategyNetting _),
+    "a6_campaign_rollup" -> (Queries.a6CampaignRollup _),
+    "w8_candle_close"    -> (Queries.w8CandleClose _),
+    "u4_symbol_dedup"    -> (Queries.u4SymbolDedup _),
+    "j5_explode_join"    -> (Queries.j5ExplodeJoin _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -666,6 +671,100 @@ object Queries {
       )
       .orderBy("doc_id")
 
+  /** A4 — strategy netting as relational aggregation (reference
+    * `strategies/models.py:160-247`): per synthetic strategy group,
+    * Σ greek×signed_qty, dollar theta ×multiplier, min DTE, strike width.
+    */
+  def a4StrategyNetting(spark: SparkSession, dir: String): DataFrame = {
+    val legs = Tables
+      .part(spark, dir)
+      .select(
+        expr("p_partkey div 4").as("strategy_id"),
+        (when(pmod($"p_partkey", lit(2)) === 0, 1.0).otherwise(-1.0) * (pmod($"p_partkey", lit(3)) + 1)).as("qty"),
+        round($"p_retailprice" / 1000.0, 4).as("delta"),
+        round($"p_retailprice" / 50000.0, 6).as("theta"),
+        lit(100.0).as("multiplier"),
+        round($"p_retailprice", 0).as("strike"),
+        (pmod($"p_size", lit(5)) * 7 + 7).as("dte")
+      )
+    legs
+      .groupBy($"strategy_id")
+      .agg(
+        round(sum($"delta" * $"qty"), 4).as("net_delta"),
+        round(sum($"theta" * $"qty" * $"multiplier"), 2).as("net_theta"),
+        min($"dte").as("min_dte"),
+        (max($"strike") - min($"strike")).as("width"),
+        count(lit(1)).as("n_legs")
+      )
+      .orderBy("strategy_id")
+  }
+
+  /** A6 — campaign rollup by key with recovery = max(0, −net)
+    * (reference `positions.py:277-381`).
+    */
+  def a6CampaignRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        round(sum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(-$"o_totalprice")), 2).as("net"),
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_orderstatus").as("n_statuses")
+      )
+      .withColumn("recovery", greatest(lit(0.0), -$"net"))
+      .orderBy("o_custkey")
+
+  /** W8 — candle-period close detection (reference
+    * `charting/server.py:351-411`): the indicator advances only when a
+    * NEW bucket appears; emit the finished bucket with its final value.
+    */
+  def w8CandleClose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketUs = 300000000L // 5 minutes
+    val ev = Tables
+      .events(spark, dir)
+      .withColumn("bucket_us", expr(s"(ts_us div $bucketUs) * $bucketUs"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev.withColumn("prev_bucket", lag($"bucket_us", 1).over(w))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .filter($"prev_bucket".isNotNull && $"bucket_us" > $"prev_bucket")
+      .select($"user_id", $"prev_bucket".as("closed_bucket_us"), $"prev_value".as("final_value"))
+      .orderBy("user_id", "closed_bucket_us")
+  }
+
+  /** U4 — symbol-set dedup: distinct tickers from candle-style symbols
+    * (reference `charting/server.py:140-143`).
+    */
+  def u4SymbolDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sym = concat(lit("U"), $"user_id", lit("{="), $"event_type", lit("}"))
+    Tables
+      .events(spark, dir)
+      .select(split(sym, "\\{=").getItem(0).as("ticker"))
+      .distinct()
+      .orderBy("ticker")
+  }
+
+  /** J5 — explode nested entries then join (reference
+    * `positions.py:653-672` trade-chain open-entry join): orders packed
+    * into per-customer arrays, exploded back, joined to line items.
+    */
+  def j5ExplodeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val chains = Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_orderkey")).as("order_keys"))
+    val exploded = chains.select($"o_custkey", explode($"order_keys").as("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+    exploded
+      .join(li, exploded("o_orderkey") === li("l_orderkey"))
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice"), 2).as("total_price")
+      )
+      .orderBy("o_custkey")
+  }
+
   // Column shorthand without a SparkSession in scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -796,6 +895,52 @@ object Oracles {
       """SELECT doc_id,
         |  ('0x' || substr(sha256(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 6))::BIGINT % 1000 AS jitter_us
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "a4_strategy_netting" ->
+      """WITH legs AS (
+        |  SELECT p_partkey // 4 AS strategy_id,
+        |    (CASE WHEN p_partkey % 2 = 0 THEN 1.0 ELSE -1.0 END) * (p_partkey % 3 + 1) AS qty,
+        |    round(p_retailprice / 1000.0, 4) AS delta,
+        |    round(p_retailprice / 50000.0, 6) AS theta,
+        |    100.0 AS multiplier,
+        |    round(p_retailprice, 0) AS strike,
+        |    (p_size % 5) * 7 + 7 AS dte
+        |  FROM part)
+        |SELECT strategy_id,
+        |  round(sum(delta * qty), 4) AS net_delta,
+        |  round(sum(theta * qty * multiplier), 2) AS net_theta,
+        |  CAST(min(dte) AS INTEGER) AS min_dte,
+        |  max(strike) - min(strike) AS width,
+        |  CAST(count(*) AS BIGINT) AS n_legs
+        |FROM legs GROUP BY strategy_id ORDER BY strategy_id""".stripMargin,
+    "a6_campaign_rollup" ->
+      """SELECT o_custkey,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -o_totalprice END), 2) AS net,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  greatest(0.0, -round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE -o_totalprice END), 2)) AS recovery
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "w8_candle_close" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    (epoch_us(ts) // 300000000) * 300000000 AS bucket_us
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, bucket_us,
+        |    lag(bucket_us, 1) OVER w AS prev_bucket,
+        |    lag(value, 1) OVER w AS prev_value
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, prev_bucket AS closed_bucket_us, prev_value AS final_value
+        |FROM l WHERE prev_bucket IS NOT NULL AND bucket_us > prev_bucket
+        |ORDER BY user_id, closed_bucket_us""".stripMargin,
+    "u4_symbol_dedup" ->
+      """SELECT DISTINCT string_split(concat('U', CAST(user_id AS VARCHAR), '{=', event_type, '}'), '{=')[1] AS ticker
+        |FROM events ORDER BY ticker""".stripMargin,
+    "j5_explode_join" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "x1_text_stats" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),

@@ -26,7 +26,15 @@ object Strategies {
       signedQuantity: Double,
       optionType: Option[String], // C | P
       strike: Option[BigDecimal],
-      expiration: Option[LocalDate]
+      expiration: Option[LocalDate],
+      // metrics enrichment (reference ParsedLeg, models.py:76-147)
+      delta: Option[Double] = None,
+      gamma: Option[Double] = None,
+      theta: Option[Double] = None,
+      vega: Option[Double] = None,
+      multiplier: BigDecimal = BigDecimal(1),
+      entryValue: Option[BigDecimal] = None,
+      daysToExpiration: Option[Int] = None
   ) {
     def isLong: Boolean = signedQuantity > 0
     def isShort: Boolean = signedQuantity < 0
@@ -331,6 +339,123 @@ object Strategies {
     }
     remaining.foreach(l => out += Match(matchSingleLeg(l), List(l)))
     out.result()
+  }
+
+  // -------------------------------------------------------------------
+  // A4/A5 — strategy netting and risk formulas (reference
+  // `strategies/models.py:160-452`)
+  // -------------------------------------------------------------------
+
+  private def roundH(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  def netDelta(legs: Seq[ParsedLeg]): Option[Double] = netGreek(legs, _.delta, 4)
+  def netGamma(legs: Seq[ParsedLeg]): Option[Double] = netGreek(legs, _.gamma, 4)
+  def netVega(legs: Seq[ParsedLeg]): Option[Double] = netGreek(legs, _.vega, 4)
+
+  private def netGreek(legs: Seq[ParsedLeg], f: ParsedLeg => Option[Double], dp: Int): Option[Double] = {
+    val vals = legs.filter(l => f(l).isDefined)
+    if (vals.isEmpty) None
+    else Some(roundH(vals.map(l => f(l).get * l.signedQuantity).sum, dp))
+  }
+
+  /** Dollar net theta: theta × signed qty × multiplier, rounded 2dp. */
+  def netTheta(legs: Seq[ParsedLeg]): Option[Double] = {
+    val vals = legs.filter(_.theta.isDefined)
+    if (vals.isEmpty) None
+    else Some(roundH(vals.map(l => l.theta.get * l.signedQuantity * l.multiplier.toDouble).sum, 2))
+  }
+
+  def minDte(legs: Seq[ParsedLeg]): Option[Int] = {
+    val dtes = legs.flatMap(_.daysToExpiration)
+    if (dtes.isEmpty) None else Some(dtes.min)
+  }
+
+  /** Strike width = max(strike) − min(strike) across distinct strikes. */
+  def width(legs: Seq[ParsedLeg]): Option[BigDecimal] = {
+    val strikes = legs.flatMap(_.strike).distinct.sorted
+    if (strikes.size >= 2) Some(strikes.last - strikes.head) else None
+  }
+
+  private def strategyMultiplier(legs: Seq[ParsedLeg]): BigDecimal =
+    legs.find(_.isOption).map(_.multiplier).getOrElse(BigDecimal(1))
+
+  private def strategyQuantity(legs: Seq[ParsedLeg]): BigDecimal =
+    legs.find(_.isOption).map(l => BigDecimal(l.absQuantity)).getOrElse(BigDecimal(1))
+
+  /** Net dollar entry credit: Σ leg entry values (already signed by the
+    * LIFO replay); None if any option leg lacks entry data.
+    */
+  def netEntryCredit(optionLegs: Seq[ParsedLeg]): Option[BigDecimal] =
+    if (optionLegs.exists(_.entryValue.isEmpty)) None
+    else Some(optionLegs.flatMap(_.entryValue).sum)
+
+  private val CreditStrategies = Set(
+    "BEAR_CALL_SPREAD", "BULL_PUT_SPREAD", "IRON_CONDOR", "IRON_BUTTERFLY",
+    "IRON_BROKEN_FLY", "SHORT_STRANGLE", "SHORT_STRADDLE", "NAKED_CALL",
+    "NAKED_PUT", "JADE_LIZARD"
+  )
+  private val DebitSpreads = Set("BULL_CALL_SPREAD", "BEAR_PUT_SPREAD")
+  private val Butterflies = Set("CALL_BUTTERFLY", "PUT_BUTTERFLY", "BROKEN_FLY")
+  private val UnlimitedRisk = Set("NAKED_CALL", "NAKED_PUT", "SHORT_STRANGLE", "SHORT_STRADDLE")
+
+  private def quantize(x: BigDecimal): BigDecimal = x.setScale(0, BigDecimal.RoundingMode.HALF_EVEN)
+
+  /** Max profit in dollars (reference `models.py:286-357`): fixed at
+    * entry from the LIFO-signed entry credits.
+    */
+  def maxProfit(strategyType: String, legs: Seq[ParsedLeg]): Option[BigDecimal] = {
+    val optionLegs = legs.filter(_.isOption)
+    if (optionLegs.isEmpty) return None
+    val dollarPerPoint = strategyMultiplier(legs) * strategyQuantity(legs)
+    netEntryCredit(optionLegs).flatMap { netCredit =>
+      if (CreditStrategies.contains(strategyType))
+        Some(quantize(netCredit.max(BigDecimal(0))))
+      else if (DebitSpreads.contains(strategyType))
+        width(legs).map(w => quantize((w * dollarPerPoint + netCredit).max(BigDecimal(0))))
+      else if (Butterflies.contains(strategyType)) {
+        val strikes = optionLegs.flatMap(_.strike).distinct.sorted
+        if (strikes.size < 3) None
+        else {
+          val narrow = (strikes(1) - strikes(0)).min(strikes(2) - strikes(1))
+          Some(quantize((narrow * dollarPerPoint + netCredit).max(BigDecimal(0))))
+        }
+      } else None
+    }
+  }
+
+  /** Max loss in dollars (reference `models.py:360-452`); None =
+    * unlimited risk or insufficient data.
+    */
+  def maxLoss(strategyType: String, legs: Seq[ParsedLeg]): Option[BigDecimal] = {
+    val optionLegs = legs.filter(_.isOption)
+    if (optionLegs.isEmpty || UnlimitedRisk.contains(strategyType)) return None
+    val dollarPerPoint = strategyMultiplier(legs) * strategyQuantity(legs)
+    netEntryCredit(optionLegs).flatMap { netCredit =>
+      strategyType match {
+        case "BEAR_CALL_SPREAD" | "BULL_PUT_SPREAD" =>
+          width(legs).map(w => quantize((w * dollarPerPoint - netCredit).max(BigDecimal(0))))
+        case "BULL_CALL_SPREAD" | "BEAR_PUT_SPREAD" =>
+          Some(quantize((-netCredit).max(BigDecimal(0))))
+        case "IRON_CONDOR" | "IRON_BUTTERFLY" | "IRON_BROKEN_FLY" =>
+          val putStrikes = optionLegs.filter(_.isPut).flatMap(_.strike).sorted
+          val callStrikes = optionLegs.filter(_.isCall).flatMap(_.strike).sorted
+          val putW = if (putStrikes.size >= 2) putStrikes.last - putStrikes.head else BigDecimal(0)
+          val callW = if (callStrikes.size >= 2) callStrikes.last - callStrikes.head else BigDecimal(0)
+          Some(quantize((putW.max(callW) * dollarPerPoint - netCredit).max(BigDecimal(0))))
+        case "JADE_LIZARD" =>
+          width(legs).map(w => quantize((w * dollarPerPoint - netCredit).max(BigDecimal(0))))
+        case t if Butterflies.contains(t) =>
+          val strikes = optionLegs.flatMap(_.strike).distinct.sorted
+          if (strikes.size < 3) None
+          else {
+            val wider = (strikes(1) - strikes(0)).max(strikes(2) - strikes(1))
+            val credit = maxProfit(strategyType, legs).getOrElse(BigDecimal(0))
+            Some(quantize((wider * dollarPerPoint - credit).max(BigDecimal(0))))
+          }
+        case _ => None
+      }
+    }
   }
 
   val strategySchema: StructType = StructType(Seq(

@@ -100,6 +100,51 @@ class StrategiesSpec extends SparkSpec {
     assert(r.sorted == List("IRON_CONDOR", "LONG_STOCK"))
   }
 
+  test("A4 netting: greeks scale by signed qty, theta by multiplier") {
+    val legs = List(
+      opt("P", 95, 1).copy(delta = Some(-0.3), theta = Some(-0.05), multiplier = BigDecimal(100), daysToExpiration = Some(30)),
+      opt("C", 110, -2).copy(delta = Some(0.4), theta = Some(-0.04), multiplier = BigDecimal(100), daysToExpiration = Some(58))
+    )
+    assert(Strategies.netDelta(legs).contains(-1.1)) // -0.3*1 + 0.4*-2
+    assert(Strategies.netTheta(legs).contains(3.0)) // (-0.05*1 + -0.04*-2)*100
+    assert(Strategies.minDte(legs).contains(30))
+    assert(Strategies.width(legs).contains(BigDecimal(15)))
+  }
+
+  test("A5 max profit/loss: credit spread and debit spread formulas") {
+    // bull put spread 95/100, 1 contract, x100, net credit $150
+    val bps = List(
+      opt("P", 95, 1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(-50))),
+      opt("P", 100, -1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(200)))
+    )
+    assert(Strategies.maxProfit("BULL_PUT_SPREAD", bps).contains(BigDecimal(150)))
+    // max loss = width*100 - credit = 500 - 150 = 350
+    assert(Strategies.maxLoss("BULL_PUT_SPREAD", bps).contains(BigDecimal(350)))
+    // debit call spread: net debit 120 -> maxProfit = 500 - 120, maxLoss = 120
+    val bcs = List(
+      opt("C", 100, 1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(-300))),
+      opt("C", 105, -1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(180)))
+    )
+    assert(Strategies.maxProfit("BULL_CALL_SPREAD", bcs).contains(BigDecimal(380)))
+    assert(Strategies.maxLoss("BULL_CALL_SPREAD", bcs).contains(BigDecimal(120)))
+    // naked call: unlimited risk
+    val nc = List(opt("C", 100, -1).copy(entryValue = Some(BigDecimal(100))))
+    assert(Strategies.maxLoss("NAKED_CALL", nc).isEmpty)
+    assert(Strategies.maxProfit("NAKED_CALL", nc).contains(BigDecimal(100)))
+  }
+
+  test("A5 iron condor wing-width max loss") {
+    val ic = List(
+      opt("P", 95, 1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(-30))),
+      opt("P", 100, -1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(120))),
+      opt("C", 110, -1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(110))),
+      opt("C", 117, 1).copy(multiplier = BigDecimal(100), entryValue = Some(BigDecimal(-40)))
+    )
+    // net credit 160; wing width = max(5, 7) = 7 -> 700 - 160 = 540
+    assert(Strategies.maxProfit("IRON_CONDOR", ic).contains(BigDecimal(160)))
+    assert(Strategies.maxLoss("IRON_CONDOR", ic).contains(BigDecimal(540)))
+  }
+
   test("distributed classify matches pure classifyGroup") {
     import spark.implicits._
     val legs = Seq(
