@@ -70,7 +70,8 @@ object SparkEntry {
     "a6_campaign_rollup" -> (Queries.a6CampaignRollup _),
     "w8_candle_close"    -> (Queries.w8CandleClose _),
     "u4_symbol_dedup"    -> (Queries.u4SymbolDedup _),
-    "j5_explode_join"    -> (Queries.j5ExplodeJoin _)
+    "j5_explode_join"    -> (Queries.j5ExplodeJoin _),
+    "b1_backtest"        -> (Queries.b1Backtest _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -98,7 +99,10 @@ object SparkEntry {
     "g1_signal_engine",
     // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
     // carried by StrategiesSpec (reference canonical cases).
-    "s11_classify"
+    "s11_classify",
+    // end-to-end backtest slice (engine fold + as-of enrichment) —
+    // correctness carried by BacktestSpec (per-signal as-of assertion).
+    "b1_backtest"
   )
 }
 
@@ -763,6 +767,27 @@ object Queries {
         round(sum($"l_extendedprice"), 2).as("total_price")
       )
       .orderBy("o_custkey")
+  }
+
+  /** §3.3 — end-to-end backtest slice: 30-minute signal candles through
+    * the HullMacd engine, entry prices as-of joined from the raw stream.
+    */
+  def b1Backtest(spark: SparkSession, dir: String): DataFrame = {
+    val pricing = Tables
+      .events(spark, dir)
+      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"))
+    val signalCandles = Relational
+      .latestPerKey(
+        pricing.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
+        Seq("symbol", "bucket_us"),
+        "time_us",
+        "time_us"
+      )
+      .select($"symbol", $"bucket_us".as("time_us"), $"close")
+    graft.backtest.Backtest
+      .run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
+      .orderBy("symbol", "time_us", "signal_type")
   }
 
   // Column shorthand without a SparkSession in scope.

@@ -1,0 +1,59 @@
+package graft.backtest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.signals.HullMacd
+
+/** Backtest harness (SURVEY §3.3, reference `backtest/replay.py` +
+  * `backtest/publisher.py`): replay merged candle streams through the
+  * signal engine and enrich each emitted signal with its as-of entry
+  * price from the pricing-interval stream.
+  *
+  * In batch the reference's paced Redis replay collapses to a
+  * deterministic ordering rule (J8/T9: pricing-interval candles sort
+  * before signal-interval candles at identical timestamps) and the
+  * binary-search entry lookup (J6) becomes the union+window as-of join.
+  */
+object Backtest {
+
+  /** J8 — multi-timeframe interleave: one stream, pricing first on
+    * timestamp ties. Columns must align; adds `interval_rank`
+    * (0 = pricing, 1 = signal).
+    */
+  def mergeReplay(pricing: DataFrame, signalCandles: DataFrame): DataFrame =
+    pricing
+      .withColumn("interval_rank", lit(0))
+      .unionByName(signalCandles.withColumn("interval_rank", lit(1)), allowMissingColumns = true)
+      .orderBy(col("time_us"), col("interval_rank"))
+
+  /** End-to-end backtest slice (SURVEY §5.4): signal-interval candles →
+    * HullMacd engine → signals enriched with the most recent non-null
+    * pricing close at or before the signal time (reference
+    * `publisher.py:112-128`).
+    *
+    * `signalCandles`/`pricing` need (symbol, time_us, close).
+    */
+  def run(
+      signalCandles: DataFrame,
+      pricing: DataFrame,
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): DataFrame = {
+    val signals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close", hullLength, fast, slow, signalLen)
+    val pricingClean = pricing
+      .filter(col("close").isNotNull)
+      .select(col("symbol"), col("time_us"), col("close").as("entry_price"))
+    Relational.asOfJoin(
+      signals,
+      pricingClean,
+      key = "symbol",
+      leftTime = "time_us",
+      rightTime = "time_us",
+      valueCols = Seq("entry_price")
+    )
+  }
+}

@@ -57,12 +57,20 @@ object Functions {
     * equity strikes divide by 1000.
     */
   val OccPattern = """(\d{6})([CP])(.+)$"""
-  def occExpiry(sym: Column): Column =
-    to_date(concat(lit("20"), regexp_extract(sym, OccPattern, 1)), "yyyyMMdd")
-  def occType(sym: Column): Column = regexp_extract(sym, OccPattern, 2)
+  // all three return null when the symbol is not OCC-shaped (the
+  // reference parses only on regex match; ANSI mode would otherwise
+  // throw on casting the empty extract)
+  def occExpiry(sym: Column): Column = {
+    val m = regexp_extract(sym, OccPattern, 1)
+    when(m =!= "", to_date(concat(lit("20"), m), "yyyyMMdd"))
+  }
+  def occType(sym: Column): Column = {
+    val m = regexp_extract(sym, OccPattern, 2)
+    when(m =!= "", m)
+  }
   def occStrike(sym: Column): Column = {
     val raw = regexp_extract(sym, OccPattern, 3)
-    when(length(raw) === 8, raw.cast("double") / 1000.0).otherwise(raw.cast("double"))
+    when(raw =!= "", when(length(raw) === 8, raw.cast("double") / 1000.0).otherwise(raw.cast("double")))
   }
 
   /** F7 — apply Credit/Debit effect as a sign (reference
