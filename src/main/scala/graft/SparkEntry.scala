@@ -448,12 +448,12 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** MinHash (k=16) + LSH banding (4 bands × 4 rows) near-dup pairs,
+  /** MinHash (k=16) + LSH banding (8 bands × 2 rows) near-dup pairs,
     * verified with exact 3-gram Jaccard ≥ 0.3.
     */
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup
-      .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** 60-bit SimHash near-dup pairs (hamming ≤ 20 over synthetic docs —
@@ -1014,26 +1014,31 @@ object Oracles {
         |              count(*) OVER (PARTITION BY fingerprint) AS group_size FROM fp)
         |SELECT doc_id, keeper_id, fingerprint, CAST(group_size AS BIGINT) AS group_size
         |FROM g WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
-    "d2_minhash_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id,
-        |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
-        |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents)),
-        |filt AS (SELECT * FROM base WHERE len(sh) > 0),
-        |sig AS (
-        |  SELECT id, list_transform(range(0, 16), i -> list_min(list_transform(sh, s -> md5(concat(CAST(i AS VARCHAR), '|', s))))) AS sig
-        |  FROM filt),
-        |banded AS (
-        |  SELECT id, b.band, md5(array_to_string(sig[b.band*4+1:b.band*4+4], ',')) AS band_key
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-        |pairs AS (
-        |  SELECT c.id_a, c.id_b,
-        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
-        |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
-        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "d2_minhash_lsh" -> {
+      // xor-permutation minhash: same seed constants as Dedup.xorSeeds
+      val sigExprs = graft.dedup.Dedup
+        .xorSeeds(16)
+        .map(s => s"list_min(list_transform(hs, h -> xor(h, $s)))")
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM documents)),
+         |filt AS (SELECT * FROM base WHERE len(sh) > 0),
+         |hashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM filt),
+         |sig AS (SELECT id, $sigExprs AS sig FROM hashed),
+         |banded AS (
+         |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+         |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
     "d4_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id AS id, n_chars AS len,

@@ -52,14 +52,47 @@ object Dedup {
       .select(col(idCol), col("keeper_id"), col("fingerprint"), col("group_size"))
   }
 
-  /** MinHash signature as an array of `k` lexicographic-min md5 hex
-    * strings over the shingle set — engine-portable (any system with md5
-    * and string min reproduces it bit-for-bit; no 64-bit hash needed).
+  /** Deterministic 60-bit xor constants for the minhash permutation
+    * family (splitmix-style, generated host-side so the DuckDB oracle
+    * can embed the same literals).
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => md5(concat(i.cast("string"), lit("|"), s).cast("binary"))))
+  def xorSeeds(k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      var z = 0x9e3779b97f4a7c15L * (i + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) & ((1L << 60) - 1)
+    }
+
+  /** 60-bit md5-prefix hash per shingle (hash ONCE; the signature then
+    * only xors).
+    */
+  def hashShingles(shingleSet: Column): Column =
+    transform(shingleSet, s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** MinHash signature over pre-hashed shingles: k xor-permutations
+    * (`h ^ seed_i` is a bijection of the hash space — the standard cheap
+    * min-hash family). An earlier formulation hashed `md5(i|s)` k times
+    * per shingle; at k=16 that put md5 on the hot path (16× scan cost)
+    * for no recall benefit. xor is also overflow-free, so DuckDB
+    * reproduces it exactly.
+    */
+  def minhashSignature(hashedShingles: Column, k: Int): Column =
+    array(xorSeeds(k).map(seed => array_min(transform(hashedShingles, h => h.bitwiseXOR(lit(seed))))): _*)
+
+  /** Signature with the md5 hashing forced to evaluate ONCE: Catalyst's
+    * CollapseProject happily inlines a hashed-shingles alias into all k
+    * per-seed expressions (k× the md5 cost); wrapping the hash array in
+    * a 1-element array and binding it as a HOF lambda argument pins a
+    * single evaluation.
+    */
+  def minhashSignatureHashedOnce(shingleSet: Column, k: Int): Column =
+    element_at(
+      transform(
+        array(hashShingles(shingleSet)),
+        hs => array(xorSeeds(k).map(seed => array_min(transform(hs, h => h.bitwiseXOR(lit(seed))))): _*)
+      ),
+      1
     )
 
   /** MinHash + LSH banding near-dup pairs.
@@ -76,19 +109,28 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       k: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8,
       threshold: Double = 0.3
   ): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val base = df
+    // Hashed shingle sets are computed ONCE and persisted: three
+    // consumers (signatures, and both sides of the verify join) would
+    // otherwise each re-run the tokenize→shingle→md5 pipeline, which is
+    // the dominant scan cost. On a cluster this materialization is the
+    // slim (id, hashes) projection — cacheable or checkpointable.
+    val hashed = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = base.withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), sort_array(hashShingles(col("sh"))).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = hashed.withColumn("sig", minhashSignature(col("shh"), k))
+    // Band rows carry ONLY (band, key, id): the shingle sets must not
+    // ride through the bands explode / self-join / dedup shuffles (they
+    // are the bulk of the bytes); candidates re-acquire them by id.
     val banded = sig
       .select(
         col("id"),
-        col("sh"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -96,18 +138,21 @@ object Dedup {
           )
         ).as(Seq("band", "band_key"))
       )
-    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val candidates = a
       .join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // exact verify on candidates only: sorted 60-bit hashes + the
+    // merge-Jaccard expression (identical value to string-set Jaccard)
     candidates
+      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhashLshPairs finds exact and near dup, skips unrelated") {
     val pairs = Dedup
-      .minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
       .select("id_a", "id_b", "jaccard")
       .as[(Long, Long, Double)]
       .collect()
@@ -65,7 +65,7 @@ class DedupSpec extends SparkSpec {
       .collect()
       .toSet
     val lsh = Dedup
-      .minhashLshPairs(docsReal, "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+      .minhashLshPairs(docsReal, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
       .select("id_a", "id_b")
       .as[(Long, Long)]
       .collect()
