@@ -5,6 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
+    // Warm the JVM/codegen/IO paths so the first timed query doesn't
+    // absorb session startup (~5 s otherwise lands on whichever query
+    // sorts first).
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // noop sink forces full materialization of every column (count() would
     // let Catalyst prune projections and under-report work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

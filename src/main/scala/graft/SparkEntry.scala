@@ -56,6 +56,7 @@ object SparkEntry {
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
+    "n3_ann_ivf"         -> (Queries.n3AnnIvf _),
     "m1_multimodal"      -> (Queries.m1Multimodal _),
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
@@ -87,6 +88,8 @@ object SparkEntry {
     // LSH hyperplanes are Scala-generated; correctness = recall vs the
     // oracle-checked brute-force n1 (SimilaritySpec).
     "n2_ann_lsh",
+    // IVF centroid model state is Scala-side; correctness = recall vs n1.
+    "n3_ann_ivf",
     // batched binary decode is a mapPartitions kernel (the point is the
     // non-SQL batch plumbing); correctness carried by MultimodalSpec.
     "m1_multimodal",
@@ -491,6 +494,14 @@ object Queries {
     val emb = Tables.embeddings(spark, dir)
     Similarity
       .lshTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, bits = 4, tables = 6)
+      .orderBy("query_id", "nbr_id")
+  }
+
+  /** IVF-quantized ANN top-5 (16 cells, 6 probes). */
+  def n3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .ivfTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, nCentroids = 16, nProbe = 6)
       .orderBy("query_id", "nbr_id")
   }
 

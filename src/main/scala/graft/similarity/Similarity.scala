@@ -111,6 +111,66 @@ object Similarity {
       acc.bitwiseOR(when(dot(vec, planeCol) > 0.0, lit(1L << p)).otherwise(lit(0L)))
     }
 
+  /** IVF-style approximate top-k: a coarse quantizer assigns every
+    * corpus vector to its nearest centroid (scan-local argmax over
+    * `centroids` dot products — codegen'd, no shuffle); each query
+    * probes its `nProbe` nearest centroid cells and exactly re-ranks
+    * only those cells' vectors.
+    *
+    * Centroids are pluggable model state — here the lowest-id corpus
+    * vectors serve as deterministic seeds (a production pipeline would
+    * fit k-means on a sample); they are collected once (bounded:
+    * nCentroids × dim doubles) and inlined as literals so cell
+    * assignment runs inside whole-stage codegen. At 100 TB the
+    * cell-assigned corpus would be written partitioned by `cell` so each
+    * probe is a partition-pruned scan.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .orderBy("id")
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
+    // (dot, cellId) structs; struct max/sort orders by dot first
+    def cellScores(vec: Column): Column =
+      array(centroids.map { case (cid, cvec) =>
+        struct(dot(vec, centroidCol(cvec)).as("score"), lit(cid).as("cell"))
+      }: _*)
+    val assignedCorpus = corpus
+      .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
+      .withColumn("cell", array_max(cellScores(col("nbr_vec"))).getField("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn(
+        "cell",
+        explode(
+          slice(
+            transform(reverse(array_sort(cellScores(col("q_vec")))), s => s.getField("cell")),
+            1,
+            nProbe
+          )
+        )
+      )
+    val scored = assignedCorpus
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
+
   /** Multi-table sign-LSH approximate top-k (classic OR-amplification):
     * `tables` independent hash tables of `bits` hyperplane sign bits
     * each; a corpus vector is a candidate iff it shares a bucket with the

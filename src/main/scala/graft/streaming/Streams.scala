@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.signals.HullMacd
@@ -166,5 +166,57 @@ object Streams {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Spark 4 `transformWithState` twin of [[detectSignalsStream]]: the
+    * same [[stepIndicator]] arithmetic behind the new `StatefulProcessor`
+    * API (per-key TTL and timers available when the pipeline needs
+    * them). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — the default HDFS-backed
+    * provider does not support the multi-column-family state layout.
+    */
+  class HullMacdProcessor(hullLength: Int, fast: Int, slow: Int, signalLen: Int)
+      extends StatefulProcessor[String, CandleIn, SignalOut] {
+    @transient private var state: ValueState[IndicatorState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IndicatorState](
+        "indicator",
+        org.apache.spark.sql.Encoders.product[IndicatorState],
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[CandleIn],
+        timerValues: TimerValues
+    ): Iterator[SignalOut] = {
+      var st = Option(state.get()).getOrElse(emptyIndicatorState)
+      val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
+        val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
+        st = ns
+        sigs
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def detectSignalsTransformWithState(
+      candles: org.apache.spark.sql.Dataset[CandleIn],
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[SignalOut] = {
+    import candles.sparkSession.implicits._
+    candles
+      .groupByKey(_.symbol)
+      .transformWithState(
+        new HullMacdProcessor(hullLength, fast, slow, signalLen),
+        TimeMode.None(),
+        OutputMode.Append()
+      )
   }
 }

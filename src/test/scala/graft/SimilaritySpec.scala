@@ -47,6 +47,25 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
   }
 
+  test("IVF ANN recall vs brute force is substantial on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queries, 5, nCentroids = 16, nProbe = 6)
+      .select("query_id", "nbr_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
   test("LSH ANN recall vs brute force is substantial on real embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 10)

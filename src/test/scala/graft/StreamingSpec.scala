@@ -56,6 +56,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("transformWithState twin emits the same signals as flatMapGroupsWithState") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store (multiple
+    // column families); the default HDFS-backed provider can't host it
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val all = eventCandles().filter(col("symbol") < "2").collect().sortBy(c => (c.symbol, c.timeUs))
+    val cut = all.map(_.timeUs).sorted.apply(all.length / 2)
+    val (b1, b2) = all.partition(_.timeUs < cut)
+    val input = MemoryStream[CandleIn]
+    val q = Streams
+      .detectSignalsTransformWithState(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sigs_tws")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val tws = spark
+      .table("sigs_tws")
+      .select("symbol", "time_us", "signal_type", "direction", "trigger")
+      .as[(String, Long, String, String, String)]
+      .collect()
+      .toSet
+    val batch = graft.signals.HullMacd
+      .detectSignals(
+        eventCandles().filter(col("symbol") < "2").toDF()
+          .withColumnRenamed("timeUs", "ts_us").withColumnRenamed("close", "value"),
+        "symbol", "ts_us", "value"
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "trigger")
+      .as[(String, Long, String, String, String)]
+      .collect()
+      .toSet
+    assert(tws == batch)
+  }
+
   test("streaming latest-per-key (complete mode) matches batch max_by") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
