@@ -43,6 +43,7 @@ object Sessions {
     graft.expressions.DotProduct.register(spark)
     graft.expressions.SortedJaccard.register(spark)
     graft.expressions.Simhash60.register(spark)
+    graft.expressions.ShingleHashes.register(spark)
     spark
   }
 }

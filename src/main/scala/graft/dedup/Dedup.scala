@@ -70,6 +70,14 @@ object Dedup {
   def hashShingles(shingleSet: Column): Column =
     transform(shingleSet, s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
 
+  /** Sorted distinct shingle hashes straight from the text via the
+    * native [[graft.expressions.ShingleHashes]] expression — value-equal
+    * to `sort_array(hashShingles(shingles(text, n)))` at a fraction of
+    * the scan cost.
+    */
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    call_function(graft.expressions.ShingleHashes.FunctionName, TextOps.tokens(text), lit(n))
+
   /** MinHash signature over pre-hashed shingles: k xor-permutations
     * (`h ^ seed_i` is a bijection of the hash space — the standard cheap
     * min-hash family). An earlier formulation hashed `md5(i|s)` k times
@@ -120,9 +128,8 @@ object Dedup {
     // the dominant scan cost. On a cluster this materialization is the
     // slim (id, hashes) projection — cacheable or checkpointable.
     val hashed = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), sort_array(hashShingles(col("sh"))).as("shh"))
+      .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
+      .filter(size(col("shh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = hashed.withColumn("sig", minhashSignature(col("shh"), k))
     // Band rows carry ONLY (band, key, id): the shingle sets must not
@@ -176,18 +183,14 @@ object Dedup {
     // Shingles are compared as SORTED 60-bit hashes via the codegen'd
     // merge-Jaccard expression: |∩|/|∪| is unchanged (md5-prefix
     // collisions negligible), but each candidate pair costs one O(n+m)
-    // merge instead of hash-set intersect + union allocations.
-    val s = df
-      .select(
-        col(idCol).as("id"),
-        col(lenCol).as("len"),
-        shingles(col(textCol), n).as("sh_str")
-      )
-      .withColumn(
-        "sh",
-        sort_array(expr("transform(sh_str, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))"))
-      )
-      .drop("sh_str")
+    // merge instead of hash-set intersect + union allocations. The
+    // native ShingleHashes expression produces the sorted hash set in
+    // one pass over the tokens.
+    val s = df.select(
+      col(idCol).as("id"),
+      col(lenCol).as("len"),
+      sortedShingleHashes(col(textCol), n).as("sh")
+    )
     // Length blocking as an EQUI join: log-scale length buckets, the
     // probe side exploding ±2 neighbor buckets. A plain range condition
     // would plan as a nested-loop join (O(n²) condition evaluations — a

@@ -24,6 +24,21 @@ class DedupSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  test("native ShingleHashes == sort_array(hashShingles(shingles)) on real docs") {
+    import org.apache.spark.sql.functions._
+    val real = graft.io.Tables.documents(spark, sf0001)
+    val hof = real.select(
+      $"doc_id",
+      sort_array(Dedup.hashShingles(Dedup.shingles($"text", 3))).as("h")
+    )
+    val native = real.select($"doc_id", Dedup.sortedShingleHashes($"text", 3).as("h"))
+    val mismatches = hof
+      .join(native.withColumnRenamed("h", "h2"), "doc_id")
+      .filter($"h" =!= $"h2")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("exactDuplicates groups identical normalized texts only") {
     val out = Dedup.exactDuplicates(docs, "doc_id", "text")
     val rows = out.select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
