@@ -72,7 +72,9 @@ object SparkEntry {
     "w8_candle_close"    -> (Queries.w8CandleClose _),
     "u4_symbol_dedup"    -> (Queries.u4SymbolDedup _),
     "j5_explode_join"    -> (Queries.j5ExplodeJoin _),
-    "b1_backtest"        -> (Queries.b1Backtest _)
+    "b1_backtest"        -> (Queries.b1Backtest _),
+    "s2_wire_decode"     -> (Queries.s2WireDecode _),
+    "f16_leg_desc"       -> (Queries.f16LegDesc _)
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
@@ -801,6 +803,49 @@ object Queries {
       .orderBy("symbol", "time_us", "signal_type")
   }
 
+  /** S2 — compact-array wire decode: per-user FEED_DATA-style frames
+    * (flat [event_id, ts_us] pairs in time order) chunked back into one
+    * row per event (reference `messaging/handlers.py:150-232`).
+    */
+  def s2WireDecode(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables
+      .events(spark, dir)
+      .groupBy($"user_id")
+      .agg(
+        flatten(
+          transform(
+            sort_array(collect_list(struct($"ts", $"event_id", $"ts_us"))),
+            e => array(e.getField("event_id").cast("string"), e.getField("ts_us").cast("string"))
+          )
+        ).as("values")
+      )
+      .withColumn("eventType", lit("Event"))
+    graft.io.WireDecoder
+      .decode(frames, "Event", Seq("eid", "ts_us_s"))
+      .select(
+        $"user_id",
+        $"seq",
+        $"eid".cast("long").as("event_id"),
+        $"ts_us_s".cast("long").as("ts_us")
+      )
+      .orderBy("user_id", "seq")
+  }
+
+  /** F16/A3 — leg-description strings: per customer the sorted list of
+    * formatted order tags (reference `positions.py:166-171` leg
+    * descriptions via collect_list).
+    */
+  def f16LegDesc(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .filter($"o_totalprice" > 400000.0)
+      .groupBy($"o_custkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(concat($"o_orderstatus", lit("#"), $"o_orderkey")))).as("legs"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("o_custkey")
+
   // Column shorthand without a SparkSession in scope.
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
@@ -976,6 +1021,24 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  round(sum(l_extendedprice), 2) AS total_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "s2_wire_decode" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    flatten(list([CAST(event_id AS VARCHAR), CAST(epoch_us(ts) AS VARCHAR)] ORDER BY ts, event_id, epoch_us(ts))) AS vals
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id, unnest(generate_series(0, len(vals) // 2 - 1)) AS seq, vals
+        |  FROM f)
+        |SELECT user_id, CAST(seq AS INTEGER) AS seq,
+        |  CAST(vals[2*seq + 1] AS BIGINT) AS event_id,
+        |  CAST(vals[2*seq + 2] AS BIGINT) AS ts_us
+        |FROM c ORDER BY user_id, seq""".stripMargin,
+    "f16_leg_desc" ->
+      """SELECT o_custkey,
+        |  string_agg(concat(o_orderstatus, '#', CAST(o_orderkey AS VARCHAR)), ',' ORDER BY concat(o_orderstatus, '#', CAST(o_orderkey AS VARCHAR))) AS legs,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_totalprice > 400000.0
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "x1_text_stats" ->
       """WITH n AS (

@@ -26,18 +26,18 @@ object WireDecoder {
     */
   def decode(frames: DataFrame, eventType: String, fields: Seq[String]): DataFrame = {
     val k = fields.size
+    val passThrough = frames.columns.filterNot(_ == "values").map(col).toSeq
     val chunked = frames
       .filter(col("eventType") === eventType)
       .select(
-        col("eventType"),
-        posexplode(
+        passThrough :+ posexplode(
           // empty-guard: sequence(0, -1) would COUNT DOWN (negative step)
           expr(
             s"""case when size(values) >= $k
                | then transform(sequence(0, cast(size(values) / $k as int) - 1), i -> slice(values, i * $k + 1, $k))
                | else cast(array() as array<array<string>>) end""".stripMargin
           )
-        ).as(Seq("seq", "chunk"))
+        ).as(Seq("seq", "chunk")): _*
       )
     fields.zipWithIndex.foldLeft(chunked) { case (d, (f, i)) =>
       d.withColumn(f, element_at(col("chunk"), i + 1))
