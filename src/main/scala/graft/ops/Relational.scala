@@ -161,6 +161,33 @@ object Relational {
     filled.filter(col("__obs").isNull).drop("__obs")
   }
 
+  /** Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    * (key, salt) partials — spreading a hot key over `saltBuckets`
+    * reducers — stage 2 combines partials per key. Use when a handful of
+    * keys dominate (AQE skew-join handles joins; this is the groupBy
+    * analog). `aggs` must be algebraic (sum/count/min/max-style) so the
+    * two-stage split is exact.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String, saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn(
+      "__salt",
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(), lit(saltBuckets.toLong))
+    )
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** A10 — observability: attach named row/value metrics to a DataFrame
+    * (reference queue/stream counters, `messaging/handlers.py:24-38`);
+    * read them post-action from `QueryExecutionListener` or
+    * `df.observe`'s observation API.
+    */
+  def withRowMetrics(df: DataFrame, name: String, valueCol: String): DataFrame =
+    df.observe(name, count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_value"))
+
   /** Prior-period last value (SURVEY W7, reference
     * `providers/market.py:187-235` prior-trading-day close): aggregate to
     * one row per (key, period) keeping the last value in the period, then

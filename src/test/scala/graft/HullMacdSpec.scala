@@ -101,6 +101,24 @@ class HullMacdSpec extends SparkSpec {
     assert(!s2.bullishOpen && s2.bearishOpen)
   }
 
+  test("session gate follows ET across DST (same UTC hour, different gate)") {
+    def candleAtUtc(month: Int, day: Int, hUtc: Int): Candle = {
+      val utc = LocalDateTime.of(2026, month, day, hUtc, 0).toInstant(ZoneOffset.UTC)
+      Candle(utc.toEpochMilli * 1000, 100.0, "Down", 100.0, -1.0, 0.0, -1.0)
+    }
+    // open bullish position; a Down/bearish flip would CLOSE if gate open
+    val st = State(hullDir = Some("Up"), macdPos = Some("bullish"), bullishOpen = true)
+    // 2026-01-09 is EST (UTC-5): 14:00 UTC = 09:00 ET -> gated, no signal
+    val (_, winter) = HullMacd.step(st, candleAtUtc(1, 9, 14))
+    assert(winter.isEmpty)
+    // 2026-06-09 is EDT (UTC-4): 14:00 UTC = 10:00 ET -> gate open: the
+    // bullish CLOSE fires, and (both indicators having flipped bearish
+    // simultaneously) a bearish confluence OPEN follows in the same step
+    // - reference behavior: closes run before opens on each candle
+    val (_, summer) = HullMacd.step(st, candleAtUtc(6, 9, 14))
+    assert(summer.map(s => (s.signalType, s.direction)) == List(("CLOSE", "BULLISH"), ("OPEN", "BEARISH")))
+  }
+
   test("batch driver runs end-to-end on events and emits plausible signals") {
     import org.apache.spark.sql.functions._
     val ev = graft.io.Tables

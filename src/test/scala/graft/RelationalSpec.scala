@@ -66,6 +66,45 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(("a", 10L, 1.0), ("a", 20L, 1.0)))
   }
 
+  test("saltedSumCount equals the direct aggregation on a skewed key") {
+    val li = graft.io.Tables.lineitem(spark, sf0001)
+    val salted = Relational
+      .saltedSumCount(li, Seq("l_returnflag"), "l_quantity", 16)
+      .collect()
+      .map(r => r.getString(0) -> (math.rint(r.getDouble(1) * 100) / 100, r.getLong(2)))
+      .toMap
+    val direct = li
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (math.rint(r.getDouble(1) * 100) / 100, r.getLong(2)))
+      .toMap
+    assert(salted == direct)
+  }
+
+  test("observe metrics surface row counts after an action") {
+    val ev = graft.io.Tables.events(spark, sf0001)
+    val observed = Relational.withRowMetrics(ev, "ingest", "value")
+    observed.write.format("noop").mode("overwrite").save()
+    // metrics are attached to the plan; presence of the observe node is
+    // the contract (values are read via QueryExecutionListener in prod)
+    assert(observed.queryExecution.analyzed.toString.contains("ingest"))
+  }
+
+  test("asOfJoin with no matching right rows yields nulls, not dropped rows") {
+    import spark.implicits._
+    val left = Seq(("a", 10L)).toDF("k", "t")
+    val right = Seq(("b", 5L, 1.0)).toDF("k", "t", "v")
+    val out = Relational.asOfJoin(left, right, "k", "t", "t", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v")))
+  }
+
+  test("forwardFillGrid with a single observation emits nothing") {
+    import spark.implicits._
+    val obs = Seq(("a", 0L, 1.0)).toDF("k", "b", "v")
+    assert(Relational.forwardFillGrid(obs, "k", "b", 10L, Seq("v")).count() == 0)
+  }
+
   test("nearestKey resolves ties toward the smaller key") {
     import spark.implicits._
     val targets = Seq(10, 25).toDF("target")
