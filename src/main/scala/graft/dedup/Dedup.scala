@@ -88,20 +88,11 @@ object Dedup {
   def minhashSignature(hashedShingles: Column, k: Int): Column =
     array(xorSeeds(k).map(seed => array_min(transform(hashedShingles, h => h.bitwiseXOR(lit(seed))))): _*)
 
-  /** Signature with the md5 hashing forced to evaluate ONCE: Catalyst's
-    * CollapseProject happily inlines a hashed-shingles alias into all k
-    * per-seed expressions (k× the md5 cost); wrapping the hash array in
-    * a 1-element array and binding it as a HOF lambda argument pins a
-    * single evaluation.
+  /** Native fused variant of [[minhashSignature]] (one two-level loop
+    * instead of k interpreted lambda passes); value-identical.
     */
-  def minhashSignatureHashedOnce(shingleSet: Column, k: Int): Column =
-    element_at(
-      transform(
-        array(hashShingles(shingleSet)),
-        hs => array(xorSeeds(k).map(seed => array_min(transform(hs, h => h.bitwiseXOR(lit(seed))))): _*)
-      ),
-      1
-    )
+  def minhashSignatureNative(hashedShingles: Column, k: Int)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    graft.expressions.MinHashSignature.column(hashedShingles, xorSeeds(k))
 
   /** MinHash + LSH banding near-dup pairs.
     *
@@ -131,7 +122,8 @@ object Dedup {
       .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
       .filter(size(col("shh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = hashed.withColumn("sig", minhashSignature(col("shh"), k))
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    val sig = hashed.withColumn("sig", minhashSignatureNative(col("shh"), k))
     // Band rows carry ONLY (band, key, id): the shingle sets must not
     // ride through the bands explode / self-join / dedup shuffles (they
     // are the bulk of the bytes); candidates re-acquire them by id.
