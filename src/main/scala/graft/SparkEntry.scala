@@ -231,10 +231,12 @@ object Queries {
     * reference `redis.py:28-38`). Regex-based so Spark and DuckDB share
     * identical extraction semantics.
     */
-  def f13JsonExtract(spark: SparkSession, dir: String): DataFrame =
+  def f13JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val m = regexp_extract($"props", """"k"\s*:\s*(\d+)""", 1)
     Tables
       .events(spark, dir)
-      .withColumn("k", regexp_extract($"props", """"k"\s*:\s*(\d+)""", 1).cast("long"))
+      // empty-match guard: ANSI mode would throw on cast('' as long)
+      .withColumn("k", when(m =!= "", m).cast("long"))
       .groupBy($"event_type")
       .agg(
         sum($"k").as("sum_k"),
@@ -242,6 +244,7 @@ object Queries {
         count(lit(1)).as("n_rows")
       )
       .orderBy("event_type")
+  }
 
   /** U1/U2 — diagonal (schema-widening) union,
     * reference `providers/market.py:351-358`.

@@ -113,15 +113,16 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    // Hashed shingle sets are computed ONCE and persisted: three
-    // consumers (signatures, and both sides of the verify join) would
-    // otherwise each re-run the tokenize→shingle→md5 pipeline, which is
-    // the dominant scan cost. On a cluster this materialization is the
-    // slim (id, hashes) projection — cacheable or checkpointable.
+    // Hashed shingle sets feed three consumers (signatures + both sides
+    // of the verify join). With the native ShingleHashes expression the
+    // recompute is cheap enough that we deliberately do NOT persist —
+    // a cached block per call would leak for the session's lifetime
+    // (the returned DataFrame is lazy, so there is no unpersist point).
+    // A long-lived service should materialize (id, shh) itself and pass
+    // text through, or checkpoint the projection.
     val hashed = df
       .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
       .filter(size(col("shh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
     val sig = hashed.withColumn("sig", minhashSignatureNative(col("shh"), k))
     // Band rows carry ONLY (band, key, id): the shingle sets must not

@@ -51,8 +51,16 @@ object MinHashSignature {
     * construct via [[graft.dedup.Dedup.minhashSignatureNative]].
     */
   def column(hashed: org.apache.spark.sql.Column, seeds: Seq[Long])(implicit spark: SparkSession): org.apache.spark.sql.Column = {
-    // route through a temp function so we stay on public API
-    val name = s"graft_minhash_sig_${seeds.hashCode().toHexString}"
+    // route through a temp function so we stay on public API; the name
+    // encodes the full seed content via md5 (a 32-bit hashCode could
+    // collide across seed configurations and silently rebind the
+    // registration under a still-lazy DataFrame)
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(seeds.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    val name = s"graft_minhash_sig_$digest"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => MinHashSignature(exprs.head, seeds),

@@ -123,18 +123,23 @@ object Indicators {
     sorted.mapPartitions { rows =>
       var curKey: Any = null
       var started = false
+      var seeded = false
       var acc: Double = 0.0
       rows.map { r =>
         val k = r.get(keyIdx)
         if (!started || k != curKey) {
           curKey = k
           started = true
-          // seed: explicit per-key column, else first value of the key
-          acc = seedIdx.fold(r.getDouble(valIdx))(r.getDouble)
+          seeded = false
         }
         val out: Any =
-          if (r.isNullAt(valIdx)) null
+          if (r.isNullAt(valIdx)) null // null propagates, state unchanged
           else {
+            if (!seeded) {
+              // seed: explicit per-key column, else first NON-NULL value
+              acc = seedIdx.fold(r.getDouble(valIdx))(r.getDouble)
+              seeded = true
+            }
             acc = step(acc, r.getDouble(valIdx))
             acc
           }
@@ -187,6 +192,7 @@ object Indicators {
     sorted.mapPartitions { rows =>
       var curKey: Any = null
       var started = false
+      var seeded = false
       var fast, slow, signal = 0.0
       var prevDiff = Double.NaN
       var first = true
@@ -195,13 +201,18 @@ object Indicators {
         if (!started || k != curKey) {
           curKey = k
           started = true
-          val seed = seedIdx.fold(r.getDouble(valIdx))(r.getDouble)
-          fast = seed; slow = seed; signal = 0.0
-          prevDiff = Double.NaN; first = true
+          seeded = false
         }
         val base = r.toSeq
         if (r.isNullAt(valIdx)) Row.fromSeq(base ++ Seq(null, null, null, null))
         else {
+          if (!seeded) {
+            // seed from the explicit column, else the first NON-NULL value
+            val seed = seedIdx.fold(r.getDouble(valIdx))(r.getDouble)
+            fast = seed; slow = seed; signal = 0.0
+            prevDiff = Double.NaN; first = true
+            seeded = true
+          }
           val v = r.getDouble(valIdx)
           fast = aF * v + (1 - aF) * fast
           slow = aS * v + (1 - aS) * slow

@@ -332,8 +332,9 @@ object Strategies {
       while (res.isDefined) {
         val m = res.get
         out += m
-        val matchedRefs = m.legs.map(l => System.identityHashCode(l)).toSet
-        remaining = remaining.filterNot(l => matchedRefs.contains(System.identityHashCode(l)))
+        // reference-equality removal (the reference uses id(); identity
+        // HASH codes can collide and would silently drop extra legs)
+        remaining = remaining.filterNot(l => m.legs.exists(_ eq l))
         res = if (remaining.nonEmpty) matcher(remaining) else None
       }
     }

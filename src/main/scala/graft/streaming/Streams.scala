@@ -47,10 +47,13 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** T6 — stateful dedup by id within the watermark horizon (reference
-    * fill-id dedup, `orchestrator.py:339-371`).
+    * fill-id dedup, `orchestrator.py:339-371`): dedup is by ID ALONE —
+    * a re-delivered fill with a different timestamp is still the same
+    * fill — with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`).
     */
   def dedupByIds(df: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
 
   // ---------------------------------------------------------------------
   // W5/T5: incremental indicator + signal state

@@ -135,7 +135,9 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((1L, t(10), 1.0), (2L, t(11), 2.0))
       q.processAllAvailable()
-      input.addData((1L, t(10), 1.0), (3L, t(12), 3.0)) // duplicate fill 1
+      // duplicate fill 1 RE-DELIVERED WITH A DIFFERENT TIMESTAMP — still
+      // the same fill; id-only dedup must drop it
+      input.addData((1L, t(15), 1.0), (3L, t(12), 3.0))
       q.processAllAvailable()
     } finally q.stop()
     assert(spark.table("fills").count() == 3)
