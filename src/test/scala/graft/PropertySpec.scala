@@ -1,0 +1,94 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.accounts.Lifo
+import graft.accounts.Lifo.Txn
+import graft.indicators.Indicators
+
+/** Property-style invariants over deterministic pseudo-random scenarios
+  * (SURVEY §5.1: WMA/EMA invariants, LIFO conservation).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LIFO conservation: consumed quantity exactly accounts the position") {
+    val rng = new Random(42)
+    (1 to 50).foreach { trial =>
+      val nTxns = 1 + rng.nextInt(8)
+      val txns = (1 to nTxns).map { i =>
+        val qty = 1 + rng.nextInt(5)
+        val open = rng.nextBoolean()
+        Txn(
+          "S", i.toLong,
+          if (open) (if (rng.nextBoolean()) "Sell to Open" else "Buy to Open")
+          else (if (rng.nextBoolean()) "Buy to Close" else "Sell to Close"),
+          BigDecimal(1 + rng.nextInt(100)), BigDecimal(qty * 100), "Credit",
+          BigDecimal(qty * 100), qty
+        )
+      }
+      val currentQty = 1 + rng.nextInt(10)
+      Lifo.replay(txns, currentQty) match {
+        case Some(res) =>
+          // weighted price is an average of traded prices -> within range
+          res.weightedPrice.foreach { wp =>
+            val prices = txns.map(_.price)
+            assert(wp >= prices.min && wp <= prices.max, s"trial $trial: $wp outside ${prices.min}..${prices.max}")
+          }
+          // value conservation: per-unit credit can never exceed the max
+          // per-unit value of any open (all values here are qty*100 -> 100/unit)
+          assert(res.entryCredit <= BigDecimal(currentQty * 100), s"trial $trial")
+        case None => // surviving opens don't cover the position — legal outcome
+      }
+    }
+  }
+
+  test("padded WMA stays within [min, max] of values+pad (convexity)") {
+    val rng = new Random(7)
+    val vals = Seq.fill(40)(rng.nextDouble() * 200 - 100)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("key", "t", "v")
+    val w = Window.partitionBy($"key").orderBy($"t")
+    val pad = 5.0
+    val out = df
+      .withColumn("wma", Indicators.paddedWmaCol($"v", lit(pad), 7, w))
+      .select("wma")
+      .as[Double]
+      .collect()
+    val lo = math.min(vals.min, pad) - 1e-9
+    val hi = math.max(vals.max, pad) + 1e-9
+    assert(out.forall(x => x >= lo && x <= hi))
+  }
+
+  test("seeded EMA converges to a constant tail regardless of head") {
+    val rng = new Random(13)
+    val head = Seq.fill(20)(rng.nextDouble() * 100)
+    val series = head ++ Seq.fill(300)(42.0)
+    val df = series.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("key", "t", "v")
+    val last = Indicators
+      .withEmaSeeded(df, "key", Seq("t"), "v", None, 5, "ema")
+      .orderBy($"t".desc)
+      .select("ema")
+      .as[Double]
+      .head()
+    assert(math.abs(last - 42.0) < 1e-9)
+  }
+
+  test("null close rows pass through fold indicators as nulls (no NPE, state intact)") {
+    val df = Seq(
+      ("k", 0L, Option.empty[Double]), // null FIRST row — the seed must wait
+      ("k", 1L, Some(10.0)),
+      ("k", 2L, Option.empty[Double]),
+      ("k", 3L, Some(10.0))
+    ).toDF("key", "t", "v")
+    val out = Indicators
+      .withEmaSeeded(df, "key", Seq("t"), "v", None, 5, "ema")
+      .orderBy("t")
+      .select("ema")
+      .collect()
+      .map(r => Option(r.get(0)))
+    assert(out(0).isEmpty && out(2).isEmpty)
+    assert(out(1).contains(10.0) && out(3).contains(10.0))
+  }
+}
