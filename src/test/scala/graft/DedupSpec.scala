@@ -39,6 +39,21 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("native MinHashSignature == HOF xor-min formulation on real docs") {
+    import org.apache.spark.sql.functions._
+    implicit val s = spark
+    val hashed = graft.io.Tables
+      .documents(spark, sf0001)
+      .select($"doc_id", Dedup.sortedShingleHashes($"text", 3).as("shh"))
+      .filter(size($"shh") > 0)
+    val mismatches = hashed
+      .withColumn("a", Dedup.minhashSignature($"shh", 16))
+      .withColumn("b", Dedup.minhashSignatureNative($"shh", 16))
+      .filter($"a" =!= $"b")
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("exactDuplicates groups identical normalized texts only") {
     val out = Dedup.exactDuplicates(docs, "doc_id", "text")
     val rows = out.select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
