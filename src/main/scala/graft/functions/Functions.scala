@@ -97,6 +97,35 @@ object Functions {
       .when(dayofweek(d) === 7, date_sub(d, 1))
       .otherwise(d)
 
+  /** P5 — ET session-window gate as a column predicate (reference
+    * `analytics/engines/hull_macd.py:31-33`): true when the UTC
+    * timestamp falls in [earliest, latest) Eastern wall-clock minutes.
+    * (The signal engine embeds the same rule row-locally; this is the
+    * relational-filter form.)
+    */
+  def inEtSession(tsUtc: Column, earliestMin: Int = 600, latestMin: Int = 900): Column = {
+    val et = from_utc_timestamp(tsUtc, "America/New_York")
+    val minutes = hour(et) * 60 + minute(et)
+    minutes >= earliestMin && minutes < latestMin
+  }
+
+  /** F11 — naive-UTC epoch ↔ ET-shifted epoch (reference
+    * `charting/server.py:36-60` display-time shifting).
+    */
+  def utcEpochToEtShiftedEpoch(epochSec: Column): Column =
+    unix_timestamp(from_utc_timestamp(timestamp_seconds(epochSec), "America/New_York"))
+
+  /** F17 — futures detection and product-code strip (reference
+    * `market/option_chains.py:22-29`).
+    */
+  def isFutures(sym: Column): Column = sym.startsWith("/")
+  def stripFuturesPrefix(sym: Column): Column = ltrim(sym, "/")
+
+  /** F18 — lenient float cast: null on failure instead of ANSI error
+    * (reference `orchestrator.py:145-152` safe_float).
+    */
+  def safeFloat(s: Column): Column = s.try_cast("double")
+
   /** W9 — snapshot-complete bitmask gate: SNAPSHOT_END(0x08) |
     * SNAPSHOT_SNIP(0x10) (reference `snapshot.py:6-26,82`).
     */

@@ -61,6 +61,34 @@ class IoSpec extends SparkSpec {
     assert(r.getAs[java.sql.Date]("wd").toString == "2026-08-07")
   }
 
+  test("session gate, timezone shift, futures strip, safe cast") {
+    val df = Seq(
+      // 2026-02-10 15:30 UTC = 10:30 EST -> in session; 14:30 UTC = 09:30 -> out
+      ("2026-02-10 15:30:00", "/GCZ6", "12.5"),
+      ("2026-02-10 14:30:00", "SPY", "not-a-number")
+    ).toDF("ts", "sym", "raw")
+    val out = df
+      .select(
+        F.inEtSession(to_timestamp($"ts")).as("in_session"),
+        F.isFutures($"sym").as("fut"),
+        F.stripFuturesPrefix($"sym").as("stripped"),
+        F.safeFloat($"raw").as("v")
+      )
+      .collect()
+    assert(out(0).getBoolean(0) && !out(1).getBoolean(0))
+    assert(out(0).getBoolean(1) && !out(1).getBoolean(1))
+    assert(out(0).getString(2) == "GCZ6" && out(1).getString(2) == "SPY")
+    assert(out(0).getDouble(3) == 12.5 && out(1).isNullAt(3))
+    // F11: epoch shift moves 2026-02-10T15:30Z back 5h (EST)
+    val shifted = df
+      .limit(1)
+      .select(F.utcEpochToEtShiftedEpoch(unix_timestamp(to_timestamp($"ts"))))
+      .as[Long]
+      .head()
+    val orig = java.time.Instant.parse("2026-02-10T15:30:00Z").getEpochSecond
+    assert(shifted == orig - 5 * 3600)
+  }
+
   test("normalizeFloat nulls NaN/Inf and keeps 10dp") {
     val df = Seq(1.23456789012345, Double.NaN, Double.PositiveInfinity).toDF("x")
     val out = df.select(F.normalizeFloat($"x").as("n")).collect().map(r => Option(r.get(0)))
