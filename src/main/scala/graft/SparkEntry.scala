@@ -32,6 +32,7 @@ object SparkEntry {
     "a7_weighted_avg"    -> (Queries.a7WeightedAvg _),
     "a9_distinct_agg"    -> (Queries.a9DistinctAgg _),
     "j1_region_revenue"  -> (Queries.j1RegionRevenue _),
+    "j2_position_metrics" -> (Queries.j2PositionMetrics _),
     "j10_anti_join"      -> (Queries.j10AntiJoin _),
     "o4_topk_per_group"  -> (Queries.o4TopKPerGroup _),
     "f13_json_extract"   -> (Queries.f13JsonExtract _),
@@ -200,6 +201,83 @@ object Queries {
         count(lit(1)).as("n_orders")
       )
       .orderBy("r_name")
+  }
+
+  /** J2 — the full position-metrics wide table (reference
+    * `analytics/metrics.py:94-195` + `positions.py:528-760`): synthetic
+    * positions derived from `part` with REST/WS duplicate copies, merged
+    * by [[graft.metrics.Metrics.dedupePositions]] (streamer-symbol copy
+    * wins, equity fallback, quoteless non-equity dropped), then the
+    * quote/greeks/instrument/credit join chain with the delta-1
+    * theoretical greek defaults. Every rule is SQL-expressible, so the
+    * whole pipeline hash-matches a DuckDB oracle.
+    */
+  def j2PositionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val k = pmod($"p_partkey", lit(500)).cast("long")
+    val sym = concat(lit("S"), k.cast("string"))
+    val itype = when(pmod($"p_partkey", lit(4)) === 0, "Equity")
+      .when(pmod($"p_partkey", lit(4)) === 1, "Equity Option")
+      .when(pmod($"p_partkey", lit(4)) === 2, "Future")
+      .otherwise("Equity Option")
+    val positions = p.select(
+      $"p_partkey".cast("long").as("row_id"),
+      sym.as("symbol"),
+      sym.as("underlying_symbol"),
+      itype.as("instrument_type"),
+      when(pmod($"p_partkey", lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit(".XS"), k.cast("string"))).as("streamer_symbol"),
+      (pmod($"p_partkey", lit(7)) + 1).cast("double").as("quantity"),
+      when(pmod($"p_partkey", lit(11)) === 0, "Closed")
+        .when(pmod($"p_partkey", lit(2)) === 0, "Long")
+        .otherwise("Short").as("quantity_direction"),
+      when(itype.isin("Equity Option", "Future Option"), 100.0)
+        .when(itype === "Future", 50.0)
+        .otherwise(1.0).as("multiplier")
+    )
+    val slots = p.select(k.as("k")).distinct()
+    val kd = $"k".cast("double")
+    val quotes = slots
+      .select(
+        concat(lit(".XS"), $"k".cast("string")).as("streamer_symbol"),
+        round(kd * 0.5 + 1.0, 2).as("bid_price"),
+        round(kd * 0.5 + 1.2, 2).as("ask_price")
+      )
+      .union(slots.select(
+        concat(lit("S"), $"k".cast("string")),
+        round(kd + 10.0, 2),
+        round(kd + 10.4, 2)
+      ))
+    // partial coverage (k%5==0 missing) exercises the awaiting-greeks path
+    val greeks = slots.filter(pmod($"k", lit(5)) =!= 0).select(
+      concat(lit(".XS"), $"k".cast("string")).as("streamer_symbol"),
+      round(kd / 500.0 - 0.5, 4).as("delta"),
+      round(kd / 10000.0, 6).as("gamma"),
+      round(-kd / 2000.0, 6).as("theta"),
+      round(kd / 1000.0, 6).as("vega")
+    )
+    // partial coverage (k%7==0 missing) exercises the null-instrument path
+    val instruments = slots.filter(pmod($"k", lit(7)) =!= 0).select(
+      concat(lit("S"), $"k".cast("string")).as("symbol"),
+      when(pmod($"k", lit(2)) === 0, "C").otherwise("P").as("option_type"),
+      $"k".cast("decimal(12,3)").as("strike_price"),
+      lit(java.sql.Date.valueOf("2026-09-18")).as("expiration_date"),
+      (pmod($"k", lit(45)) + 1).cast("int").as("days_to_expiration")
+    )
+    val credits = slots.filter(pmod($"k", lit(2)) === 0).select(
+      concat(lit("S"), $"k".cast("string")).as("symbol"),
+      (-$"k" * 10).cast("decimal(12,2)").as("entry_credit"),
+      (kd / 10.0).cast("decimal(12,2)").as("fees")
+    )
+    graft.metrics.Metrics
+      .positionMetrics(graft.metrics.Metrics.dedupePositions(positions, "row_id"), quotes, greeks, instruments, credits)
+      .select(
+        $"symbol", $"streamer_symbol", $"instrument_type", $"quantity", $"quantity_direction",
+        $"multiplier", $"bid_price", $"ask_price", $"mid_price", $"delta", $"gamma", $"theta", $"vega",
+        $"option_type", $"strike_price", date_format($"expiration_date", "yyyy-MM-dd").as("expiry"),
+        $"days_to_expiration", $"entry_credit", $"fees", $"signed_quantity", $"dollar_theta"
+      )
+      .orderBy("symbol")
   }
 
   /** J10/U3 — anti-join diff (subscription resolver,
@@ -900,6 +978,83 @@ object Oracles {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j2_position_metrics" ->
+      """WITH pos_raw AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS row_id,
+        |    'S' || CAST(p_partkey % 500 AS VARCHAR) AS symbol,
+        |    CASE CAST(p_partkey % 4 AS INTEGER) WHEN 0 THEN 'Equity' WHEN 1 THEN 'Equity Option'
+        |         WHEN 2 THEN 'Future' ELSE 'Equity Option' END AS instrument_type,
+        |    CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE '.XS' || CAST(p_partkey % 500 AS VARCHAR) END AS streamer_symbol,
+        |    CAST(p_partkey % 7 + 1 AS DOUBLE) AS quantity,
+        |    CASE WHEN p_partkey % 11 = 0 THEN 'Closed' WHEN p_partkey % 2 = 0 THEN 'Long' ELSE 'Short' END AS quantity_direction
+        |  FROM part),
+        |pos_m AS (
+        |  SELECT *, CAST(CASE WHEN instrument_type LIKE '%Option' THEN 100.0
+        |                      WHEN instrument_type = 'Future' THEN 50.0 ELSE 1.0 END AS DOUBLE) AS multiplier
+        |  FROM pos_raw),
+        |pos_d AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY symbol
+        |      ORDER BY (streamer_symbol IS NOT NULL) DESC, row_id DESC) AS rn FROM pos_m) t WHERE rn = 1),
+        |pos AS (
+        |  SELECT row_id, symbol, instrument_type,
+        |    coalesce(streamer_symbol, CASE WHEN instrument_type = 'Equity' THEN symbol END) AS streamer_symbol,
+        |    quantity, quantity_direction, multiplier
+        |  FROM pos_d
+        |  WHERE coalesce(streamer_symbol, CASE WHEN instrument_type = 'Equity' THEN symbol END) IS NOT NULL),
+        |slots AS (SELECT DISTINCT CAST(p_partkey % 500 AS BIGINT) AS k FROM part),
+        |quotes AS (
+        |  SELECT '.XS' || CAST(k AS VARCHAR) AS streamer_symbol,
+        |    round(CAST(k AS DOUBLE) * 0.5 + 1.0, 2) AS bid_price,
+        |    round(CAST(k AS DOUBLE) * 0.5 + 1.2, 2) AS ask_price FROM slots
+        |  UNION ALL
+        |  SELECT 'S' || CAST(k AS VARCHAR),
+        |    round(CAST(k AS DOUBLE) + 10.0, 2), round(CAST(k AS DOUBLE) + 10.4, 2) FROM slots),
+        |greeks AS (
+        |  SELECT '.XS' || CAST(k AS VARCHAR) AS streamer_symbol,
+        |    round(CAST(k AS DOUBLE) / 500.0 - 0.5, 4) AS delta,
+        |    round(CAST(k AS DOUBLE) / 10000.0, 6) AS gamma,
+        |    round(-CAST(k AS DOUBLE) / 2000.0, 6) AS theta,
+        |    round(CAST(k AS DOUBLE) / 1000.0, 6) AS vega
+        |  FROM slots WHERE k % 5 <> 0),
+        |inst AS (
+        |  SELECT 'S' || CAST(k AS VARCHAR) AS symbol,
+        |    CASE WHEN k % 2 = 0 THEN 'C' ELSE 'P' END AS option_type,
+        |    CAST(k AS DECIMAL(12,3)) AS strike_price,
+        |    DATE '2026-09-18' AS expiration_date,
+        |    CAST(k % 45 + 1 AS INTEGER) AS days_to_expiration
+        |  FROM slots WHERE k % 7 <> 0),
+        |credits AS (
+        |  SELECT 'S' || CAST(k AS VARCHAR) AS symbol,
+        |    CAST(-k * 10 AS DECIMAL(12,2)) AS entry_credit,
+        |    CAST(CAST(k AS DOUBLE) / 10.0 AS DECIMAL(12,2)) AS fees
+        |  FROM slots WHERE k % 2 = 0),
+        |j AS (
+        |  SELECT p.symbol, p.streamer_symbol, p.instrument_type, p.quantity, p.quantity_direction, p.multiplier,
+        |    q.bid_price, q.ask_price, round((q.bid_price + q.ask_price) / 2.0, 4) AS mid_price,
+        |    g.delta AS g_delta, g.gamma AS g_gamma, g.theta AS g_theta, g.vega AS g_vega,
+        |    i.option_type, i.strike_price, i.expiration_date, i.days_to_expiration,
+        |    c.entry_credit, c.fees
+        |  FROM pos p
+        |  LEFT JOIN quotes q ON p.streamer_symbol = q.streamer_symbol
+        |  LEFT JOIN greeks g ON p.streamer_symbol = g.streamer_symbol
+        |    AND p.instrument_type IN ('Equity Option', 'Future Option')
+        |  LEFT JOIN inst i ON p.symbol = i.symbol
+        |  LEFT JOIN credits c ON p.symbol = c.symbol),
+        |f AS (
+        |  SELECT *,
+        |    coalesce(g_delta, CAST(CASE WHEN instrument_type NOT IN ('Equity Option', 'Future Option') THEN
+        |        CASE quantity_direction WHEN 'Long' THEN 1.0 WHEN 'Short' THEN -1.0 ELSE 0.0 END END AS DOUBLE)) AS delta,
+        |    coalesce(g_gamma, CAST(CASE WHEN instrument_type NOT IN ('Equity Option', 'Future Option') THEN 0.0 END AS DOUBLE)) AS gamma,
+        |    coalesce(g_theta, CAST(CASE WHEN instrument_type NOT IN ('Equity Option', 'Future Option') THEN 0.0 END AS DOUBLE)) AS theta,
+        |    coalesce(g_vega, CAST(CASE WHEN instrument_type NOT IN ('Equity Option', 'Future Option') THEN 0.0 END AS DOUBLE)) AS vega,
+        |    CASE WHEN quantity_direction = 'Short' THEN -quantity ELSE quantity END AS signed_quantity
+        |  FROM j)
+        |SELECT symbol, streamer_symbol, instrument_type, quantity, quantity_direction, multiplier,
+        |  bid_price, ask_price, mid_price, delta, gamma, theta, vega,
+        |  option_type, strike_price, strftime(expiration_date, '%Y-%m-%d') AS expiry, days_to_expiration,
+        |  entry_credit, fees, signed_quantity,
+        |  theta * signed_quantity * multiplier AS dollar_theta
+        |FROM f ORDER BY symbol""".stripMargin,
     "j10_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')

@@ -75,6 +75,8 @@ object TradeChains {
       StructField("total-fees-effect", StringType),
       StructField("realized-gain", StringType),
       StructField("realized-gain-effect", StringType),
+      StructField("realized-gain-with-fees", StringType),
+      StructField("realized-gain-with-fees-effect", StringType),
       StructField("roll-count", IntegerType),
       StructField("open-entries", ArrayType(entryType))
     ))),
@@ -122,22 +124,27 @@ object TradeChains {
       .select(col("c.id").as("chain_id"), explode(col("c.`lite-nodes`")).as("n"))
       .select(
         col("chain_id"),
+        // node id carries the correlation: two nodes in one chain can share
+        // an occurred-at timestamp but differ in net greeks, so the join key
+        // must be node identity, not the instant.
+        col("n.id").as("node_id"),
         to_timestamp(col("n.`occurred-at`")).as("occurred_at"),
         col("n.`market-state-snapshot`.`market-datas`").as("mds"),
         col("n.`market-state-snapshot`.`total-delta`").cast("double").as("net_delta"),
         col("n.`market-state-snapshot`.`total-theta`").cast("double").as("net_theta")
       )
       .filter(col("mds").isNotNull)
-    val perLeg = n.select(col("chain_id"), col("occurred_at"), explode(col("mds")).as("md"))
+    val perLeg = n.select(col("chain_id"), col("node_id"), col("occurred_at"), explode(col("mds")).as("md"))
       .select(
         col("chain_id"),
+        col("node_id"),
         col("occurred_at"),
         col("md.symbol").as("symbol"),
         col("md.delta").cast("double").as("delta"),
         col("md.theta").cast("double").as("theta")
       )
-    val net = n.select("chain_id", "occurred_at", "net_delta", "net_theta").distinct()
-    perLeg.join(net, Seq("chain_id", "occurred_at"))
+    val net = n.select("chain_id", "node_id", "net_delta", "net_theta").distinct()
+    perLeg.join(net, Seq("chain_id", "node_id"))
   }
 
   def openEntries(chains: DataFrame, jsonCol: String = "json"): DataFrame =
@@ -155,6 +162,44 @@ object TradeChains {
         col("e.symbol").as("symbol"),
         col("e.`quantity-numeric`").cast("double").as("signed_quantity")
       )
+
+  /** Chain-lifecycle lookup keyed by open-entry symbol (reference
+    * `positions.py:653-672`): open chains only, one row per open-entry
+    * symbol carrying chain_id / tt_strategy (chain description) / rolls /
+    * realized_pnl (`realized-gain-with-fees`, effect-signed) /
+    * chain_fees. Where the reference's dict insert order decides which
+    * chain wins a shared symbol, we take max(chain_id) for determinism.
+    * Feed of [[graft.metrics.Metrics.enrichWithChains]].
+    */
+  def chainBySymbol(chains: DataFrame, jsonCol: String = "json"): DataFrame =
+    parsed(chains, jsonCol)
+      .filter(col("c.`computed-data`.open"))
+      .select(
+        col("c.id").as("chain_id"),
+        col("c.description").as("tt_strategy"),
+        col("c.`computed-data`.`roll-count`").as("rolls"),
+        Functions.applyEffect(
+          col("c.`computed-data`.`realized-gain-with-fees`").cast("decimal(18,6)"),
+          col("c.`computed-data`.`realized-gain-with-fees-effect`")
+        ).as("realized_pnl"),
+        Functions.applyEffect(
+          col("c.`computed-data`.`total-fees`").cast("decimal(18,6)"),
+          col("c.`computed-data`.`total-fees-effect`")
+        ).as("chain_fees"),
+        explode(col("c.`computed-data`.`open-entries`")).as("e")
+      )
+      .select(
+        trim(col("e.symbol")).as("symbol"),
+        col("chain_id"), col("tt_strategy"), col("rolls"), col("realized_pnl"), col("chain_fees")
+      )
+      .groupBy("symbol")
+      .agg(
+        max_by(
+          struct(col("chain_id"), col("tt_strategy"), col("rolls"), col("realized_pnl"), col("chain_fees")),
+          col("chain_id")
+        ).as("c")
+      )
+      .select(col("symbol"), col("c.*"))
 
   /** J9/A6 — campaign rollup per underlying from chain computed data:
     * Σ effect-signed realized gain, Σ fees, roll count, open-chain

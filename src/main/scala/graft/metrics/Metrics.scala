@@ -18,6 +18,45 @@ import graft.functions.Functions
   */
 object Metrics {
 
+  /** Instrument types that receive live greeks (reference
+    * `metrics.py:37-42` OPTION_TYPES); everything else is delta-1
+    * (`metrics.py:21-35` DELTA_1_TYPES — the reference enumerates all
+    * non-option types; we express the same set as the complement).
+    */
+  val OptionTypes: Seq[String] = Seq("Equity Option", "Future Option")
+
+  /** Merge duplicate position rows per symbol, preferring the copy that
+    * carries a `streamer_symbol` (reference `positions.py:536-554`: REST
+    * hydration omits the streamer symbol, live WS events include it —
+    * both land in the store keyed by symbol and must collapse to one
+    * row). Then the equity fallback (reference `metrics.py:104-112`):
+    * an Equity position without a streamer symbol streams under its own
+    * symbol; any OTHER instrument without one cannot be quoted and is
+    * dropped, matching the reference's "Skipping position" branch.
+    *
+    * Spark shape: one `max_by` aggregate keyed on
+    * (has streamer_symbol, tieBreak) — a single shuffle with map-side
+    * combine; no window sort. `tieBreakCol` makes the merge
+    * deterministic where the reference relies on store iteration order.
+    */
+  def dedupePositions(positions: DataFrame, tieBreakCol: String): DataFrame = {
+    val cols = positions.columns.map(col)
+    positions
+      .groupBy(col("symbol"))
+      .agg(
+        max_by(
+          struct(cols: _*),
+          struct(col("streamer_symbol").isNotNull.as("has_ss"), col(tieBreakCol).as("tb"))
+        ).as("p")
+      )
+      .select(col("p.*"))
+      .withColumn(
+        "streamer_symbol",
+        coalesce(col("streamer_symbol"), when(col("instrument_type") === "Equity", col("symbol")))
+      )
+      .filter(col("streamer_symbol").isNotNull)
+  }
+
   /** Build the wide SecurityMetrics-style table.
     *
     * Inputs (column contracts):
@@ -38,7 +77,7 @@ object Metrics {
       instruments: DataFrame,
       entryCredits: DataFrame
   ): DataFrame = {
-    val optionTypes = Seq("Equity Option", "Future Option")
+    val optionTypes = OptionTypes
     val signedQty = when(col("quantity_direction") === "Short", -col("quantity")).otherwise(col("quantity"))
 
     val withQuotes = positions
@@ -47,6 +86,14 @@ object Metrics {
 
     // greeks only enrich option positions (reference metrics.py:175-195)
     val g = greeks.withColumnRenamed("streamer_symbol", "g_sym")
+    // Delta-1 theoretical defaults (reference metrics.py:98-126): equity/
+    // future/crypto/… positions are delta ±1.0 by direction with zero
+    // gamma/theta/vega — without these a portfolio holding stock reports
+    // net_delta from its options alone.
+    val isDelta1 = !col("instrument_type").isin(optionTypes: _*)
+    val delta1Default = when(col("quantity_direction") === "Long", lit(1.0))
+      .when(col("quantity_direction") === "Short", lit(-1.0))
+      .otherwise(lit(0.0))
     val withGreeks = withQuotes
       .join(
         broadcast(g),
@@ -54,6 +101,10 @@ object Metrics {
         "left"
       )
       .drop("g_sym")
+      .withColumn("delta", coalesce(col("delta"), when(isDelta1, delta1Default)))
+      .withColumn("gamma", coalesce(col("gamma"), when(isDelta1, lit(0.0))))
+      .withColumn("theta", coalesce(col("theta"), when(isDelta1, lit(0.0))))
+      .withColumn("vega", coalesce(col("vega"), when(isDelta1, lit(0.0))))
 
     // instrument metadata with OCC-symbol fallback parse (J3 + F6)
     val inst = instruments.select(
@@ -89,4 +140,14 @@ object Metrics {
         count(lit(1)).as("n_legs"),
         sort_array(collect_list(concat_ws("", col("symbol"), lit("@"), col("strike_price")))).as("leg_descriptions")
       )
+
+  /** Enrich the metrics table with trade-chain lifecycle columns
+    * (reference `positions.py:653-672` builds `chain_by_symbol` from open
+    * chains' open-entries; `positions.py:723-760` maps chain_id /
+    * tt_strategy / rolls / realized_pnl / chain_fees onto each position
+    * row). `chainBySymbol` is `TradeChains.chainBySymbol` — one row per
+    * open-entry symbol; broadcast because it is portfolio-bounded.
+    */
+  def enrichWithChains(metrics: DataFrame, chainBySymbol: DataFrame): DataFrame =
+    metrics.join(broadcast(chainBySymbol), Seq("symbol"), "left")
 }

@@ -8,7 +8,8 @@ class TradeChainsSpec extends SparkSpec {
   private val chainJson =
     """{"id":"chain1","description":"Iron Condor","underlying-symbol":"SPY",
       |"computed-data":{"open":true,"total-fees":"12.5","total-fees-effect":"Debit",
-      |  "realized-gain":"150.0","realized-gain-effect":"Credit","roll-count":2,
+      |  "realized-gain":"150.0","realized-gain-effect":"Credit",
+      |  "realized-gain-with-fees":"137.5","realized-gain-with-fees-effect":"Credit","roll-count":2,
       |  "open-entries":[{"symbol":"SPY 1","instrument-type":"Equity Option","quantity":"1","quantity-type":"Short","quantity-numeric":"-1"}]},
       |"lite-nodes":[
       |  {"node-type":"order","id":"n1","description":"Opening","occurred-at":"2026-02-10T15:30:00Z",
@@ -57,5 +58,26 @@ class TradeChainsSpec extends SparkSpec {
     assert(roll.getAs[Long]("total_rolls") == 2L)
     assert(roll.getAs[Long]("open_chains") == 1L)
     assert(roll.getAs[java.math.BigDecimal]("recovery").doubleValue() == 0.0)
+  }
+
+  test("chainBySymbol lookup + metrics enrichment (positions.py:653-672,723-760)") {
+    // a closed chain must NOT contribute lookup rows
+    val closed = chainJson.replace("\"open\":true", "\"open\":false").replace("chain1", "chain0")
+    val lookup = TradeChains.chainBySymbol(Seq(chainJson, closed).toDF("json"))
+    val rows = lookup.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("symbol") == "SPY 1") // trimmed open-entry symbol
+    assert(r.getAs[String]("chain_id") == "chain1")
+    assert(r.getAs[String]("tt_strategy") == "Iron Condor")
+    assert(r.getAs[Int]("rolls") == 2)
+    assert(r.getAs[java.math.BigDecimal]("realized_pnl").doubleValue() == 137.5)
+    assert(r.getAs[java.math.BigDecimal]("chain_fees").doubleValue() == -12.5)
+
+    val metrics = Seq(("SPY 1", "SPY"), ("SPY 2", "SPY")).toDF("symbol", "underlying_symbol")
+    val enriched = graft.metrics.Metrics.enrichWithChains(metrics, lookup)
+      .collect().map(x => x.getAs[String]("symbol") -> x).toMap
+    assert(enriched("SPY 1").getAs[String]("chain_id") == "chain1")
+    assert(enriched("SPY 2").isNullAt(enriched("SPY 2").fieldIndex("chain_id")))
   }
 }
