@@ -55,6 +55,7 @@ object SparkEntry {
     "d3_simhash"         -> (Queries.d3Simhash _),
     "d4_ngram_jaccard"   -> (Queries.d4NgramJaccard _),
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
+    "d6_embed_lsh_pairs" -> (Queries.d6EmbedLshPairs _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
     "n3_ann_ivf"         -> (Queries.n3AnnIvf _),
@@ -85,12 +86,12 @@ object SparkEntry {
     * ScalaTest specs carry the correctness burden instead.
     */
   def oracleFree: Set[String] = Set(
-    // simhash needs hex→int64 conversion DuckDB v1.0.0 lacks (`conv`);
-    // correctness carried by DedupSpec (planted near-dups + hamming).
-    "d3_simhash",
     // LSH hyperplanes are Scala-generated; correctness = recall vs the
     // oracle-checked brute-force n1 (SimilaritySpec).
     "n2_ann_lsh",
+    // sign-LSH pair blocking (hyperplanes Scala-generated); correctness
+    // = recall ≥95% vs the oracle-checked exact d5 (SimilaritySpec).
+    "d6_embed_lsh_pairs",
     // IVF centroid model state is Scala-side; correctness = recall vs n1.
     "n3_ann_ivf",
     // batched binary decode is a mapPartitions kernel (the point is the
@@ -556,12 +557,25 @@ object Queries {
       .ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text", "n_chars", n = 3, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
-  /** Embedding-cosine near-dup pairs (exact baseline; threshold set to
-    * the corpus's actual similarity regime).
+  /** Embedding-cosine near-dup pairs — the exact O(n²) VERIFIER, kept
+    * as the oracle-checkable ground truth at test scale only. The scale
+    * path is [[d6EmbedLshPairs]]; do not run this form on a large corpus
+    * (the all-pairs join is quadratic by construction). Threshold set to
+    * the corpus's actual similarity regime.
     */
   def d5EmbedNeardup(spark: SparkSession, dir: String): DataFrame =
     Similarity
       .cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** D6 — the 100 TB embedding near-dup path: banded sign-LSH candidate
+    * pairs + exact cosine verify (see `Similarity.lshNearDupPairs` for
+    * the recall math). SimilaritySpec proves ≥95% recall vs the
+    * oracle-checked d5 on the same corpus.
+    */
+  def d6EmbedLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
@@ -1271,6 +1285,30 @@ object Oracles {
          |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
+    // simhash: the hex→int64 conversion DuckDB v1.0.0 lacks via conv()
+    // is expressed with the ('0x'||hex)::BIGINT cast; the 60-bit sketch
+    // is a nested list_reduce replicating Simhash60's sign-sum exactly.
+    "d3_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_transform(ts, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hl FROM toks),
+        |sk AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 60), b ->
+        |      CASE WHEN list_reduce(list_transform(hl, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), (x,y) -> x+y) > 0
+        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END), (x,y) -> x+y) AS sim
+        |  FROM hs),
+        |chunked AS (
+        |  SELECT doc_id, sim, c AS chunk, (sim >> (15*c)) & 32767 AS chunk_val
+        |  FROM sk, unnest([0,1,2,3]) AS u(c))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        |FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3
+        |HAVING hamming <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id AS id, n_chars AS len,

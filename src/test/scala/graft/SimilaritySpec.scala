@@ -84,4 +84,38 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall $recall too low") // ANN trade-off; tuned in bench
   }
+
+  test("lshNearDupPairs recall >= 95% of the exact d5 pairs (real embeddings)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // every LSH pair is exact-verified, so no false positives possible
+    assert((lsh -- exact).isEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall below 0.95 (${exact.size} exact pairs)")
+  }
+
+  test("lshNearDupPairs high-similarity regime: wide bits still find planted near-dups") {
+    // planted pairs at cosine ~0.99 among random noise — the production
+    // regime where bits=12 buckets make the pair join sub-quadratic
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(_ => vec())
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, jitter(v).toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val planted = (0 until 40).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val found = Similarity
+      .lshNearDupPairs(df, "vec_id", "embedding", 0.9, bits = 12, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    assert(recall >= 0.95, s"planted recall $recall")
+  }
 }
