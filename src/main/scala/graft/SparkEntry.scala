@@ -506,15 +506,17 @@ object Queries {
       .orderBy("doc_id")
 
   /** Language-ID heuristic: argmax of per-language marker-token hits. */
-  def x3LangId(spark: SparkSession, dir: String): DataFrame =
+  def x3LangId(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
     Tables
       .documents(spark, dir)
       .select(
         $"doc_id",
         $"lang",
-        TextOps.langIdHeuristic($"text").as("lang_pred")
+        TextOps.langIdHeuristicNative($"text").as("lang_pred")
       )
       .orderBy("doc_id")
+  }
 
   /** Content fingerprint (rolling-identity hash of normalized text). */
   def x4Fingerprint(spark: SparkSession, dir: String): DataFrame =

@@ -52,19 +52,37 @@ object Lifo {
     * surviving opens cannot account for `currentQty` (incomplete
     * history), matching the reference's null result.
     */
-  def replay(txns: Seq[Txn], currentQty: Int): Option[LifoResult] = {
-    if (currentQty == 0)
-      return Some(LifoResult(txns.headOption.map(_.symbol).getOrElse(""), BigDecimal(0), BigDecimal(0), None, txns.size))
-    val sorted = txns.sortBy(t => (-t.executedAtUs, -t.quantity))
+  def replay(txns: Seq[Txn], currentQty: Int): Option[LifoResult] =
+    replayStream(
+      txns.headOption.map(_.symbol).getOrElse(""),
+      txns.sortBy(t => (-t.executedAtUs, -t.quantity)).iterator,
+      currentQty
+    )
+
+  /** Streaming replay over a newest-first iterator: O(1) state, and —
+    * the scale property — EARLY EXIT once the position is fully
+    * accounted (`remaining == 0`): the (often long) older tail of the
+    * history is then only counted, never materialized as `Txn` objects.
+    * A pathological symbol with millions of fills costs a scan, not
+    * heap. The distributed driver feeds this directly from the
+    * sort-within-partitions row stream.
+    */
+  def replayStream(symbol: String, sortedNewestFirst: Iterator[Txn], currentQty: Int): Option[LifoResult] = {
+    val it = sortedNewestFirst
+    var count = 0
+    if (currentQty == 0) {
+      while (it.hasNext) { it.next(); count += 1 }
+      return Some(LifoResult(symbol, BigDecimal(0), BigDecimal(0), None, count))
+    }
     var remaining = math.abs(currentQty)
     var closeBuffer = 0
     var entryCredit = BigDecimal(0)
     var totalFees = BigDecimal(0)
     var priceXQty = BigDecimal(0)
     var totalQty = 0
-    val it = sorted.iterator
     while (it.hasNext && remaining != 0) {
       val txn = it.next()
+      count += 1
       val qty = txn.quantity
       if (CloseActions.contains(txn.action)) {
         closeBuffer += qty
@@ -85,12 +103,15 @@ object Lifo {
         }
       }
     }
+    // early-exited: count the tail for transaction_count without
+    // retaining anything
+    while (it.hasNext) { it.next(); count += 1 }
     if (remaining != 0) None
     else {
       val wp =
         if (totalQty > 0) Some(BigDecimal(priceXQty.bigDecimal.divide(new JBigDecimal(totalQty), MC)))
         else None
-      Some(LifoResult(txns.head.symbol, entryCredit, totalFees, wp, txns.size))
+      Some(LifoResult(symbol, entryCredit, totalFees, wp, count))
     }
   }
 
@@ -130,36 +151,41 @@ object Lifo {
       .repartition(col("symbol"))
       .sortWithinPartitions(col("symbol"), col("executed_at_us").desc, col("quantity").desc)
     joined.mapPartitions { rows =>
-      val grouped = new Iterator[(String, Int, Vector[Txn])] {
-        val buf = rows.buffered
+      // Per-symbol runs stream straight from the sorted row iterator into
+      // replayStream — no history Vector: the replay early-exits once the
+      // position is accounted and the run's tail is only counted, so a
+      // symbol's heap cost is O(1) regardless of its fill count.
+      val buf = rows.buffered
+      val results = new Iterator[Option[Row]] {
         def hasNext: Boolean = buf.hasNext
-        def next(): (String, Int, Vector[Txn]) = {
+        def next(): Option[Row] = {
           val sym = buf.head.getString(0)
-          var qty = 0
-          var acc = Vector.empty[Txn]
-          while (buf.hasNext && buf.head.getString(0) == sym) {
-            val r = buf.next()
-            qty = r.getInt(8)
-            acc :+= Txn(
-              r.getString(0), r.getLong(1), r.getString(2),
-              BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
-              r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)
+          val qty = buf.head.getInt(8)
+          val run: Iterator[Txn] = new Iterator[Txn] {
+            def hasNext: Boolean = buf.hasNext && buf.head.getString(0) == sym
+            def next(): Txn = {
+              val r = buf.next()
+              Txn(
+                r.getString(0), r.getLong(1), r.getString(2),
+                BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
+                r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)
+              )
+            }
+          }
+          val res = replayStream(sym, run, qty)
+          while (run.hasNext) run.next() // replayStream drains; keep the run invariant anyway
+          res.map { r =>
+            Row(
+              sym,
+              r.entryCredit.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
+              r.fees.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
+              r.weightedPrice.map(_.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal).orNull,
+              r.transactionCount
             )
           }
-          (sym, qty, acc)
         }
       }
-      grouped.flatMap { case (sym, qty, ts) =>
-        replay(ts, qty).map { res =>
-          Row(
-            sym,
-            res.entryCredit.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
-            res.fees.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
-            res.weightedPrice.map(_.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal).orNull,
-            res.transactionCount
-          )
-        }
-      }
+      results.flatten
     }(Encoders.row(outputSchema))
   }
 }

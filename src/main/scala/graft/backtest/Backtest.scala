@@ -18,6 +18,35 @@ import graft.signals.HullMacd
   */
 object Backtest {
 
+  /** DXLink interval normalization (reference
+    * `backtest/models.py:20-53`): `1m`/`1h`/`1d` compact to
+    * `m`/`h`/`d`; multi-unit intervals pass through.
+    */
+  def toDxlinkInterval(interval: String): String = interval match {
+    case "1m" => "m"
+    case "1h" => "h"
+    case "1d" => "d"
+    case other => other
+  }
+
+  /** Warmup days before the scored range (reference
+    * `backtest/replay.py:25-39`): MACD(26) is the longest indicator —
+    * daily needs 45 calendar days, hourly 5, everything finer 3.
+    */
+  def warmupDays(interval: String): Int = toDxlinkInterval(interval) match {
+    case "d" => 45
+    case "h" => 5
+    case _   => 3
+  }
+
+  /** Epoch-micros start of the warmup window for a scored range
+    * beginning at `scoreFromUs` (reference `replay.py:92-104`: fetch
+    * candles from `start_date - warmup_days` so the indicators are warm
+    * when scoring begins).
+    */
+  def warmupStartUs(scoreFromUs: Long, signalInterval: String): Long =
+    scoreFromUs - warmupDays(signalInterval).toLong * 86_400_000_000L
+
   /** J8 — multi-timeframe interleave: one stream, pricing first on
     * timestamp ties. Columns must align; adds `interval_rank`
     * (0 = pricing, 1 = signal).
@@ -34,6 +63,12 @@ object Backtest {
     * `publisher.py:112-128`).
     *
     * `signalCandles`/`pricing` need (symbol, time_us, close).
+    *
+    * `scoreFromUs`: when set, candles BEFORE it only warm the
+    * indicators (reference `replay.py:27-39` warmup rule — without it,
+    * signals near the range start fire from unwarmed windows); only
+    * signals at/after it are emitted. The caller supplies candles from
+    * [[warmupStartUs]] onward.
     */
   def run(
       signalCandles: DataFrame,
@@ -41,9 +76,11 @@ object Backtest {
       hullLength: Int = 20,
       fast: Int = 12,
       slow: Int = 26,
-      signalLen: Int = 9
+      signalLen: Int = 9,
+      scoreFromUs: Option[Long] = None
   ): DataFrame = {
-    val signals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close", hullLength, fast, slow, signalLen)
+    val allSignals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close", hullLength, fast, slow, signalLen)
+    val signals = scoreFromUs.fold(allSignals)(t => allSignals.filter(col("time_us") >= t))
     val pricingClean = pricing
       .filter(col("close").isNotNull)
       .select(col("symbol"), col("time_us"), col("close").as("entry_price"))

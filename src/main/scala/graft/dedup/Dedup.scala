@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -42,13 +41,22 @@ object Dedup {
 
   /** Exact duplicate groups by content fingerprint: every doc in a group
     * of >1 identical normalized texts, with the group's keeper (min id).
+    *
+    * Aggregation form, not a window: project the slim (id, fingerprint)
+    * pair once, `groupBy(fingerprint)` with map-side partial aggregation
+    * (no per-partition sort, no second window pass), then re-join the
+    * dup-group stats onto the slim pairs. Only duplicate fingerprints
+    * survive the aggregate's filter, so the join's build side is tiny on
+    * a mostly-unique corpus and AQE broadcasts it; worst case it is a
+    * plain equi-shuffle on a high-cardinality key.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
-    val w = Window.partitionBy(col("fingerprint"))
-    fp.withColumn("keeper_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val fp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val groups = fp
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
+    fp.join(groups, Seq("fingerprint"))
       .select(col(idCol), col("keeper_id"), col("fingerprint"), col("group_size"))
   }
 

@@ -35,8 +35,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def nullable: Boolean = true
 
-  // length mismatch → null, matching the HOF formulation
-  // (zip_with null-pads, and a null element poisons the sum)
+  // length mismatch → null, and a null ELEMENT → null, matching the HOF
+  // formulation (zip_with null-pads; a null element poisons the sum) —
+  // arrays with containsNull=true pass checkInputDataTypes, so the
+  // element check is load-bearing, not defensive
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +47,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -63,9 +66,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -17,6 +17,8 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
+  // can return null on a non-null input (null element poisons)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -31,6 +33,7 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
     val seedArr = seeds.toArray
     var i = 0
     while (i < n) {
+      if (hs.isNullAt(i)) return null // null element poisons, as in the HOF twin
       val h = hs.getLong(i)
       var s = 0
       while (s < k) {

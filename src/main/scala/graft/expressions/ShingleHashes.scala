@@ -42,10 +42,15 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
     var i = 0
     while (i < count) {
       sb.setLength(0)
+      // null tokens are skipped like the HOF twin's concat_ws does
       var j = 0
+      var firstTok = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        if (!toks.isNullAt(i + j)) {
+          if (!firstTok) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          firstTok = false
+        }
         j += 1
       }
       md.reset()

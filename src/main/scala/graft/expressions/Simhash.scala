@@ -20,18 +20,24 @@ case class Simhash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash60"
+  // can return null on a non-null input (null element poisons) — without
+  // this, a nullable=false plan writes the null as 0
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other                  => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
   }
 
+  // null ELEMENT → null result (containsNull=true arrays pass the type
+  // check; reading a null slot as 0L would silently skew the sketch)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val h = arr.getLong(i)
       var b = 0
       while (b < 60) {
@@ -61,16 +67,19 @@ case class Simhash60(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $counts = new int[60];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 60; $b++) {
          |    if ((($h >> $b) & 1L) == 1L) { $counts[$b]++; } else { $counts[$b]--; }
          |  }
          |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 60; $b++) {
-         |  if ($counts[$b] > 0) { $out |= (1L << $b); }
+         |if (!${ev.isNull}) {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ($counts[$b] > 0) { $out |= (1L << $b); }
+         |  }
+         |  ${ev.value} = $out;
          |}
-         |${ev.value} = $out;
        """.stripMargin
     })
 

@@ -37,12 +37,19 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
 
   override def nullable: Boolean = true
 
+  // null ELEMENT → null result: arrays with containsNull=true pass
+  // checkInputDataTypes, and a silent getLong on a null slot would
+  // produce a wrong ratio instead of a visible null
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val m = y.numElements()
     if (n + m == 0) return null
+    var p = 0
+    while (p < n) { if (x.isNullAt(p)) return null; p += 1 }
+    p = 0
+    while (p < m) { if (y.isNullAt(p)) return null; p += 1 }
     var i = 0
     var j = 0
     var inter = 0
@@ -71,14 +78,18 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
          |if ($n + $m == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $i = 0; int $j = 0; int $inter = 0;
-         |  while ($i < $n && $j < $m) {
-         |    long $xv = $a.getLong($i);
-         |    long $yv = $b.getLong($j);
-         |    if ($xv == $yv) { $inter++; $i++; $j++; }
-         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) { if ($a.isNullAt($i)) { ${ev.isNull} = true; } }
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } }
+         |  if (!${ev.isNull}) {
+         |    int $i = 0; int $j = 0; int $inter = 0;
+         |    while ($i < $n && $j < $m) {
+         |      long $xv = $a.getLong($i);
+         |      long $yv = $b.getLong($j);
+         |      if ($xv == $yv) { $inter++; $i++; $j++; }
+         |      else if ($xv < $yv) { $i++; } else { $j++; }
+         |    }
+         |    ${ev.value} = (double) $inter / (double) ($n + $m - $inter);
          |  }
-         |  ${ev.value} = (double) $inter / (double) ($n + $m - $inter);
          |}
        """.stripMargin
     })

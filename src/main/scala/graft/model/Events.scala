@@ -2,7 +2,7 @@ package graft.model
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -83,6 +83,46 @@ object Events {
         d.withColumn(name, Functions.normalizeFloat(col(name)))
       case (d, _) => d
     }
+
+  /** F14 serialize direction — flatten a typed frame to the
+    * Influx-point shape (reference `accounts/models.py:57-127`
+    * `InfluxMixin.for_influx`): scalar columns pass through; nested
+    * structs/arrays/maps become JSON strings (in a typed frame the
+    * complex columns ARE the reference's declared `INFLUX_JSON_FIELDS`
+    * plus its unexpected-non-scalar catch-all); timestamps/dates become
+    * ISO-8601 strings (fractional seconds omitted when zero, like
+    * Python's `isoformat`); `timeField`, when set and timestamp-typed,
+    * is KEPT as a timestamp under the column name `time` (the point
+    * timestamp); `exclude`d columns are dropped.
+    *
+    * Pure projection — schema-driven at plan time, codegen'd `to_json`
+    * / `date_format` at run time, no shuffle.
+    */
+  def toInfluxShape(
+      df: DataFrame,
+      timeField: String = "",
+      exclude: Set[String] = Set.empty
+  ): DataFrame = {
+    def iso(c: Column): Column = {
+      val base = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+      val frac = date_format(c, "SSSSSS")
+      when(c.isNull, lit(null).cast("string"))
+        .when(frac === "000000", base)
+        .otherwise(concat(base, lit("."), frac))
+    }
+    val cols = df.schema.fields.toSeq.collect {
+      case StructField(name, _, _, _) if exclude.contains(name) => Seq.empty[Column]
+      case StructField(name, TimestampType, _, _) if name == timeField =>
+        Seq(col(name).as("time"))
+      case StructField(name, TimestampType, _, _) => Seq(iso(col(name)).as(name))
+      case StructField(name, DateType, _, _)      => Seq(date_format(col(name), "yyyy-MM-dd").as(name))
+      case StructField(name, _: StructType, _, _) => Seq(to_json(col(name)).as(name))
+      case StructField(name, _: ArrayType, _, _)  => Seq(to_json(col(name)).as(name))
+      case StructField(name, _: MapType, _, _)    => Seq(to_json(col(name)).as(name))
+      case StructField(name, _, _, _)             => Seq(col(name))
+    }.flatten
+    df.select(cols: _*)
+  }
 
   /** Typed ingest: JSON-lines/parquet → declared schema → normalized →
     * Dataset[CandleEvent].

@@ -30,9 +30,12 @@ object Streams {
 
   /** A1/T2 — streaming latest-value table: watermarked update-mode
     * aggregation keeping the max-(time, tiebreak) row per key
-    * (reference Redis HSET latest, `redis.py:36-38`; late data beyond
-    * the watermark is dropped — the reference has no lateness bound,
-    * SURVEY §7.5.4 documents the divergence).
+    * (reference Redis HSET latest, `redis.py:36-38`). Note on lateness:
+    * a streaming aggregation grouped only by key (no event-time window)
+    * does NOT drop late rows or evict state at the watermark — results
+    * stay correct because `max_by` ignores older rows; state is bounded
+    * by key cardinality (the reference's Redis hash has the same bound),
+    * not by the watermark.
     */
   def latestPerKey(df: DataFrame, key: String, tsCol: String, watermark: String, valueCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
@@ -142,6 +145,39 @@ object Streams {
   def emptyIndicatorState: IndicatorState =
     IndicatorState(Nil, Nil, None, 0.0, 0.0, 0.0, 0, 0.0, HullMacd.State())
 
+  /** W5 warm start — seed per-symbol indicator state from batch history
+    * (reference `charting/indicators.py:26-284`: `seed` folds the
+    * historical candles, then live updates are O(1)). The history fold
+    * runs [[stepIndicator]] itself, so the produced state is bit-exact
+    * with what a stream that had consumed the same candles would hold;
+    * signals fired *during* the warmup are discarded (warm, don't
+    * score). One shuffle on symbol; per-key state is O(hullLength).
+    *
+    * Feed the result to [[detectSignalsStream]]'s `initialState` — a
+    * restarted stream then continues the indicator recursions instead of
+    * recomputing them wrongly from an empty window.
+    */
+  def seedIndicatorState(
+      history: org.apache.spark.sql.Dataset[CandleIn],
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState] = {
+    import history.sparkSession.implicits._
+    history
+      .groupByKey(_.symbol)
+      .mapGroups { (sym: String, rows: Iterator[CandleIn]) =>
+        var st = emptyIndicatorState
+        rows.toSeq.sortBy(_.timeUs).foreach { c =>
+          st = stepIndicator(st, c, hullLength, fast, slow, signalLen)._1
+        }
+        (sym, st)
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+  }
+
   /** Streaming signal detection: keyed incremental state via
     * `flatMapGroupsWithState` (append mode). Candles within a micro-batch
     * are sorted by event time; cross-batch order is the source's
@@ -153,18 +189,80 @@ object Streams {
       hullLength: Int = 20,
       fast: Int = 12,
       slow: Int = 26,
-      signalLen: Int = 9
+      signalLen: Int = 9,
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState]] = None
   ): org.apache.spark.sql.Dataset[SignalOut] = {
+    import candles.sparkSession.implicits._
+    val fn = (sym: String, rows: Iterator[CandleIn], state: GroupState[IndicatorState]) => {
+      var st = state.getOption.getOrElse(emptyIndicatorState)
+      val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
+        val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
+        st = ns
+        sigs
+      }
+      state.update(st)
+      out.iterator
+    }
+    val grouped = candles.groupByKey(_.symbol)
+    initialState match {
+      case Some(init) => grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
+      case None       => grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
+  /** T9/J8 streaming — one merged multi-timeframe stream: `rank` 0 =
+    * pricing-interval candle, 1 = signal-interval candle (the batch
+    * [[graft.backtest.Backtest.mergeReplay]] rule carried into
+    * streaming).
+    */
+  case class RankedCandle(symbol: String, timeUs: Long, rank: Int, close: Double)
+
+  case class BacktestState(ind: IndicatorState, lastPricing: Option[Double])
+
+  case class EnrichedSignal(
+      symbol: String,
+      time_us: Long,
+      signal_type: String,
+      direction: String,
+      trigger: String,
+      close_price: Double,
+      entry_price: Option[Double]
+  )
+
+  /** T9 — streaming backtest fold over the merged stream: within a
+    * micro-batch rows sort by (timeUs, rank), so a pricing candle at the
+    * SAME instant as a signal candle is folded FIRST (reference
+    * `backtest/replay.py` chronological interleave; the batch twin is
+    * `mergeReplay` + the as-of join's `pricing.time <= signal.time`).
+    * Pricing rows update the per-symbol last-price state; signal rows
+    * step the indicator engine, and emitted signals carry the as-of
+    * entry price. Identical arithmetic to the batch
+    * [[graft.backtest.Backtest.run]], so streaming == batch bit-exactly.
+    */
+  def backtestStream(
+      candles: org.apache.spark.sql.Dataset[RankedCandle],
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[EnrichedSignal] = {
     import candles.sparkSession.implicits._
     candles
       .groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (sym: String, rows: Iterator[CandleIn], state: GroupState[IndicatorState]) =>
-          var st = state.getOption.getOrElse(emptyIndicatorState)
-          val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
-            val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
-            st = ns
-            sigs
+        (sym: String, rows: Iterator[RankedCandle], state: GroupState[BacktestState]) =>
+          var st = state.getOption.getOrElse(BacktestState(emptyIndicatorState, None))
+          val out = rows.toSeq.sortBy(c => (c.timeUs, c.rank)).flatMap { c =>
+            if (c.rank == 0) {
+              st = st.copy(lastPricing = Some(c.close))
+              Nil
+            } else {
+              val (ns, sigs) = stepIndicator(st.ind, CandleIn(c.symbol, c.timeUs, c.close), hullLength, fast, slow, signalLen)
+              st = st.copy(ind = ns)
+              sigs.map(s =>
+                EnrichedSignal(c.symbol, s.time_us, s.signal_type, s.direction, s.trigger, s.close_price, st.lastPricing)
+              )
+            }
           }
           state.update(st)
           out.iterator

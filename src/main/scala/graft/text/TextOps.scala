@@ -91,6 +91,14 @@ object TextOps {
     }
   }
 
+  /** Native one-pass twin of [[langIdHeuristic]]
+    * ([[graft.expressions.MarkerArgmax]]): value-identical (same
+    * counts, same declared-order tie-break) at ~1 token scan instead of
+    * one interpreted lambda pass per language.
+    */
+  def langIdHeuristicNative(text: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
+    graft.expressions.MarkerArgmax.column(tokens(text), LangMarkers)
+
   /** Document fingerprint: md5 of the normalized text — the exact-dedup
     * key (reference analog: dedup-on-write jitter,
     * `visualizations/models.py:130-147`, repurposed for content identity).

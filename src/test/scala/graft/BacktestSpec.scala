@@ -49,4 +49,40 @@ class BacktestSpec extends SparkSpec {
       assert(Option(r.get(3)) == expected, s"row $r")
     }
   }
+
+  test("warmup-days rule matches the reference table (replay.py:27-39)") {
+    assert(Backtest.warmupDays("1d") == 45)
+    assert(Backtest.warmupDays("d") == 45)
+    assert(Backtest.warmupDays("1h") == 5)
+    assert(Backtest.warmupDays("h") == 5)
+    assert(Backtest.warmupDays("5m") == 3)
+    assert(Backtest.warmupDays("1m") == 3)
+    assert(Backtest.warmupStartUs(1_000_000_000_000L, "h") == 1_000_000_000_000L - 5L * 86_400_000_000L)
+  }
+
+  test("warmup changes the signals scored just inside the range") {
+    // cut mid-series: with warmup, indicators enter the scored range
+    // carrying the pre-range recursion state; a cold start recomputes
+    // them from an empty window and must diverge
+    val times = signalCandles.select("time_us").as[Long].collect().sorted
+    val cut = times(times.length / 2)
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("symbol", "time_us", "signal_type", "direction")
+      .as[(String, Long, String, String)].collect().toSet
+
+    val warm = sigSet(Backtest.run(
+      signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3,
+      scoreFromUs = Some(cut)))
+    val cold = sigSet(Backtest.run(
+      signalCandles.filter($"time_us" >= cut), pricing,
+      hullLength = 8, fast = 4, slow = 8, signalLen = 3))
+
+    assert(warm.forall(_._2 >= cut)) // nothing scored inside the warmup window
+    assert(warm.nonEmpty)
+    assert(warm != cold, "cold-start signals should diverge from warmed signals")
+
+    // warm scoring == the full-series run restricted to the scored range
+    val full = sigSet(Backtest.run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3))
+    assert(warm == full.filter(_._2 >= cut))
+  }
 }

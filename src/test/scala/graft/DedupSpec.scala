@@ -102,4 +102,36 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
+
+  test("null array elements yield null from the native expressions, never garbage") {
+    // containsNull=true arrays pass the type checks; a null slot must
+    // poison the result (HOF parity), not read as 0
+    val df = Seq(1).toDF("x").select(
+      call_function("graft_dot",
+        array(lit(1.0), lit(null).cast("double")), array(lit(1.0), lit(2.0))).as("dot"),
+      call_function("graft_sorted_jaccard",
+        array(lit(1L), lit(null).cast("long")), array(lit(1L), lit(2L))).as("jac"),
+      call_function("graft_simhash60",
+        array(lit(1L), lit(null).cast("long"))).as("sim")
+    )
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // and the all-non-null forms still evaluate
+    val ok = Seq(1).toDF("x").select(
+      call_function("graft_dot", array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dot")
+    ).collect().head
+    assert(ok.getDouble(0) == 11.0)
+  }
+
+  test("MarkerArgmax native lang-id == HOF formulation on real docs") {
+    implicit val s = spark
+    val docsReal = graft.io.Tables.documents(spark, sf0001)
+    val both = docsReal.select(
+      col("doc_id"),
+      graft.text.TextOps.langIdHeuristic(col("text")).as("hof"),
+      graft.text.TextOps.langIdHeuristicNative(col("text")).as("native")
+    )
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    assert(both.count() > 0)
+  }
 }

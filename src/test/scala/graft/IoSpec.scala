@@ -107,4 +107,45 @@ class IoSpec extends SparkSpec {
     assert(out(0).getString(0) == "AAPL{=d}" && out(0).getString(1) == "1d")
     assert(out(1).getString(0) == "SPX{=5m}" && out(1).getString(1) == "5m")
   }
+
+  test("F14 serialize: toInfluxShape flattens nested model to JSON strings + ISO datetimes") {
+    import graft.io.TradeChains
+    import graft.model.Events
+    val chainJson =
+      """{"id":"c1","description":"Vertical","underlying-symbol":"SPY",
+        |"computed-data":{"open":true,"total-fees":"2.5","total-fees-effect":"Debit",
+        |"realized-gain":"10.0","realized-gain-effect":"Credit","roll-count":1,
+        |"open-entries":[{"symbol":"SPY 1","instrument-type":"Equity Option","quantity":"1","quantity-type":"Short","quantity-numeric":"-1"}]},
+        |"lite-nodes":[]}""".stripMargin.replaceAll("\n", "")
+    val parsed = Seq(chainJson).toDF("json")
+      .select(from_json($"json", TradeChains.chainSchema).as("c"))
+      .select(
+        $"c.id".as("chain_id"),
+        $"c.`computed-data`".as("computed_data"),
+        $"c.`lite-nodes`".as("lite_nodes"),
+        to_timestamp(lit("2026-02-10 15:30:00")).as("updated_at"),
+        to_timestamp(lit("2026-02-10 15:30:00.123456")).as("observed_at"),
+        to_date(lit("2026-03-20")).as("expiry"),
+        lit(3.5).as("score")
+      )
+    val flat = Events.toInfluxShape(parsed, timeField = "updated_at", exclude = Set("lite_nodes"))
+
+    // schema: every remaining column is flat; time kept as timestamp
+    assert(flat.columns.toSet == Set("chain_id", "computed_data", "time", "observed_at", "expiry", "score"))
+    val r = flat.collect().head
+    assert(r.getAs[java.sql.Timestamp]("time") != null) // point timestamp, not a string
+    assert(r.getAs[String]("observed_at") == "2026-02-10T15:30:00.123456")
+    assert(r.getAs[String]("expiry") == "2026-03-20")
+    assert(r.getAs[Double]("score") == 3.5)
+    // nested struct became a JSON string that round-trips through the schema
+    val back = flat
+      .select(from_json($"computed_data", TradeChains.chainSchema("computed-data").dataType).as("cd"))
+      .select($"cd.`roll-count`", $"cd.open")
+      .collect().head
+    assert(back.getInt(0) == 1 && back.getBoolean(1))
+    // zero-fraction timestamp omits the fractional part (isoformat parity)
+    val zeroFrac = Events.toInfluxShape(parsed.select($"updated_at"), timeField = "")
+      .collect().head.getString(0)
+    assert(zeroFrac == "2026-02-10T15:30:00")
+  }
 }

@@ -97,4 +97,31 @@ class LifoSpec extends SparkSpec {
     assert(a.getString(0) == "A")
     assert(a.getDecimal(1).doubleValue() == 500.0)
   }
+
+  test("large history streams with early exit: 200k-fill symbol, O(1) state") {
+    import spark.implicits._
+    // newest fill fully accounts the position; the 200k-row older tail
+    // must only be counted — the streamed fold never buffers it
+    val n = 200000
+    val newest = Seq(("H", (n + 1).toLong, "Sell to Open", 1.0, 500.0, "Credit", 500.0, 5))
+    val tail = (1 to n).map(i => ("H", i.toLong, "Sell to Open", 1.0, 100.0, "Credit", 100.0, 1))
+    val txns = (newest ++ tail)
+      .toDF("symbol", "executed_at_us", "action", "price", "value", "value_effect", "net_value", "quantity")
+    val pos = Seq(("H", 5)).toDF("symbol", "current_qty")
+    val out = Lifo.entryCredits(txns, pos).collect()
+    assert(out.length == 1)
+    assert(out.head.getDecimal(1).doubleValue() == 500.0) // newest open only
+    assert(out.head.getInt(4) == n + 1) // transaction_count still counts the tail
+  }
+
+  test("replayStream on a pre-sorted iterator equals replay on the same data") {
+    val ts = Seq(
+      txn(3, "Sell to Open", 3, BigDecimal(300)),
+      txn(2, "Buy to Close", 2, BigDecimal(999)),
+      txn(1, "Sell to Open", 4, BigDecimal(400))
+    )
+    val viaSeq = Lifo.replay(ts, 5)
+    val viaStream = Lifo.replayStream("SYM", ts.iterator, 5) // already newest-first
+    assert(viaSeq == viaStream)
+  }
 }

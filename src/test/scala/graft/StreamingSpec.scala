@@ -56,6 +56,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("W5 warm start: batch-seeded stream == pure-batch fold over the concatenated series") {
+    implicit val ctx = spark.sqlContext
+    val all = eventCandles().collect().sortBy(c => (c.symbol, c.timeUs))
+    val cut = all.map(_.timeUs).sorted.apply(all.length / 2)
+    val (history, live) = all.partition(_.timeUs < cut)
+
+    // seed state from batch history, then stream ONLY the live half
+    val seed = Streams.seedIndicatorState(history.toSeq.toDS())
+    val input = MemoryStream[CandleIn]
+    val q = Streams
+      .detectSignalsStream(input.toDS(), initialState = Some(seed))
+      .writeStream
+      .format("memory")
+      .queryName("sigs_seeded")
+      .outputMode("append")
+      .start()
+    try {
+      // two micro-batches so state also carries across the live half
+      val liveCut = live.map(_.timeUs).sorted.apply(live.length / 2)
+      val (l1, l2) = live.partition(_.timeUs < liveCut)
+      input.addData(l1.toSeq); q.processAllAvailable()
+      input.addData(l2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark
+      .table("sigs_seeded")
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)]
+      .collect()
+      .toSet
+
+    // ground truth: the full-series batch fold, scored only in the live range
+    val batch = graft.signals.HullMacd
+      .detectSignals(
+        eventCandles().toDF().withColumnRenamed("timeUs", "ts_us").withColumnRenamed("close", "value"),
+        "symbol", "ts_us", "value"
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)]
+      .collect()
+      .filter(_._2 >= cut)
+      .toSet
+
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty, "live range produced no signals — cut landed badly")
+  }
+
   test("transformWithState twin emits the same signals as flatMapGroupsWithState") {
     implicit val ctx = spark.sqlContext
     // transformWithState requires the RocksDB state store (multiple
@@ -96,6 +142,57 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .toSet
     assert(tws == batch)
+  }
+
+  test("T9 merged-stream ordering: pricing folds before signal on tied timestamps; == batch backtest") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.RankedCandle
+    // same construction as BacktestSpec: pricing = raw events, signal =
+    // last value per 30-min bucket stamped at BUCKET START — guaranteeing
+    // timestamp ties with pricing rows at bucket boundaries
+    val rawPricing = graft.io.Tables
+      .events(spark, sf0001)
+      .select(col("user_id").cast("string").as("symbol"), col("ts_us").as("timeUs"), lit(0).as("rank"), col("value").as("close"))
+    val signalCandles = graft.ops.Relational
+      .latestPerKey(
+        rawPricing.withColumn("bucket_us", expr("(timeUs div 1800000000) * 1800000000")),
+        Seq("symbol", "bucket_us"), "timeUs", "timeUs"
+      )
+      .select(col("symbol"), col("bucket_us").as("timeUs"), lit(1).as("rank"), col("close"))
+    // inject a pricing tick exactly AT each bucket start — guaranteed
+    // timestamp tie with the signal candle; correct behavior folds it first
+    val pricing = rawPricing.unionByName(
+      signalCandles.select(col("symbol"), col("timeUs"), lit(0).as("rank"), (col("close") + 0.5).as("close"))
+    )
+    val merged = pricing.unionByName(signalCandles).as[RankedCandle].collect()
+      .sortBy(c => (c.symbol, c.timeUs, c.rank))
+    assert(merged.groupBy(c => (c.symbol, c.timeUs)).exists(_._2.length > 1), "no timestamp ties — test is vacuous")
+
+    val cut = merged.map(_.timeUs).sorted.apply(merged.length / 2)
+    val (b1, b2) = merged.partition(_.timeUs < cut)
+    val input = MemoryStream[RankedCandle]
+    val q = Streams
+      .backtestStream(input.toDS(), hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      .writeStream.format("memory").queryName("bt_stream").outputMode("append").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bt_stream")
+      .select("symbol", "time_us", "signal_type", "direction", "entry_price")
+      .as[(String, Long, String, String, Option[Double])].collect().toSet
+
+    val batch = graft.backtest.Backtest
+      .run(
+        signalCandles.select(col("symbol"), col("timeUs").as("time_us"), col("close")),
+        pricing.select(col("symbol"), col("timeUs").as("time_us"), col("close")),
+        hullLength = 8, fast = 4, slow = 8, signalLen = 3
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "entry_price")
+      .as[(String, Long, String, String, Option[Double])].collect().toSet
+
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
   }
 
   test("streaming latest-per-key (complete mode) matches batch max_by") {
