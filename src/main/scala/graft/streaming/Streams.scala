@@ -210,6 +210,79 @@ object Streams {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // T7: snapshot-completion → gap-fill trigger choreography
+  // ---------------------------------------------------------------------
+
+  case class FlaggedEvent(symbol: String, timeUs: Long, flags: Int)
+  case class Completion(symbol: String, completed_at_us: Long)
+
+  /** T7 — per-symbol snapshot-completion detector (reference
+    * `messaging/processors/snapshot.py:30-100` CandleSnapshotTracker):
+    * among `registered` symbols, the FIRST event carrying
+    * SNAPSHOT_END(0x08) | SNAPSHOT_SNIP(0x10) emits exactly one
+    * `Completion` — the trigger the reference's gap-fill consumer drains
+    * from its completions queue; later flagged re-deliveries are
+    * swallowed by the per-symbol done state. Unregistered symbols are
+    * ignored, as in the reference.
+    *
+    * Compose downstream: completions drive the one-shot backfill job
+    * (S12, `Sinks.backfill`) per symbol — the "snapshot landed → fill
+    * the gap to now" handshake.
+    */
+  def snapshotCompletions(
+      events: org.apache.spark.sql.Dataset[FlaggedEvent],
+      registered: Set[String]
+  ): org.apache.spark.sql.Dataset[Completion] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => registered.contains(e.symbol))
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[FlaggedEvent], state: GroupState[Boolean]) =>
+          val done = state.getOption.getOrElse(false)
+          if (done) Iterator.empty
+          else
+            rows.toSeq.sortBy(_.timeUs).find(e => (e.flags & 0x18) != 0) match {
+              case Some(e) =>
+                state.update(true)
+                Iterator.single(Completion(sym, e.timeUs))
+              case None =>
+                state.update(false)
+                Iterator.empty
+            }
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // W10: row-cap retention with bounded streaming state
+  // ---------------------------------------------------------------------
+
+  case class RowCapReport(symbol: String, retained: Int, oldest_us: Long, newest_us: Long)
+
+  /** W10 — streaming row-cap retention (reference
+    * `messaging/processors/default.py:39-48` keeps the newest N rows per
+    * key): per-symbol state holds AT MOST `cap` (time, value) pairs —
+    * the bound holds across micro-batches, which is the property that
+    * keeps state from growing with stream length — and each trigger
+    * emits a retention report for the keys it touched.
+    */
+  def rowCapStream(
+      events: org.apache.spark.sql.Dataset[CandleIn],
+      cap: Int
+  ): org.apache.spark.sql.Dataset[RowCapReport] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, rows: Iterator[CandleIn], state: GroupState[List[(Long, Double)]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          val merged = (prev ++ rows.map(c => (c.timeUs, c.close))).sortBy(_._1).takeRight(cap)
+          state.update(merged)
+          Iterator.single(RowCapReport(sym, merged.size, merged.head._1, merged.last._1))
+      }
+  }
+
   /** T9/J8 streaming — one merged multi-timeframe stream: `rank` 0 =
     * pricing-interval candle, 1 = signal-interval candle (the batch
     * [[graft.backtest.Backtest.mergeReplay]] rule carried into

@@ -217,6 +217,97 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("a" -> 3.0, "b" -> 9.0))
   }
 
+  test("T7 snapshot completion fires exactly once per registered symbol, ignores re-delivery") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.Streams.FlaggedEvent
+    val input = MemoryStream[FlaggedEvent]
+    val q = Streams
+      .snapshotCompletions(input.toDS(), registered = Set("AAPL{=d}", "SPY{=d}"))
+      .writeStream.format("memory").queryName("completions").outputMode("append").start()
+    try {
+      // AAPL: plain events then SNAPSHOT_END; unregistered symbol flagged too
+      input.addData(
+        FlaggedEvent("AAPL{=d}", 10L, 0x04), // SNAPSHOT_BEGIN — not completion
+        FlaggedEvent("AAPL{=d}", 20L, 0x08), // SNAPSHOT_END → fire
+        FlaggedEvent("MSFT{=d}", 30L, 0x08)  // unregistered — ignored
+      )
+      q.processAllAvailable()
+      // re-delivered END must NOT re-fire; SPY completes via SNIP
+      input.addData(
+        FlaggedEvent("AAPL{=d}", 40L, 0x08),
+        FlaggedEvent("SPY{=d}", 50L, 0x10) // SNAPSHOT_SNIP also signals end
+      )
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("completions").as[(String, Long)].collect().toSet
+    assert(out == Set(("AAPL{=d}", 20L), ("SPY{=d}", 50L)))
+  }
+
+  test("W10 row-cap retention: per-key state never exceeds the cap across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[CandleIn]
+    val q = Streams
+      .rowCapStream(input.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("rowcap").outputMode("append").start()
+    try {
+      input.addData((1 to 5).map(i => CandleIn("A", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+      input.addData((6 to 8).map(i => CandleIn("A", i.toLong, i.toDouble)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val reports = spark.table("rowcap").as[(String, Int, Long, Long)].collect()
+    assert(reports.forall(_._2 <= 3))
+    // after 8 rows the retained window is exactly the newest 3: [6, 8]
+    val last = reports.maxBy(_._4)
+    assert(last == (("A", 3, 6L, 8L)))
+  }
+
+  test("T8 self-heal: a NEW query restarted from the checkpoint resumes state, no dupes or gaps") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("t8_src").toString
+    val out = Files.createTempDirectory("t8_out").toString
+    val ckpt = Files.createTempDirectory("t8_ckpt").toString
+
+    val all = eventCandles().collect().sortBy(c => (c.symbol, c.timeUs))
+    val cut = all.map(_.timeUs).sorted.apply(all.length / 2)
+    val (b1, b2) = all.partition(_.timeUs < cut)
+
+    // each run is a FRESH streaming query object — state survives only
+    // through the checkpoint, which is exactly the reconnect story
+    def runOnce(): Unit = {
+      val ds = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CandleIn]].schema)
+        .parquet(src)
+        .as[CandleIn]
+      val q = Streams
+        .detectSignalsStream(ds)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    b1.toSeq.toDS().write.mode("append").parquet(src)
+    runOnce() // first life: consumes b1, checkpoints indicator state
+    b2.toSeq.toDS().write.mode("append").parquet(src)
+    runOnce() // second life: must resume AFTER b1 with recovered state
+
+    val streamed = spark.read.parquet(out)
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)].collect()
+    val batch = graft.signals.HullMacd
+      .detectSignals(
+        eventCandles().toDF().withColumnRenamed("timeUs", "ts_us").withColumnRenamed("close", "value"),
+        "symbol", "ts_us", "value"
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .as[(String, Long, String, String, String, Double)].collect()
+    assert(streamed.length == streamed.toSet.size, "restart re-emitted signals (dupes)")
+    assert(streamed.toSet == batch.toSet, s"missing=${(batch.toSet -- streamed.toSet).take(3)} extra=${(streamed.toSet -- batch.toSet).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("stateful dedup drops repeated ids across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
