@@ -8,6 +8,8 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing args: run only these query names (local iteration)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()

@@ -173,7 +173,9 @@ object Lifo {
             }
           }
           val res = replayStream(sym, run, qty)
-          while (run.hasNext) run.next() // replayStream drains; keep the run invariant anyway
+          // replayStream exhausts the run on every path (tail counting);
+          // the grouping invariant depends on it
+          assert(!run.hasNext, s"replayStream left $sym's run unconsumed")
           res.map { r =>
             Row(
               sym,

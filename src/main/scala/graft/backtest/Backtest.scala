@@ -32,6 +32,12 @@ object Backtest {
   /** Warmup days before the scored range (reference
     * `backtest/replay.py:25-39`): MACD(26) is the longest indicator —
     * daily needs 45 calendar days, hourly 5, everything finer 3.
+    *
+    * Reference-parity note: the lookup is on the EXACT normalized
+    * string, so multi-unit coarse intervals ("4h", "2d") fall to the
+    * 3-day default — the reference's `WARMUP_DAYS.get(normalized,
+    * DEFAULT)` does the same (its config only ever passes m/h/d-style
+    * intervals). We preserve that rule rather than second-guess it.
     */
   def warmupDays(interval: String): Int = toDxlinkInterval(interval) match {
     case "d" => 45

@@ -68,23 +68,16 @@ case class MarkerArgmax(child: Expression, langs: Seq[(String, Seq[String])])
 
 object MarkerArgmax {
   /** No fixed SQL-name registration: the marker table is a Scala-side
-    * model parameter; the temp-function name encodes its full content
-    * via md5 (same pattern as [[MinHashSignature.column]]).
+    * model parameter ([[Registration.parameterized]] digests it into the
+    * temp-function name).
     */
   def column(tokens: org.apache.spark.sql.Column, langs: Seq[(String, Seq[String])])(implicit
       spark: SparkSession
-  ): org.apache.spark.sql.Column = {
-    val digest = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(langs.map { case (n, ms) => n + ":" + ms.mkString(",") }.mkString(";").getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-    val name = s"graft_marker_argmax_$digest"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
+  ): org.apache.spark.sql.Column =
+    Registration.parameterized(
+      "graft_marker_argmax",
+      langs.map { case (n, ms) => n + ":" + ms.mkString(",") }.mkString(";"),
       exprs => MarkerArgmax(exprs.head, langs),
-      "built-in"
+      tokens
     )
-    org.apache.spark.sql.functions.call_function(name, tokens)
-  }
 }

@@ -50,25 +50,15 @@ case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryEx
 }
 
 object MinHashSignature {
-  /** No SQL-name registration: seeds are a Scala-side model parameter;
-    * construct via [[graft.dedup.Dedup.minhashSignatureNative]].
+  /** No fixed SQL-name registration: seeds are a Scala-side model
+    * parameter; construct via
+    * [[graft.dedup.Dedup.minhashSignatureNative]].
     */
-  def column(hashed: org.apache.spark.sql.Column, seeds: Seq[Long])(implicit spark: SparkSession): org.apache.spark.sql.Column = {
-    // route through a temp function so we stay on public API; the name
-    // encodes the full seed content via md5 (a 32-bit hashCode could
-    // collide across seed configurations and silently rebind the
-    // registration under a still-lazy DataFrame)
-    val digest = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(seeds.mkString(",").getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-    val name = s"graft_minhash_sig_$digest"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
+  def column(hashed: org.apache.spark.sql.Column, seeds: Seq[Long])(implicit spark: SparkSession): org.apache.spark.sql.Column =
+    Registration.parameterized(
+      "graft_minhash_sig",
+      seeds.mkString(","),
       exprs => MinHashSignature(exprs.head, seeds),
-      "built-in"
+      hashed
     )
-    org.apache.spark.sql.functions.call_function(name, hashed)
-  }
 }

@@ -111,11 +111,21 @@ object Similarity {
       acc.bitwiseOR(when(dot(vec, planeCol) > 0.0, lit(1L << p)).otherwise(lit(0L)))
     }
 
-  /** Vector dimensionality inferred from the first row — bounded model
-    * state (one `first()` scan of a single row), never hard-coded.
+  /** Vector dimensionality inferred from the first non-null vector —
+    * bounded model state (a single-row limit scan), never hard-coded.
+    * An empty (or all-null) corpus returns 1: every downstream result
+    * is empty regardless of the hyperplanes, so any positive dim is
+    * correct and the caller still gets an empty DataFrame instead of a
+    * `first()` crash.
     */
   def inferDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).first().getInt(0)
+    df.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull)
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getInt(0))
+      .getOrElse(1)
 
   /** Scale-safe embedding near-dup PAIRS via banded sign-LSH — the
     * embedding analog of [[graft.dedup.Dedup.minhashLshPairs]] and the
@@ -130,11 +140,12 @@ object Similarity {
     *
     * Tuning: a pair at angle θ collides in one table with prob
     * p^bits, p = 1 − θ/π; recall = 1 − (1 − p^bits)^tables. Defaults
-    * (bits=2, tables=12) give ≥99.8% recall at cosine 0.4 — the weak-
-    * similarity regime of the test corpus. A production near-dup pass at
-    * cosine ≥0.9 (p≈0.9) should use bits 12–16 / tables 8–16: bucket
-    * occupancy shrinks by 2^bits, which is what keeps the within-bucket
-    * pair join sub-quadratic at scale.
+    * (bits=2, tables=8) give ≥98.7% recall at cosine 0.4 — the weak-
+    * similarity regime of the test corpus, where near-all-pairs are
+    * candidates no matter the banding (no similarity gap to exploit). A
+    * production near-dup pass at cosine ≥0.9 (p≈0.9) should use bits
+    * 12–16 / tables 8–16: bucket occupancy shrinks by 2^bits, which is
+    * what keeps the within-bucket pair join sub-quadratic at scale.
     */
   def lshNearDupPairs(
       df: DataFrame,
@@ -142,7 +153,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       bits: Int = 2,
-      tables: Int = 12,
+      tables: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
     val dim = inferDim(df, vecCol)

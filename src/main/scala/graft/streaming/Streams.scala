@@ -271,6 +271,7 @@ object Streams {
       events: org.apache.spark.sql.Dataset[CandleIn],
       cap: Int
   ): org.apache.spark.sql.Dataset[RowCapReport] = {
+    require(cap > 0, s"rowCapStream cap must be positive, got $cap")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.symbol)
