@@ -70,6 +70,7 @@ object SparkEntry {
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
     "a4_strategy_netting" -> (Queries.a4StrategyNetting _),
+    "a5_salted_agg"      -> (Queries.a5SaltedAgg _),
     "a6_campaign_rollup" -> (Queries.a6CampaignRollup _),
     "w8_candle_close"    -> (Queries.w8CandleClose _),
     "u4_symbol_dedup"    -> (Queries.u4SymbolDedup _),
@@ -182,6 +183,21 @@ object Queries {
         max($"p_retailprice").as("max_rp")
       )
       .orderBy("p_brand")
+
+  /** Skew escape hatch as a first-class query: two-stage salted
+    * aggregation (`Relational.saltedSumCount`) over a deliberately
+    * low-cardinality key (3 return flags across the whole lineitem
+    * table — every key is a hot key). The salt spreads each key over 32
+    * reducers before the exact per-key combine; the result is identical
+    * to the plain groupBy, which is what the DuckDB oracle checks.
+    * `l_quantity` sums are whole numbers, so the extra partial layer
+    * cannot perturb the float fold.
+    */
+  def a5SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Relational
+      .saltedSumCount(Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_quantity", saltBuckets = 32)
+      .select($"l_returnflag", round($"sum_value", 2).as("sum_qty"), $"n_rows")
+      .orderBy("l_returnflag")
 
   /** J1-family — dimension join chain with broadcast small sides
     * (positions ⋈ latest quotes shape, reference
@@ -596,11 +612,14 @@ object Queries {
       .orderBy("query_id", "nbr_id")
   }
 
-  /** IVF-quantized ANN top-5 (16 cells, 6 probes). */
+  /** IVF-quantized ANN top-5 (16 cells, 6 probes) with a k-means model
+    * fitted on a bounded deterministic sample (`kmeansCentroids`).
+    */
   def n3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
     Similarity
-      .ivfTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, nCentroids = 16, nProbe = 6)
+      .ivfTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, nCentroids = 16, nProbe = 6, centroidModel = Some(model))
       .orderBy("query_id", "nbr_id")
   }
 
@@ -985,6 +1004,11 @@ object Oracles {
         |  min(p_retailprice) AS min_rp,
         |  max(p_retailprice) AS max_rp
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "a5_salted_agg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j1_region_revenue" ->
       """SELECT r_name,
         |  round(sum(o_totalprice), 2) AS revenue,

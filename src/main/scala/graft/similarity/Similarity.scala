@@ -183,16 +183,67 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Lloyd's k-means over a BOUNDED deterministic sample, fit
+    * driver-side: the sample (≤ `sampleSize` rows, hash-ordered so it is
+    * stable across runs and partitionings) and the model (k × dim
+    * doubles) are model state, not data — the collect is bounded by
+    * construction. Assignment uses the dot product, matching
+    * [[ivfTopK]]'s cell assignment; empty clusters keep their previous
+    * centroid. Feed the result to `ivfTopK(centroids = Some(...))`.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5,
+      sampleSize: Int = 2048
+  ): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer assigns every
     * corpus vector to its nearest centroid (scan-local argmax over
     * `centroids` dot products — codegen'd, no shuffle); each query
     * probes its `nProbe` nearest centroid cells and exactly re-ranks
     * only those cells' vectors.
     *
-    * Centroids are pluggable model state — here the lowest-id corpus
-    * vectors serve as deterministic seeds (a production pipeline would
-    * fit k-means on a sample); they are collected once (bounded:
-    * nCentroids × dim doubles) and inlined as literals so cell
+    * Centroids are pluggable model state: pass a fitted model
+    * ([[kmeansCentroids]]) via `centroidModel`, or let the lowest-id
+    * corpus vectors serve as deterministic seeds; either way they are
+    * bounded (nCentroids × dim doubles) and inlined as literals so cell
     * assignment runs inside whole-stage codegen. At 100 TB the
     * cell-assigned corpus would be written partitioned by `cell` so each
     * probe is a partition-pruned scan.
@@ -204,15 +255,20 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      centroidModel: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val centroids: Array[(Int, Array[Double])] = corpus
-      .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .orderBy("id")
-      .limit(nCentroids)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    val centroids: Array[(Int, Array[Double])] = centroidModel match {
+      case Some(m) => m.zipWithIndex.map { case (c, i) => i -> c }
+      case None =>
+        corpus
+          .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))
+          .orderBy("id")
+          .limit(nCentroids)
+          .collect()
+          .zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    }
     def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
     // (dot, cellId) structs; struct max/sort orders by dot first
     def cellScores(vec: Column): Column =

@@ -85,6 +85,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low") // ANN trade-off; tuned in bench
   }
 
+  test("k-means-fitted IVF: deterministic model, recall at least matches naive seeds") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val m2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    assert(m1.flatten.toSeq == m2.flatten.toSeq) // hash-ordered sample → stable model
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val fitted = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queries, 5, nCentroids = 16, nProbe = 6, centroidModel = Some(m1))
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & fitted).size.toDouble / brute.size
+    assert(recall >= 0.4, s"fitted-IVF recall $recall")
+  }
+
   test("lshNearDupPairs recall >= 95% of the exact d5 pairs (real embeddings)") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity
