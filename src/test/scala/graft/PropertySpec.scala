@@ -91,4 +91,69 @@ class PropertySpec extends SparkSpec {
     assert(out(0).isEmpty && out(2).isEmpty)
     assert(out(1).contains(10.0) && out(3).contains(10.0))
   }
+
+  test("dedupePositions invariants: one row per symbol, idempotent, streamer copy always wins") {
+    val rng = new Random(7)
+    val types = Seq("Equity", "Equity Option", "Future")
+    val rows = (1 to 300).map { i =>
+      val sym = s"S${rng.nextInt(40)}"
+      val t = types(rng.nextInt(3))
+      val ss = if (rng.nextBoolean()) null else s".X$sym"
+      (i.toLong, sym, ss, t, 1.0 + rng.nextInt(5), if (rng.nextBoolean()) "Long" else "Short", 1.0)
+    }
+    val df = rows.toDF("row_id", "symbol", "streamer_symbol", "instrument_type", "quantity", "quantity_direction", "multiplier")
+    val out = graft.metrics.Metrics.dedupePositions(df, "row_id")
+    val collected = out.collect()
+    // one row per surviving symbol
+    assert(collected.map(_.getAs[String]("symbol")).distinct.length == collected.length)
+    // idempotent: a second pass changes nothing
+    val twice = graft.metrics.Metrics.dedupePositions(out, "row_id").collect()
+    assert(twice.map(_.getAs[String]("symbol")).sorted.toSeq == collected.map(_.getAs[String]("symbol")).sorted.toSeq)
+    // whenever ANY copy of a symbol carried a streamer_symbol, the winner must too
+    val hadSs = rows.filter(_._3 != null).map(_._2).toSet
+    collected.filter(r => hadSs(r.getAs[String]("symbol"))).foreach { r =>
+      assert(r.getAs[String]("streamer_symbol").startsWith(".X"), s"lost streamer copy for $r")
+    }
+    // no surviving non-equity row without a streamer symbol
+    collected.foreach { r =>
+      assert(r.getAs[String]("streamer_symbol") != null)
+    }
+  }
+
+  test("lshNearDupPairs is sound: every emitted pair is exact-verified above threshold") {
+    val rng = new Random(11)
+    val vecs = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity
+      .lshNearDupPairs(df, "vec_id", "embedding", threshold = 0.3, bits = 2, tables = 6)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+    // and soundness vs the exact verifier: LSH pairs ⊆ exact pairs
+    val exact = graft.similarity.Similarity
+      .cosineNearDupPairs(df, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("toInfluxShape: every output column is flat (scalar/string), no nested types survive") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, Seq(1, 2), Map("a" -> 1), ("x", 2.0)))
+      .toDF("id", "arr", "m", "st")
+      .withColumn("ts", current_timestamp())
+      .withColumn("d", current_date())
+    val out = graft.model.Events.toInfluxShape(df, timeField = "ts")
+    out.schema.fields.foreach {
+      case StructField(name, _: StructType | _: ArrayType | _: MapType, _, _) =>
+        fail(s"nested type survived serialization: $name")
+      case StructField("time", TimestampType, _, _) => // the kept point timestamp
+      case StructField(_, TimestampType, _, _) =>
+        fail("non-time timestamp should have become an ISO string")
+      case _ => ()
+    }
+    assert(out.columns.contains("time"))
+  }
 }
