@@ -59,6 +59,7 @@ object SparkEntry {
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
     "n3_ann_ivf"         -> (Queries.n3AnnIvf _),
+    "n4_ann_quantized"   -> (Queries.n4AnnQuantized _),
     "m1_multimodal"      -> (Queries.m1Multimodal _),
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
@@ -620,6 +621,18 @@ object Queries {
     val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
     Similarity
       .ivfTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, nCentroids = 16, nProbe = 6, centroidModel = Some(model))
+      .orderBy("query_id", "nbr_id")
+  }
+
+  /** Int8-quantized brute-force ANN top-5: the memory-bound scan path
+    * (4× smaller corpus bytes). Fully SQL-expressible — the DuckDB
+    * oracle replicates quantize (floor(x/scale + 0.5)) and the integer
+    * cosine bit-for-bit.
+    */
+  def n4AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .quantizedTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5)
       .orderBy("query_id", "nbr_id")
   }
 
@@ -1365,6 +1378,24 @@ object Oracles {
         |  FROM q JOIN e ON e.vec_id <> q.query_id)
         |SELECT query_id, nbr_id, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM scored) t
+        |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin,
+    "n4_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+        |qz AS (SELECT vec_id,
+        |         list_transform(v, x -> CASE WHEN sc = 0.0 THEN 0.0 ELSE floor(x / sc + 0.5) END) AS qd
+        |       FROM s),
+        |n AS (SELECT vec_id, qd,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(qd, x -> x * x)), (a, b) -> a + b)) AS qn
+        |      FROM qz),
+        |q AS (SELECT vec_id AS query_id, qd AS qv, qn AS qnm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, n.vec_id AS nbr_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.qv[i] * n.qd[i])), (a, b) -> a + b)
+        |      / (q.qnm * n.qn) AS qcos
+        |  FROM q JOIN n ON n.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, qcos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, nbr_id) AS rn FROM scored) t
         |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin,
     "j6_asof_join" ->
       """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, r.value AS purchase_value

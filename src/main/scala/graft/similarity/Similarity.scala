@@ -183,6 +183,58 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v_i| / 127,
+    * q_i = floor(v_i/scale + 0.5) as TINYINT — the 4×-smaller storage
+    * form a 100 TB embedding corpus actually ships (bandwidth and cache
+    * footprint dominate ANN scans). `floor(x + 0.5)` rather than
+    * `round` so Spark and the DuckDB oracle share one exactly-defined
+    * rule. The scale rides along in the struct for dequantization;
+    * cosine between quantized vectors doesn't need it (scales cancel).
+    *
+    * The scale binds through a 1-element-array lambda: referenced
+    * directly, CollapseProject would inline the `array_max` scan into
+    * EVERY element's quantize lambda (O(d²) per row).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = toDoubleArr(vec)
+    transform(
+      array(array_max(transform(v, x => abs(x))) / 127.0),
+      s =>
+        struct(
+          s.as("scale"),
+          transform(v, x => when(s === 0.0, lit(0)).otherwise(floor(x / s + 0.5)).cast("tinyint")).as("q")
+        )
+    ).getItem(0)
+  }
+
+  /** Brute-force top-k over the QUANTIZED corpus: same shape as
+    * [[bruteForceTopK]] (broadcast queries, one corpus scan) but the
+    * scan reads int8 codes — the memory-bound regime where quantization
+    * pays. Scores are exact cosines of the quantized vectors (scales
+    * cancel), so the whole operator is SQL-expressible and
+    * oracle-checkable; recall vs the float cosine is the quality trade.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
+      df.select(col(idCol).as(idAs), quantizeInt8(col(vecCol)).getField("q").as("q8"))
+        .select(col(idAs), transform(col("q8"), x => x.cast("double")).as(vecAs))
+        .withColumn(normAs, norm(col(vecAs)))
+    val c = prep(corpus, "nbr_id", "nbr_q", "nbr_norm")
+    val q = prep(queries, "query_id", "q_q", "q_norm")
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("qcos", cosinePre(col("q_q"), col("nbr_q"), col("q_norm"), col("nbr_norm")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("qcos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "qcos")
+  }
+
   /** Lloyd's k-means over a BOUNDED deterministic sample, fit
     * driver-side: the sample (≤ `sampleSize` rows, hash-ordered so it is
     * stable across runs and partitionings) and the model (k × dim

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.signals.HullMacd
@@ -392,6 +392,62 @@ object Streams {
         new HullMacdProcessor(hullLength, fast, slow, signalLen),
         TimeMode.None(),
         OutputMode.Append()
+      )
+  }
+
+  /** W5 warm start on the Spark 4 `transformWithState` API:
+    * `StatefulProcessorWithInitialState` receives each key's seeded
+    * [[IndicatorState]] (from [[seedIndicatorState]]) via
+    * `handleInitialState` before the first input row — the new-API twin
+    * of [[detectSignalsStream]]'s `initialState` overload. Same RocksDB
+    * provider requirement as [[HullMacdProcessor]].
+    */
+  class HullMacdSeededProcessor(hullLength: Int, fast: Int, slow: Int, signalLen: Int)
+      extends StatefulProcessorWithInitialState[String, CandleIn, SignalOut, IndicatorState] {
+    @transient private var state: ValueState[IndicatorState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IndicatorState](
+        "indicator",
+        org.apache.spark.sql.Encoders.product[IndicatorState],
+        TTLConfig.NONE
+      )
+
+    override def handleInitialState(key: String, initial: IndicatorState, timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[CandleIn],
+        timerValues: TimerValues
+    ): Iterator[SignalOut] = {
+      var st = Option(state.get()).getOrElse(emptyIndicatorState)
+      val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
+        val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
+        st = ns
+        sigs
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def detectSignalsTransformWithStateSeeded(
+      candles: org.apache.spark.sql.Dataset[CandleIn],
+      initialState: org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState],
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[SignalOut] = {
+    import candles.sparkSession.implicits._
+    candles
+      .groupByKey(_.symbol)
+      .transformWithState(
+        new HullMacdSeededProcessor(hullLength, fast, slow, signalLen),
+        TimeMode.None(),
+        OutputMode.Append(),
+        initialState
       )
   }
 }

@@ -101,6 +101,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"fitted-IVF recall $recall")
   }
 
+  test("int8 quantization: codes bounded, max component hits ±127, quantized ANN recall high") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qz = emb.select($"vec_id", Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"vec_id", $"qz.scale".as("scale"), $"qz.q".as("q"))
+    val rows = qz.limit(50).collect()
+    rows.foreach { r =>
+      val q = r.getSeq[Byte](2)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      assert(q.map(b => math.abs(b.toInt)).max == 127) // the max|v| component saturates exactly
+      assert(r.getDouble(1) > 0.0)
+    }
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity
+      .quantizedTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 recall $recall — quantization noise should cost little at top-5")
+  }
+
   test("lshNearDupPairs recall >= 95% of the exact d5 pairs (real embeddings)") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity

@@ -195,6 +195,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("W5 warm start on transformWithState: seeded processor == pure-batch fold") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val all = eventCandles().filter(col("symbol") < "3").collect().sortBy(c => (c.symbol, c.timeUs))
+    val cut = all.map(_.timeUs).sorted.apply(all.length / 2)
+    val (history, live) = all.partition(_.timeUs < cut)
+    val seed = Streams.seedIndicatorState(history.toSeq.toDS())
+    val input = MemoryStream[CandleIn]
+    val q = Streams
+      .detectSignalsTransformWithStateSeeded(input.toDS(), seed)
+      .writeStream.format("memory").queryName("sigs_tws_seeded").outputMode("append").start()
+    try {
+      input.addData(live.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sigs_tws_seeded")
+      .select("symbol", "time_us", "signal_type", "direction", "trigger")
+      .as[(String, Long, String, String, String)].collect().toSet
+    val batch = graft.signals.HullMacd
+      .detectSignals(
+        eventCandles().filter(col("symbol") < "3").toDF()
+          .withColumnRenamed("timeUs", "ts_us").withColumnRenamed("close", "value"),
+        "symbol", "ts_us", "value"
+      )
+      .select("symbol", "time_us", "signal_type", "direction", "trigger")
+      .as[(String, Long, String, String, String)].collect()
+      .filter(_._2 >= cut).toSet
+    assert(streamed == batch, s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming latest-per-key (complete mode) matches batch max_by") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp, Double)]
