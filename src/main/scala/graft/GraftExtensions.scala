@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: length-ratio pruning ahead of merge-Jaccard
+    // threshold filters (sound, idempotent — see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.rules.JaccardLengthPruning)
     ext.injectFunction(
       (FunctionIdentifier(DotProduct.FunctionName),
         info(DotProduct.FunctionName, "defined-order dot product over two array<double>"),

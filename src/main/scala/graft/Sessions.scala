@@ -35,7 +35,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   /** Standard local session: `local[cores]` with matching shuffle width.
-    * Also registers graft's native Catalyst expressions.
+    * Registers graft's native Catalyst expressions. Deliberately does
+    * NOT inject [[GraftExtensions]]' Jaccard length-pruning rule: the
+    * curated pipelines here already length-block before their jaccard
+    * filters, so the guard is measured pure overhead (~15% on d4); the
+    * rule exists for ad-hoc SQL sessions that filter on a bare
+    * `graft_sorted_jaccard(a,b) >= t`.
     */
   def local(cores: Int = 32): SparkSession = {
     val spark = builder(s"local[$cores]", cores).getOrCreate()

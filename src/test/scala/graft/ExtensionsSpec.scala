@@ -33,6 +33,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(sim == 7L)
       val shh = spark.sql("SELECT size(graft_shingle_hashes(array('a','b','c'), 2)) AS n").collect().head.getInt(0)
       assert(shh == 2)
+
+      // optimizer rule: jaccard-threshold filters gain the sound
+      // length-ratio guard, and results are unchanged
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", 44L),
+        (2L, "the quick brown fox jumps over the lazy cat", 44L),
+        (3L, "an utterly different text about something else entirely", 55L),
+        (4L, "tiny", 4L)
+      ).toDF("doc_id", "text", "n_chars")
+      val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", n = 3, threshold = 0.3)
+      val optimized = pairs.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("size("), s"length guard missing from plan:\n$optimized")
+      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"rule changed results: $got")
     } finally {
       // leave no session behind: the next suite's Sessions.local must
       // build its own (this one lacks nanosAsLong/UTC/etc.)
