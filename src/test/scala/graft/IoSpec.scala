@@ -108,6 +108,41 @@ class IoSpec extends SparkSpec {
     assert(out(1).getString(0) == "SPX{=5m}" && out(1).getString(1) == "5m")
   }
 
+  test("ET session gate + epoch shift across DST transitions (SURVEY §7.5.5)") {
+    import graft.functions.{Functions => Fn}
+    // 2026 US DST: spring forward Mar 8 (EST→EDT), fall back Nov 1.
+    // 14:30 UTC is 09:30 ET in EDT (in session from minute 600=10:00? no:
+    // gate default [600,900) = [10:00,15:00) ET wall clock)
+    val rows = Seq(
+      // winter (EST, UTC-5): 15:00 UTC = 10:00 ET → IN session
+      ("2026-01-15 15:00:00", true),
+      // same UTC wall clock in summer (EDT, UTC-4): 15:00 UTC = 11:00 ET → IN
+      ("2026-07-15 15:00:00", true),
+      // winter: 19:59 UTC = 14:59 ET → IN; 20:00 UTC = 15:00 ET → OUT
+      ("2026-01-15 19:59:00", true),
+      ("2026-01-15 20:00:00", false),
+      // summer: 19:00 UTC = 15:00 EDT → OUT (was 14:00 and IN under EST rules)
+      ("2026-07-15 19:00:00", false),
+      // spring-forward day itself, after the jump: Mar 8 2026 15:00 UTC = 11:00 EDT → IN
+      ("2026-03-08 15:00:00", true),
+      // fall-back day: Nov 1 2026 20:00 UTC = 15:00 EST (already back) → OUT
+      ("2026-11-01 20:00:00", false),
+      ("2026-11-01 19:59:00", true)
+    ).toDF("ts", "expected")
+    val out = rows
+      .select($"ts", $"expected", Fn.inEtSession(to_timestamp($"ts")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), s"gate mismatch at ${r.getString(0)}"))
+
+    // F11 epoch shift: EST offset -5h in winter, -4h in summer
+    val shifts = Seq("2026-01-15 15:00:00", "2026-07-15 15:00:00").toDF("ts")
+      .select(unix_timestamp(to_timestamp($"ts")).as("utc"))
+      .select($"utc", Fn.utcEpochToEtShiftedEpoch($"utc").as("shifted"))
+      .collect()
+    assert(shifts(0).getLong(1) - shifts(0).getLong(0) == -5 * 3600)
+    assert(shifts(1).getLong(1) - shifts(1).getLong(0) == -4 * 3600)
+  }
+
   test("F14 serialize: toInfluxShape flattens nested model to JSON strings + ISO datetimes") {
     import graft.io.TradeChains
     import graft.model.Events
