@@ -141,6 +141,18 @@ object Metrics {
         sort_array(collect_list(concat_ws("", col("symbol"), lit("@"), col("strike_price")))).as("leg_descriptions")
       )
 
+  /** Display rounding (reference `positions.py:762-766`): delta, theta
+    * and implied_volatility to 2dp — "least significant bits don't
+    * drive decisions". Applied AFTER dollar_theta is computed (the
+    * reference computes dollar theta from the unrounded values, step 10
+    * before the rounding step); kept separate from [[positionMetrics]]
+    * so analytical consumers keep full precision.
+    */
+  def roundGreeksForDisplay(metrics: DataFrame): DataFrame =
+    Seq("delta", "theta", "implied_volatility").foldLeft(metrics) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, round(col(c), 2)) else df
+    }
+
   /** Enrich the metrics table with trade-chain lifecycle columns
     * (reference `positions.py:653-672` builds `chain_by_symbol` from open
     * chains' open-entries; `positions.py:723-760` maps chain_id /

@@ -83,6 +83,14 @@ class MetricsSpec extends SparkSpec {
     assert(opt.isNullAt(opt.fieldIndex("theta")))
   }
 
+  test("roundGreeksForDisplay: 2dp on delta/theta, dollar_theta untouched (positions.py:762-766)") {
+    val df = Seq(("X", 0.4567, -0.0444, 12.3456)).toDF("symbol", "delta", "theta", "dollar_theta")
+    val r = Metrics.roundGreeksForDisplay(df).collect().head
+    assert(r.getAs[Double]("delta") == 0.46)
+    assert(r.getAs[Double]("theta") == -0.04)
+    assert(r.getAs[Double]("dollar_theta") == 12.3456) // computed pre-rounding, kept
+  }
+
   test("dedupePositions: streamer-symbol copy wins, equity fallback, quoteless non-equity dropped") {
     // REST copy (no streamer_symbol) + WS copy (with) of the same symbol
     // must merge to the WS copy (reference positions.py:536-554)
