@@ -143,14 +143,17 @@ object Metrics {
 
   /** Display rounding (reference `positions.py:762-766`): delta, theta
     * and implied_volatility to 2dp — "least significant bits don't
-    * drive decisions". Applied AFTER dollar_theta is computed (the
-    * reference computes dollar theta from the unrounded values, step 10
-    * before the rounding step); kept separate from [[positionMetrics]]
-    * so analytical consumers keep full precision.
+    * drive decisions". `bround` (HALF_EVEN), because the reference's
+    * pandas `.round` is banker's rounding — plain `round` (HALF_UP)
+    * would diverge on exact midpoints like 0.125. Applied AFTER
+    * dollar_theta is computed (the reference computes dollar theta from
+    * the unrounded values, step 10 before the rounding step); kept
+    * separate from [[positionMetrics]] so analytical consumers keep
+    * full precision.
     */
   def roundGreeksForDisplay(metrics: DataFrame): DataFrame =
     Seq("delta", "theta", "implied_volatility").foldLeft(metrics) { (df, c) =>
-      if (df.columns.contains(c)) df.withColumn(c, round(col(c), 2)) else df
+      if (df.columns.contains(c)) df.withColumn(c, bround(col(c), 2)) else df
     }
 
   /** Enrich the metrics table with trade-chain lifecycle columns

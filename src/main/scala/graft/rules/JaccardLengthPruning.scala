@@ -1,6 +1,6 @@
 package graft.rules
 
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, GreaterThanOrEqual, Literal, Multiply, Size}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, Expression, GreaterThanOrEqual, Literal, Multiply, Size}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -56,7 +56,13 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
       // would evaluate them on every pre-filter row and cost more than
       // the merge they skip
       val rebuilt = conjuncts.flatMap {
-        case g @ GreaterThanOrEqual(sj: SortedJaccard, Literal(t: Double, DoubleType)) if t > 0.0 =>
+        // fire only when both sides are bare attributes: the guard
+        // re-evaluates its children, so on inline expression trees
+        // (graft_shingle_hashes(...) written directly in the predicate)
+        // Size(child) would recompute the whole array per row and the
+        // rule would pessimize exactly what it means to speed up
+        case g @ GreaterThanOrEqual(sj: SortedJaccard, Literal(t: Double, DoubleType))
+            if t > 0.0 && sj.left.isInstanceOf[Attribute] && sj.right.isInstanceOf[Attribute] =>
           val gs = guard(sj.left, sj.right, t).filterNot(x => conjuncts.exists(_.semanticEquals(x)))
           if (gs.nonEmpty) changed = true
           gs :+ g

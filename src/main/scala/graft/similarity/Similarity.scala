@@ -235,13 +235,16 @@ object Similarity {
       .select("query_id", "nbr_id", "qcos")
   }
 
-  /** Lloyd's k-means over a BOUNDED deterministic sample, fit
+  /** Spherical k-means over a BOUNDED deterministic sample, fit
     * driver-side: the sample (≤ `sampleSize` rows, hash-ordered so it is
     * stable across runs and partitionings) and the model (k × dim
     * doubles) are model state, not data — the collect is bounded by
-    * construction. Assignment uses the dot product, matching
-    * [[ivfTopK]]'s cell assignment; empty clusters keep their previous
-    * centroid. Feed the result to `ivfTopK(centroids = Some(...))`.
+    * construction. Assignment is by dot product against UNIT-normalized
+    * centroids (raw-dot assignment would be dominated by whichever
+    * centroid has the largest norm and collapse clusters); the update
+    * is the assigned mean, re-normalized. Returned centroids are unit
+    * vectors, so [[ivfTopK]]'s dot-product cell assignment becomes an
+    * argmax over cosines. Empty clusters keep their previous direction.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -259,7 +262,13 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
     val dim = sample.head.length
-    var cents = sample.take(k).map(_.clone())
+    def unit(v: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n == 0.0) v else { val u = new Array[Double](dim); i = 0; while (i < dim) { u(i) = v(i) / n; i += 1 }; u }
+    }
+    var cents = sample.take(k).map(v => unit(v.clone()))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -278,8 +287,7 @@ object Similarity {
         counts(best) += 1
       }
       cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c)
-        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+        if (counts(c) == 0) cents(c) else unit(sums(c))
       }
       it += 1
     }
@@ -311,7 +319,9 @@ object Similarity {
       centroidModel: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     val centroids: Array[(Int, Array[Double])] = centroidModel match {
-      case Some(m) => m.zipWithIndex.map { case (c, i) => i -> c }
+      case Some(m) =>
+        require(m.length == nCentroids, s"centroidModel has ${m.length} cells but nCentroids=$nCentroids")
+        m.zipWithIndex.map { case (c, i) => i -> c }
       case None =>
         corpus
           .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))

@@ -346,13 +346,16 @@ object Streams {
   /** Spark 4 `transformWithState` twin of [[detectSignalsStream]]: the
     * same [[stepIndicator]] arithmetic behind the new `StatefulProcessor`
     * API (per-key TTL and timers available when the pipeline needs
-    * them). Requires the RocksDB state store provider
-    * (`spark.sql.streaming.stateStore.providerClass` →
+    * them). Extends `StatefulProcessorWithInitialState` so ONE class
+    * serves both the cold-start and the W5 warm-start
+    * (`handleInitialState` receives each key's seeded state from
+    * [[seedIndicatorState]]) call sites. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` →
     * `...state.RocksDBStateStoreProvider`) — the default HDFS-backed
     * provider does not support the multi-column-family state layout.
     */
   class HullMacdProcessor(hullLength: Int, fast: Int, slow: Int, signalLen: Int)
-      extends StatefulProcessor[String, CandleIn, SignalOut] {
+      extends StatefulProcessorWithInitialState[String, CandleIn, SignalOut, IndicatorState] {
     @transient private var state: ValueState[IndicatorState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -361,6 +364,9 @@ object Streams {
         org.apache.spark.sql.Encoders.product[IndicatorState],
         TTLConfig.NONE
       )
+
+    override def handleInitialState(key: String, initial: IndicatorState, timerValues: TimerValues): Unit =
+      state.update(initial)
 
     override def handleInputRows(
         key: String,
@@ -395,43 +401,12 @@ object Streams {
       )
   }
 
-  /** W5 warm start on the Spark 4 `transformWithState` API:
-    * `StatefulProcessorWithInitialState` receives each key's seeded
-    * [[IndicatorState]] (from [[seedIndicatorState]]) via
-    * `handleInitialState` before the first input row — the new-API twin
-    * of [[detectSignalsStream]]'s `initialState` overload. Same RocksDB
-    * provider requirement as [[HullMacdProcessor]].
+  /** W5 warm start on the Spark 4 `transformWithState` API: the same
+    * [[HullMacdProcessor]] with each key's seeded [[IndicatorState]]
+    * (from [[seedIndicatorState]]) delivered via `handleInitialState`
+    * before the first input row — the new-API twin of
+    * [[detectSignalsStream]]'s `initialState` overload.
     */
-  class HullMacdSeededProcessor(hullLength: Int, fast: Int, slow: Int, signalLen: Int)
-      extends StatefulProcessorWithInitialState[String, CandleIn, SignalOut, IndicatorState] {
-    @transient private var state: ValueState[IndicatorState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[IndicatorState](
-        "indicator",
-        org.apache.spark.sql.Encoders.product[IndicatorState],
-        TTLConfig.NONE
-      )
-
-    override def handleInitialState(key: String, initial: IndicatorState, timerValues: TimerValues): Unit =
-      state.update(initial)
-
-    override def handleInputRows(
-        key: String,
-        rows: Iterator[CandleIn],
-        timerValues: TimerValues
-    ): Iterator[SignalOut] = {
-      var st = Option(state.get()).getOrElse(emptyIndicatorState)
-      val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
-        val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
-        st = ns
-        sigs
-      }
-      state.update(st)
-      out.iterator
-    }
-  }
-
   def detectSignalsTransformWithStateSeeded(
       candles: org.apache.spark.sql.Dataset[CandleIn],
       initialState: org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState],
@@ -444,7 +419,7 @@ object Streams {
     candles
       .groupByKey(_.symbol)
       .transformWithState(
-        new HullMacdSeededProcessor(hullLength, fast, slow, signalLen),
+        new HullMacdProcessor(hullLength, fast, slow, signalLen),
         TimeMode.None(),
         OutputMode.Append(),
         initialState

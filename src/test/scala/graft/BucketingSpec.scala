@@ -23,9 +23,12 @@ class BucketingSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join strategy
     try {
       // AQE wraps the physical plan, so count exchanges in the explain
-      // text (the initial plan shows them before adaptive execution)
+      // text (the initial plan shows them before adaptive execution).
+      // Match the partitioning spec, not tree-prefix art: nested left
+      // branches render as ':  +- Exchange ...' and a prefix-anchored
+      // pattern would miss them (and must not count BroadcastExchange)
       def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
-        "(?m)^\\s*[+:]?-? ?Exchange ".r
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
           .findAllIn(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
           .length
       val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")

@@ -83,12 +83,15 @@ class MetricsSpec extends SparkSpec {
     assert(opt.isNullAt(opt.fieldIndex("theta")))
   }
 
-  test("roundGreeksForDisplay: 2dp on delta/theta, dollar_theta untouched (positions.py:762-766)") {
-    val df = Seq(("X", 0.4567, -0.0444, 12.3456)).toDF("symbol", "delta", "theta", "dollar_theta")
+  test("roundGreeksForDisplay: banker's 2dp on delta/theta, dollar_theta untouched (positions.py:762-766)") {
+    val df = Seq(("X", 0.4567, -0.0444, 12.3456, 0.125)).toDF("symbol", "delta", "theta", "dollar_theta", "implied_volatility")
     val r = Metrics.roundGreeksForDisplay(df).collect().head
     assert(r.getAs[Double]("delta") == 0.46)
     assert(r.getAs[Double]("theta") == -0.04)
     assert(r.getAs[Double]("dollar_theta") == 12.3456) // computed pre-rounding, kept
+    // exact midpoint: banker's rounding like the reference's pandas
+    // .round — 0.125 → 0.12, not HALF_UP's 0.13
+    assert(r.getAs[Double]("implied_volatility") == 0.12)
   }
 
   test("dedupePositions: streamer-symbol copy wins, equity fallback, quoteless non-equity dropped") {
