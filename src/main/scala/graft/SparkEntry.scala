@@ -48,6 +48,7 @@ object SparkEntry {
     "w3_ema_seeded"      -> (Queries.w3EmaSeeded _),
     "w4_macd"            -> (Queries.w4Macd _),
     "x1_text_stats"      -> (Queries.x1TextStats _),
+    "x2_quality_gopher"  -> (Queries.x2QualityGopher _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "d4_ngram_jaccard"   -> (Queries.d4NgramJaccard _),
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
     "d6_embed_lsh_pairs" -> (Queries.d6EmbedLshPairs _),
+    "d7_decontaminate"   -> (Queries.d7Decontaminate _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
     "n3_ann_ivf"         -> (Queries.n3AnnIvf _),
@@ -523,6 +525,15 @@ object Queries {
       .orderBy("doc_id")
 
   /** Language-ID heuristic: argmax of per-language marker-token hits. */
+  /** X2 — Gopher-rule quality metrics + keep flag per document
+    * (`TextOps.gopherQuality`); the bigram-mode aggregation makes this
+    * the repetition-filter shape of a real training-data sweep.
+    */
+  def x2QualityGopher(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     Tables
@@ -586,6 +597,22 @@ object Queries {
     Similarity
       .cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
+
+  /** D7 — test-set decontamination: bipartite MinHash-LSH between a
+    * synthetic corpus/benchmark split of `documents` (every 5th doc is
+    * the "benchmark"); emitted pairs are benchmark items that leaked
+    * into the corpus at Jaccard ≥ 0.3. Benchmark side broadcast.
+    */
+  def d7Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup
+      .crossLshPairs(
+        docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+        docs.filter(pmod($"doc_id", lit(5)) === 0),
+        "doc_id", "text"
+      )
+      .orderBy("id_a", "id_b")
+  }
 
   /** D6 — the 100 TB embedding near-dup path: banded sign-LSH candidate
     * pairs + exact cosine verify (see `Similarity.lshNearDupPairs` for
@@ -1269,6 +1296,30 @@ object Oracles {
         |  + 0.3 * (CASE WHEN length(norm)::DOUBLE / n_tokens::DOUBLE >= 3.0 AND length(norm)::DOUBLE / n_tokens::DOUBLE <= 12.0 THEN 1.0 ELSE 0.0 END)
         |  - punct_ratio AS quality
         |FROM s ORDER BY doc_id""".stripMargin,
+    "x2_quality_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round((length(norm) - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len,
+        |    round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS dup_word_frac,
+        |    round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks), 6) AS alpha_frac
+        |  FROM t WHERE len(toks) > 0),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+        |bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |topb AS (SELECT doc_id, max(c) AS max_c FROM bgc GROUP BY 1)
+        |SELECT b.doc_id, n_words, mean_word_len, dup_word_frac, alpha_frac,
+        |  round(coalesce(max_c, 0) * 2.0 / n_words, 6) AS top_bigram_frac,
+        |  (n_words >= 20 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND dup_word_frac < 0.6
+        |   AND round(coalesce(max_c, 0) * 2.0 / n_words, 6) < 0.2) AS keep_doc
+        |FROM b LEFT JOIN topb ON b.doc_id = topb.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "x3_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
@@ -1322,6 +1373,32 @@ object Oracles {
          |  SELECT c.id_a, c.id_b,
          |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
          |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
+    "d7_decontaminate" -> {
+      val sigExprs = graft.dedup.Dedup
+        .xorSeeds(16)
+        .map(s => s"list_min(list_transform(hs, h -> xor(h, $s)))")
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM documents)),
+         |filt AS (SELECT * FROM base WHERE len(sh) > 0),
+         |hashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM filt),
+         |sig AS (SELECT id, $sigExprs AS sig FROM hashed),
+         |banded AS (
+         |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT c.id AS id_a, bm.id AS id_b
+         |  FROM (SELECT * FROM banded WHERE id % 5 <> 0) c
+         |  JOIN (SELECT * FROM banded WHERE id % 5 = 0) bm
+         |    ON c.band = bm.band AND c.band_key = bm.band_key),
+         |pairs AS (
+         |  SELECT cd.id_a, cd.id_b,
+         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+         |  FROM cand cd JOIN filt sa ON sa.id = cd.id_a JOIN filt sb ON sb.id = cd.id_b)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
     },
     // simhash: the hex→int64 conversion DuckDB v1.0.0 lacks via conv()

@@ -102,6 +102,58 @@ object Dedup {
   def minhashSignatureNative(hashedShingles: Column, k: Int)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.expressions.MinHashSignature.column(hashedShingles, xorSeeds(k))
 
+  /** Shared banding stage: (id, sorted shingle hashes) plus the slim
+    * (id, band, band_key) rows. Band rows carry ONLY (band, key, id):
+    * the shingle sets must not ride through the bands explode / join /
+    * dedup shuffles (they are the bulk of the bytes); candidates
+    * re-acquire them by id from `hashed`.
+    *
+    * Note on persistence: `hashed` feeds multiple consumers. With the
+    * native ShingleHashes expression the recompute is cheap enough that
+    * we deliberately do NOT persist — a cached block per call would
+    * leak for the session's lifetime (the returned DataFrame is lazy,
+    * so there is no unpersist point). A long-lived service should
+    * materialize (id, shh) itself.
+    */
+  private def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int
+  ): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val hashed = df
+      .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
+      .filter(size(col("shh")) > 0)
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    val banded = hashed
+      .withColumn("sig", minhashSignatureNative(col("shh"), k))
+      .select(
+        col("id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).cast("binary"))
+          )
+        ).as(Seq("band", "band_key"))
+      )
+    (hashed, banded)
+  }
+
+  private def verifyPairs(candidates: DataFrame, hashedA: DataFrame, hashedB: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(hashedA.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(hashedB.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** MinHash + LSH banding near-dup pairs.
     *
     * Pipeline: shingle → k minhashes → r-wide bands → md5 band key →
@@ -119,33 +171,7 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.3
   ): DataFrame = {
-    require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
-    // Hashed shingle sets feed three consumers (signatures + both sides
-    // of the verify join). With the native ShingleHashes expression the
-    // recompute is cheap enough that we deliberately do NOT persist —
-    // a cached block per call would leak for the session's lifetime
-    // (the returned DataFrame is lazy, so there is no unpersist point).
-    // A long-lived service should materialize (id, shh) itself and pass
-    // text through, or checkpoint the projection.
-    val hashed = df
-      .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
-      .filter(size(col("shh")) > 0)
-    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
-    val sig = hashed.withColumn("sig", minhashSignatureNative(col("shh"), k))
-    // Band rows carry ONLY (band, key, id): the shingle sets must not
-    // ride through the bands explode / self-join / dedup shuffles (they
-    // are the bulk of the bytes); candidates re-acquire them by id.
-    val banded = sig
-      .select(
-        col("id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => md5(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))).cast("binary"))
-          )
-        ).as(Seq("band", "band_key"))
-      )
+    val (hashed, banded) = bandedSignatures(df, idCol, textCol, n, k, bands)
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val candidates = a
@@ -153,17 +179,55 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // exact verify on candidates only: sorted 60-bit hashes + the
-    // merge-Jaccard expression (identical value to string-set Jaccard)
-    candidates
-      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
-      )
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(candidates, hashed, hashed, threshold)
+  }
+
+  /** Test-set decontamination pairs (bipartite LSH): corpus docs whose
+    * shingle-set Jaccard with ANY benchmark doc ≥ `threshold` — the
+    * "did a benchmark item leak into the training set" sweep every
+    * training-data pipeline runs before shipping. Same banding as
+    * [[minhashLshPairs]] but the band join is corpus×benchmark (no
+    * `id_a < id_b`: the sides are different relations, a corpus doc may
+    * legitimately share an id value with a benchmark doc).
+    *
+    * Returns (id_a = corpus id, id_b = benchmark id, jaccard). At
+    * 100 TB the benchmark side is tiny (benchmarks are), so its banded
+    * rows broadcast and the corpus never shuffles.
+    */
+  def crossLshPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val (hashedC, bandedC) = bandedSignatures(corpus, idCol, textCol, n, k, bands)
+    val (hashedB, bandedB) = bandedSignatures(benchmark, idCol, textCol, n, k, bands)
+    val candidates = bandedC
+      .select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(broadcast(bandedB.select(col("band"), col("band_key"), col("id").as("id_b"))), Seq("band", "band_key"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyPairs(candidates, hashedC, hashedB, threshold)
+  }
+
+  /** Remove contaminated corpus rows: left-anti on the flagged ids. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val flagged = crossLshPairs(corpus, benchmark, idCol, textCol, n, k, bands, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** Exact pairwise n-gram Jaccard with length-band blocking: only pairs

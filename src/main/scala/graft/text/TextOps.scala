@@ -99,6 +99,66 @@ object TextOps {
   def langIdHeuristicNative(text: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.expressions.MarkerArgmax.column(tokens(text), LangMarkers)
 
+  /** Gopher-style repetition/quality metrics (Rae et al. 2021, §A1.1,
+    * adapted to token granularity — the corpus has no line structure):
+    * word count, mean word length, alphabetic-word fraction,
+    * duplicate-word fraction, and top-bigram coverage (fraction of
+    * tokens covered by the most frequent bigram — the published rule's
+    * dup-n-gram family). Everything but the bigram mode is scan-local;
+    * the mode needs one explode + two keyed aggregations (map-side
+    * combinable), joined back by id.
+    *
+    * `keep_doc` applies the filter thresholds — configuration, like the
+    * reference's TOML health thresholds, not algorithm.
+    */
+  def gopherQuality(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupWordFrac: Double = 0.6,
+      maxTopBigramFrac: Double = 0.2,
+      minWords: Int = 20
+  ): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"), normalize(col(textCol)).as("norm"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col(idCol),
+        col("toks"),
+        size(col("toks")).cast("long").as("n_words"),
+        // tokens are the normalized text split on single spaces, so
+        // token-chars = chars − (n−1) separators
+        round((length(col("norm")) - (size(col("toks")) - 1)).cast("double") / size(col("toks")), 6).as("mean_word_len"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("dup_word_frac"),
+        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / size(col("toks")), 6).as("alpha_frac")
+      )
+    val bigramTop = base
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i => concat_ws(" ", slice(col("toks"), i, lit(2))))
+      ).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .count()
+      .groupBy(col(idCol))
+      .agg(max(col("count")).as("max_bigram_count"))
+    base
+      .join(bigramTop, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        col("mean_word_len"),
+        col("dup_word_frac"),
+        col("alpha_frac"),
+        round(coalesce(col("max_bigram_count"), lit(0L)) * 2.0 / col("n_words"), 6).as("top_bigram_frac")
+      )
+      .withColumn(
+        "keep_doc",
+        col("n_words") >= minWords &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("dup_word_frac") < maxDupWordFrac &&
+          col("top_bigram_frac") < maxTopBigramFrac
+      )
+  }
+
   /** Document fingerprint: md5 of the normalized text — the exact-dedup
     * key (reference analog: dedup-on-write jitter,
     * `visualizations/models.py:130-147`, repurposed for content identity).

@@ -103,6 +103,41 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("decontaminate drops corpus docs near-identical to a benchmark doc, keeps the rest") {
+    val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    // corpus doc 1 is an exact leak of the benchmark item, 3 a near-dup,
+    // 4 unrelated
+    val corpus = docs.select($"doc_id", $"text")
+    val pairs = Dedup.crossLshPairs(corpus, benchmark, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)) && pairs.contains((2L, 100L)))
+    assert(!pairs.exists(_._1 == 4L))
+
+    val clean = Dedup.decontaminate(corpus, benchmark, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!clean.contains(1L) && !clean.contains(2L)) // leaked docs removed
+    assert(clean.contains(4L) && clean.contains(5L))   // unrelated + tiny kept
+  }
+
+  test("gopherQuality: repetition metrics and keep flag behave on planted docs") {
+    val planted = Seq(
+      (1L, ("spark engine " * 30).trim),                         // one bigram dominates
+      (2L, (1 to 40).map(i => s"word$i").mkString(" ")),         // all-distinct, clean
+      (3L, "short text only")                                    // under min words
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.gopherQuality(planted, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = out(1L)
+    assert(rep.getAs[Double]("dup_word_frac") > 0.9)   // 2 distinct words in 60
+    assert(rep.getAs[Double]("top_bigram_frac") > 0.5) // "engine spark"/"spark engine" dominate
+    assert(!rep.getAs[Boolean]("keep_doc"))
+    val clean = out(2L)
+    assert(clean.getAs[Double]("dup_word_frac") == 0.0)
+    assert(clean.getAs[Boolean]("keep_doc"))
+    assert(!out(3L).getAs[Boolean]("keep_doc")) // too short
+  }
+
   test("null array elements yield null from the native expressions, never garbage") {
     // containsNull=true arrays pass the type checks; a null slot must
     // poison the result (HOF parity), not read as 0
