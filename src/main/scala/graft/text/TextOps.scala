@@ -99,6 +99,18 @@ object TextOps {
   def langIdHeuristicNative(text: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.expressions.MarkerArgmax.column(tokens(text), LangMarkers)
 
+  /** PII / URL scrub for training text (the standard pre-training
+    * redaction pass): emails, URLs, and long digit runs (phone/account
+    * numbers) replaced with stable placeholder tokens so downstream
+    * dedup still hashes consistently. Pure codegen'd `regexp_replace`
+    * chain — scan-speed, pushes through Catalyst like any projection.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "(?i)\\bhttps?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
   /** Gopher-style repetition/quality metrics (Rae et al. 2021, §A1.1,
     * adapted to token granularity — the corpus has no line structure):
     * word count, mean word length, alphabetic-word fraction,

@@ -138,6 +138,15 @@ class DedupSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("keep_doc")) // too short
   }
 
+  test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
+    val out = Seq(
+      "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",
+      "ordinary text with the number 42 and year 2026 kept"
+    ).toDF("text").select(graft.text.TextOps.redactPii($"text").as("t")).as[String].collect()
+    assert(out(0) == "contact me at <EMAIL> or via <URL> and call <NUM>")
+    assert(out(1) == "ordinary text with the number 42 and year 2026 kept")
+  }
+
   test("null array elements yield null from the native expressions, never garbage") {
     // containsNull=true arrays pass the type checks; a null slot must
     // poison the result (HOF parity), not read as 0
