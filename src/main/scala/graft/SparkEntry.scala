@@ -49,6 +49,8 @@ object SparkEntry {
     "w4_macd"            -> (Queries.w4Macd _),
     "x1_text_stats"      -> (Queries.x1TextStats _),
     "x2_quality_gopher"  -> (Queries.x2QualityGopher _),
+    "x6_chunking"        -> (Queries.x6Chunking _),
+    "x7_packing"         -> (Queries.x7Packing _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -533,6 +535,40 @@ object Queries {
     TextOps
       .gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** X6 — token-window chunking (40-token chunks, 10 overlap): one row
+    * per chunk with its index and token count — the context-window
+    * preparation sweep.
+    */
+  def x6Chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", posexplode(TextOps.chunkTokens($"text", 40, 10)).as(Seq("chunk_idx", "chunk_text")))
+      .select(
+        $"doc_id",
+        $"chunk_idx",
+        $"chunk_text",
+        size(split($"chunk_text", " ")).cast("long").as("n_tokens")
+      )
+      .orderBy("doc_id", "chunk_idx")
+
+  /** X7 — per-shard sequence packing: documents ordered by id within
+    * each source shard, assigned to 2048-token bins by running prefix
+    * sum.
+    */
+  def x7Packing(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .packIntoBins(
+        Tables
+          .documents(spark, dir)
+          .select($"doc_id", $"source", TextOps.tokenCount($"text").cast("long").as("n_tokens")),
+        shardCol = "source",
+        orderCol = "doc_id",
+        tokenCountCol = "n_tokens",
+        budget = 2048
+      )
+      .select("source", "doc_id", "n_tokens", "bin_id")
+      .orderBy("source", "doc_id")
 
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1320,6 +1356,28 @@ object Oracles {
         |   AND round(coalesce(max_c, 0) * 2.0 / n_words, 6) < 0.2) AS keep_doc
         |FROM b LEFT JOIN topb ON b.doc_id = topb.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "x6_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, u.i AS start_i,
+        |    array_to_string(toks[u.i:u.i+39], ' ') AS chunk_text
+        |  FROM t, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 30)) AS u(i))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_i) - 1 AS INTEGER) AS chunk_idx,
+        |  chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x7_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE / 2048) AS BIGINT) AS bin_id
+        |FROM t ORDER BY source, doc_id""".stripMargin,
     "x3_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),

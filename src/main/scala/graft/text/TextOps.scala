@@ -99,6 +99,49 @@ object TextOps {
   def langIdHeuristicNative(text: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.expressions.MarkerArgmax.column(tokens(text), LangMarkers)
 
+  /** Token-window chunking for training (context-window preparation):
+    * overlapping chunks of `chunkSize` tokens at stride
+    * `chunkSize − overlap`; the final chunk may be short. One row in,
+    * array of chunk strings out — explode downstream. Scan-local.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val toks = tokens(text)
+    val stride = chunkSize - overlap
+    transform(
+      sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride)),
+      i => concat_ws(" ", slice(toks, i, lit(chunkSize)))
+    )
+  }
+
+  /** Per-shard sequence packing: assign documents (ordered by `orderCol`
+    * within each `shardCol` group) to contiguous token-budget bins via a
+    * running prefix sum — the "pack documents into fixed context
+    * windows" step. `bin = floor(prefix_before / budget)`: a document
+    * straddling a bin boundary stays in the earlier bin (budget
+    * overflow at boundaries), which keeps the rule a pure window
+    * expression — exact first-fit would be an order-sensitive stateful
+    * fold with no distributed formulation beyond this per-shard shape
+    * anyway. One shuffle on the shard key.
+    */
+  def packIntoBins(
+      df: org.apache.spark.sql.DataFrame,
+      shardCol: String,
+      orderCol: String,
+      tokenCountCol: String,
+      budget: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(
+      "bin_id",
+      floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)).cast("double") / budget).cast("long")
+    )
+  }
+
   /** PII / URL scrub for training text (the standard pre-training
     * redaction pass): emails, URLs, and long digit runs (phone/account
     * numbers) replaced with stable placeholder tokens so downstream

@@ -138,6 +138,41 @@ class DedupSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("keep_doc")) // too short
   }
 
+  test("chunkTokens: overlap/stride invariants and short-doc passthrough") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, "just five little tokens here")
+    ).toDF("doc_id", "text")
+    val out = df
+      .select($"doc_id", posexplode(TextOps.chunkTokens($"text", 40, 10)).as(Seq("idx", "chunk")))
+      .as[(Long, Int, String)].collect()
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3.split(" "))
+    assert(doc1.head.length == 40 && doc1.head.head == "t1")
+    assert(doc1(1).head == "t31") // stride 30 = 40 - 10 overlap
+    // consecutive chunks share exactly the 10-token overlap
+    assert(doc1.head.takeRight(10).toSeq == doc1(1).take(10).toSeq)
+    // every token appears in some chunk (full coverage)
+    assert(doc1.flatten.toSet == (1 to 100).map(i => s"t$i").toSet)
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == "just five little tokens here")
+  }
+
+  test("packIntoBins: bins are contiguous per shard and hold the budget before overflow") {
+    import graft.text.TextOps
+    val df = Seq(
+      ("s1", 1L, 1000L), ("s1", 2L, 900L), ("s1", 3L, 300L), ("s1", 4L, 2000L),
+      ("s2", 9L, 50L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = TextOps.packIntoBins(df, "source", "doc_id", "n_tokens", budget = 2048)
+      .select("source", "doc_id", "bin_id").as[(String, Long, Long)].collect()
+      .map { case (s, d, b) => (s, d) -> b }.toMap
+    // prefix-before sums: 0, 1000, 1900, 2200 → bins 0,0,0,1
+    assert(out(("s1", 1L)) == 0 && out(("s1", 2L)) == 0 && out(("s1", 3L)) == 0)
+    assert(out(("s1", 4L)) == 1)
+    assert(out(("s2", 9L)) == 0) // shards pack independently
+  }
+
   test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",
