@@ -99,6 +99,22 @@ object TextOps {
   def langIdHeuristicNative(text: Column)(implicit spark: org.apache.spark.sql.SparkSession): Column =
     graft.expressions.MarkerArgmax.column(tokens(text), LangMarkers)
 
+  /** Domain mixing: per-source sampling fractions (the data-mixture
+    * weights of a training run), seeded for reproducibility. Thin
+    * wrapper over `stat.sampleBy` (stratified Bernoulli, scan-local, no
+    * shuffle); sources absent from `weights` are dropped — an explicit
+    * mixture is also an allowlist.
+    */
+  def sampleMixture(
+      df: org.apache.spark.sql.DataFrame,
+      sourceCol: String,
+      weights: Map[String, Double],
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0), s"fractions must be in [0,1]: $weights")
+    df.stat.sampleBy(sourceCol, weights, seed)
+  }
+
   /** Token-window chunking for training (context-window preparation):
     * overlapping chunks of `chunkSize` tokens at stride
     * `chunkSize − overlap`; the final chunk may be short. One row in,

@@ -173,6 +173,27 @@ class DedupSpec extends SparkSpec {
     assert(out(("s2", 9L)) == 0) // shards pack independently
   }
 
+  test("sampleMixture: seeded reproducibility, proportions near weights, allowlist semantics") {
+    import graft.text.TextOps
+    val docsReal = graft.io.Tables.documents(spark, sf001)
+    val weights = Map("web" -> 0.8, "books" -> 0.2)
+    val sources = docsReal.select("source").distinct().as[String].collect().toSet
+    val (wSrc, bSrc) = (sources.head, sources.tail.headOption.getOrElse(sources.head))
+    val w2 = Map(wSrc -> 0.8, bSrc -> 0.2)
+    val a = TextOps.sampleMixture(docsReal, "source", w2, seed = 7L).select("doc_id").as[Long].collect().toSet
+    val b = TextOps.sampleMixture(docsReal, "source", w2, seed = 7L).select("doc_id").as[Long].collect().toSet
+    assert(a == b) // same seed, same sample
+    val counts = TextOps.sampleMixture(docsReal, "source", w2, seed = 7L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docsReal.groupBy("source").count().as[(String, Long)].collect().toMap
+    val fracW = counts.getOrElse(wSrc, 0L).toDouble / totals(wSrc)
+    assert(math.abs(fracW - 0.8) < 0.15, s"got $fracW for weight 0.8")
+    // sources not in the mixture are dropped
+    val mixed = TextOps.sampleMixture(docsReal, "source", Map(wSrc -> 1.0), seed = 1L)
+      .select("source").distinct().as[String].collect().toSet
+    assert(mixed == Set(wSrc))
+  }
+
   test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",
