@@ -1359,7 +1359,7 @@ object Oracles {
     "x6_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, u.i AS start_i,
         |    array_to_string(toks[u.i:u.i+39], ' ') AS chunk_text

@@ -166,7 +166,9 @@ object TextOps {
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val url = regexp_replace(email, "(?i)\\bhttps?://[^\\s]+", "<URL>")
+    // the final char class keeps trailing sentence punctuation / closing
+    // brackets OUT of the placeholder ("(https://x.com)." keeps ").")
+    val url = regexp_replace(email, "(?i)\\bhttps?://[^\\s]*[^\\s).,;:!?]", "<URL>")
     regexp_replace(url, "\\b\\d{7,}\\b", "<NUM>")
   }
 

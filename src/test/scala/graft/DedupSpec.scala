@@ -176,7 +176,6 @@ class DedupSpec extends SparkSpec {
   test("sampleMixture: seeded reproducibility, proportions near weights, allowlist semantics") {
     import graft.text.TextOps
     val docsReal = graft.io.Tables.documents(spark, sf001)
-    val weights = Map("web" -> 0.8, "books" -> 0.2)
     val sources = docsReal.select("source").distinct().as[String].collect().toSet
     val (wSrc, bSrc) = (sources.head, sources.tail.headOption.getOrElse(sources.head))
     val w2 = Map(wSrc -> 0.8, bSrc -> 0.2)
@@ -197,10 +196,13 @@ class DedupSpec extends SparkSpec {
   test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",
-      "ordinary text with the number 42 and year 2026 kept"
+      "ordinary text with the number 42 and year 2026 kept",
+      "see (https://x.com) and then https://y.com/path."
     ).toDF("text").select(graft.text.TextOps.redactPii($"text").as("t")).as[String].collect()
     assert(out(0) == "contact me at <EMAIL> or via <URL> and call <NUM>")
     assert(out(1) == "ordinary text with the number 42 and year 2026 kept")
+    // trailing punctuation / closing brackets stay out of the placeholder
+    assert(out(2) == "see (<URL>) and then <URL>.")
   }
 
   test("null array elements yield null from the native expressions, never garbage") {
