@@ -66,6 +66,24 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(("a", 10L, 1.0), ("a", 20L, 1.0)))
   }
 
+  test("forwardFillGrid reference scenarios (unit_tests/utils/test_time_series.py:105-157)") {
+    import spark.implicits._
+    def us(min: Int): Long = java.time.Instant.parse("2026-01-01T10:00:00Z").toEpochMilli * 1000L + min * 60_000_000L
+    // consecutive gaps @10m between 10:00=50.0 and 10:30=60.0: the two
+    // missing candles both carry 50.0 forward
+    val gaps = Relational
+      .forwardFillGrid(Seq(("S", us(0), 50.0), ("S", us(30), 60.0)).toDF("k", "b", "v"), "k", "b", 600_000_000L, Seq("v"))
+      .select("b", "v").as[(Long, Double)].collect().toSet
+    assert(gaps == Set((us(10), 50.0), (us(20), 50.0)))
+    // complete series @5m: nothing to fill
+    val none = Relational
+      .forwardFillGrid(
+        Seq(("S", us(0), 100.0), ("S", us(5), 101.0), ("S", us(10), 102.0)).toDF("k", "b", "v"),
+        "k", "b", 300_000_000L, Seq("v")
+      )
+    assert(none.count() == 0)
+  }
+
   test("saltedSumCount equals the direct aggregation on a skewed key") {
     val li = graft.io.Tables.lineitem(spark, sf0001)
     val salted = Relational
