@@ -341,6 +341,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("T3 tumbling windows: aggregates per window, watermark drops late rows (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = input.toDS().toDF("k", "ts", "value")
+    val q = Streams
+      .windowedAgg(df, "ts", "10 seconds", "1 minute", Seq("k"))
+      .writeStream.format("memory").queryName("windows").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    try {
+      // first minute fills window [60,120); the watermark advances with
+      // the max seen event time
+      input.addData(("a", t(70), 1.0), ("a", t(80), 2.0))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes [60,120) so it finalizes + emits
+      input.addData(("a", t(400), 5.0))
+      q.processAllAvailable()
+      // a row 5+ minutes late, inside the long-closed window: dropped
+      input.addData(("a", t(75), 100.0))
+      q.processAllAvailable()
+      // close the second window too so its row emits
+      input.addData(("a", t(800), 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("windows")
+      .selectExpr("k", "window.start", "n", "sum_value")
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+      .map { case (k, start, n, s) => (k, start.getTime / 1000, n, s) }.toSet
+    // the late 100.0 must NOT appear in the [60,120) aggregate
+    assert(out.contains(("a", 60L, 2L, 3.0)), s"got $out")
+    assert(out.contains(("a", 360L, 1L, 5.0)), s"got $out")
+  }
+
   test("stateful dedup drops repeated ids across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
