@@ -296,8 +296,18 @@ object Queries {
       .select(
         $"symbol", $"streamer_symbol", $"instrument_type", $"quantity", $"quantity_direction",
         $"multiplier", $"bid_price", $"ask_price", $"mid_price", $"delta", $"gamma", $"theta", $"vega",
-        $"option_type", $"strike_price", date_format($"expiration_date", "yyyy-MM-dd").as("expiry"),
-        $"days_to_expiration", $"entry_credit", $"fees", $"signed_quantity", $"dollar_theta"
+        $"option_type",
+        // DECIMAL stays inside the pipeline (strike/credit/fee arithmetic is
+        // decimal-typed, as in the reference); the compare surface is DOUBLE
+        // because driver-side hash canonicalization of DECIMAL is
+        // format-ambiguous (r2: bit-exact values, red hash). Values are exact
+        // at <=3 dp, so the cast is lossless.
+        $"strike_price".cast("double").as("strike_price"),
+        date_format($"expiration_date", "yyyy-MM-dd").as("expiry"),
+        $"days_to_expiration",
+        $"entry_credit".cast("double").as("entry_credit"),
+        $"fees".cast("double").as("fees"),
+        $"signed_quantity", $"dollar_theta"
       )
       .orderBy("symbol")
   }
@@ -1167,8 +1177,10 @@ object Oracles {
         |  FROM j)
         |SELECT symbol, streamer_symbol, instrument_type, quantity, quantity_direction, multiplier,
         |  bid_price, ask_price, mid_price, delta, gamma, theta, vega,
-        |  option_type, strike_price, strftime(expiration_date, '%Y-%m-%d') AS expiry, days_to_expiration,
-        |  entry_credit, fees, signed_quantity,
+        |  option_type, CAST(strike_price AS DOUBLE) AS strike_price,
+        |  strftime(expiration_date, '%Y-%m-%d') AS expiry, days_to_expiration,
+        |  CAST(entry_credit AS DOUBLE) AS entry_credit, CAST(fees AS DOUBLE) AS fees,
+        |  signed_quantity,
         |  theta * signed_quantity * multiplier AS dollar_theta
         |FROM f ORDER BY symbol""".stripMargin,
     "j10_anti_join" ->

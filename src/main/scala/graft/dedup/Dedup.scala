@@ -56,7 +56,12 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") > 1)
-    fp.join(groups, Seq("fingerprint"))
+      .withColumnRenamed("fingerprint", "g_fingerprint")
+    // null-safe (<=>) equi-join: NULL-text docs all fingerprint to NULL,
+    // and both the windowed formulation this replaced and the oracle's
+    // PARTITION BY fingerprint put them in ONE dup group — a plain
+    // equi-join would silently drop them (null != null).
+    fp.join(groups, col("fingerprint") <=> col("g_fingerprint"))
       .select(col(idCol), col("keeper_id"), col("fingerprint"), col("group_size"))
   }
 

@@ -124,9 +124,16 @@ object TextOps {
     require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val toks = tokens(text)
     val stride = chunkSize - overlap
-    transform(
-      sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride)),
-      i => concat_ws(" ", slice(toks, i, lit(chunkSize)))
+    // NULL text must yield a NULL array (posexplode then drops the doc,
+    // matching the oracle's WHERE text IS NOT NULL). Unguarded,
+    // greatest(null − overlap, 1) = 1 (greatest SKIPS nulls) and
+    // concat_ws(null slice) = "" would emit one spurious empty chunk.
+    when(
+      toks.isNotNull,
+      transform(
+        sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride)),
+        i => concat_ws(" ", slice(toks, i, lit(chunkSize)))
+      )
     )
   }
 
@@ -207,7 +214,15 @@ object TextOps {
       )
     val bigramTop = base
       .select(col(idCol), explode(
-        transform(sequence(lit(1), size(col("toks")) - 1), i => concat_ws(" ", slice(col("toks"), i, lit(2))))
+        // 1-token docs: sequence(1, 0) infers step −1 and yields [1, 0],
+        // then slice(toks, 0, 2) throws (position 0 is invalid). Guard to
+        // an empty array — zero bigrams, row dropped by explode, and the
+        // left join + coalesce below yields top_bigram_frac = 0, matching
+        // the oracle's range(1, greatest(len−1, 0) + 1).
+        when(
+          size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1), i => concat_ws(" ", slice(col("toks"), i, lit(2))))
+        ).otherwise(array().cast("array<string>"))
       ).as("bigram"))
       .groupBy(col(idCol), col("bigram"))
       .count()

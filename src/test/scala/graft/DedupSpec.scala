@@ -138,6 +138,40 @@ class DedupSpec extends SparkSpec {
     assert(!out(3L).getAs[Boolean]("keep_doc")) // too short
   }
 
+  test("gopherQuality: 1-token doc yields zero bigrams, not a sequence(1,0) crash") {
+    val edge = Seq(
+      (1L, "solitary"),                                   // exactly one token
+      (2L, (1 to 25).map(i => s"word$i").mkString(" "))   // healthy doc
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.gopherQuality(edge, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_words") == 1L)
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("keep_doc")) // under min words
+    assert(out(2L).getAs[Boolean]("keep_doc"))
+  }
+
+  test("chunkTokens: NULL text yields NULL array (doc dropped by posexplode)") {
+    import graft.text.TextOps
+    val df = Seq((1L, "five tokens of real text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df
+      .select($"doc_id", posexplode(TextOps.chunkTokens($"text", 40, 10)).as(Seq("idx", "chunk")))
+      .as[(Long, Int, String)].collect()
+    assert(out.map(_._1).toSet == Set(1L)) // no spurious empty chunk for doc 2
+  }
+
+  test("exactDuplicates: NULL texts form one dup group (null-safe join, window parity)") {
+    val withNulls = Seq(
+      (1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, "unique text")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.exactDuplicates(withNulls, "doc_id", "text")
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
   test("chunkTokens: overlap/stride invariants and short-doc passthrough") {
     import graft.text.TextOps
     val df = Seq(

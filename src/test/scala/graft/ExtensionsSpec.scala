@@ -34,6 +34,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val shh = spark.sql("SELECT size(graft_shingle_hashes(array('a','b','c'), 2)) AS n").collect().head.getInt(0)
       assert(shh == 2)
 
+      // non-literal / wrong-typed width must be a clear analysis error,
+      // not an NPE from a blind eval().asInstanceOf at resolution time
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_shingle_hashes(array('a','b'), CAST(2 AS BIGINT))").collect()
+      }
+      assert(err.getMessage.contains("graft_shingle_hashes"), err.getMessage)
+
       // optimizer rule: jaccard-threshold filters gain the sound
       // length-ratio guard, and results are unchanged
       import spark.implicits._
