@@ -103,10 +103,6 @@ object SparkEntry {
     // batched binary decode is a mapPartitions kernel (the point is the
     // non-SQL batch plumbing); correctness carried by MultimodalSpec.
     "m1_multimodal",
-    // order-sensitive LIFO fold with cross-row netting (SURVEY A8) —
-    // not SQL-expressible; correctness carried by LifoSpec (reference
-    // scenario ports).
-    "a8_lifo",
     // per-symbol position-aware state machine (SURVEY T5) — correctness
     // carried by HullMacdSpec (reference golden scenarios).
     "g1_signal_engine",
@@ -733,19 +729,39 @@ object Queries {
     val li = Tables.lineitem(spark, dir)
     val txns = li.select(
       concat(lit("S"), $"l_suppkey").as("symbol"),
-      (unix_timestamp($"l_shipdate") * 1000000L + $"l_orderkey").as("executed_at_us"),
+      // + orderkey*8 + linenumber makes the sort key TOTAL (linenumber
+      // < 8): the fold order, hence the oracle compare, is deterministic
+      (unix_timestamp($"l_shipdate") * 1000000L + $"l_orderkey" * 8 + $"l_linenumber")
+        .as("executed_at_us"),
       element_at(
         array(lit("Buy to Open"), lit("Sell to Close"), lit("Sell to Open"), lit("Buy to Close")),
         (pmod($"l_linenumber", lit(4)) + 1).cast("int")
       ).as("action"),
-      round($"l_extendedprice" / greatest($"l_quantity", lit(1.0)), 4).as("price"),
+      // price via MULTIPLICATION, not division: 2dp × (1 + 2dp) terminates
+      // at 4dp, so round(_, 4) never sits on a tie — division (ep/qty with
+      // qty = 8, 16, 32...) lands exactly on x.xxxx5 ties where Spark's
+      // exact-expansion HALF_UP and DuckDB's multiply-based round() pick
+      // opposite sides (~1% of rows diverge).
+      round($"l_extendedprice" * (lit(1.0) + $"l_discount"), 4).as("price"),
       $"l_extendedprice".as("value"),
       when($"l_discount" > 0.05, "Credit").otherwise("Debit").as("value_effect"),
       round($"l_extendedprice" * (lit(1.0) + $"l_tax"), 4).as("net_value"),
       greatest($"l_quantity".cast("int"), lit(1)).as("quantity")
     )
     val positions = txns.select("symbol").distinct().withColumn("current_qty", lit(25))
-    graft.accounts.Lifo.entryCredits(txns, positions).orderBy("symbol")
+    graft.accounts.Lifo
+      .entryCredits(txns, positions)
+      // compare surface: DECIMAL(18,6) money → DOUBLE (lossless at 6 dp;
+      // the j2 lesson — DECIMAL canonicalization is format-ambiguous in
+      // the driver hash), count → BIGINT to match DuckDB's count(*)
+      .select(
+        $"symbol",
+        $"entry_credit".cast("double").as("entry_credit"),
+        $"fees".cast("double").as("fees"),
+        $"weighted_price".cast("double").as("weighted_price"),
+        $"transaction_count".cast("long").as("transaction_count")
+      )
+      .orderBy("symbol")
   }
 
   /** T5 — HullMacd confluence signal engine over each user's value
@@ -1083,6 +1099,75 @@ object Oracles {
         |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg_price,
         |  round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    // A8 — the LIFO fold as a DuckDB list_reduce. The engine's BigDecimal
+    // arithmetic is reproduced EXACTLY with HUGEINT fraction accumulators
+    // (entry = en/ed, fees = fn/fd micros, gcd-reduced each step so den
+    // stays ≤ lcm(qty…) ≈ 3e21 ≪ HUGEINT range) and explicit HALF_UP
+    // rounding — (2n+d)//(2d), ties away from zero — at the final 6 dp,
+    // the same rule as java BigDecimal.setScale(6, HALF_UP). DECIMAL128's
+    // 34-digit intermediates differ from these exact rationals by ~1e-34
+    // relative, far below the 1/(2·10^6·den) minimum distance of any
+    // non-tie sum from a rounding boundary, so the rounded results agree;
+    // exact ties (terminating fractions) are exact on both sides.
+    // State rides a LIST(HUGEINT), not a STRUCT: DuckDB v1.0.0
+    // list_reduce mis-folds STRUCT accumulators when a vector carries
+    // lists of different lengths (verified: shortest group returned the
+    // untouched seed at 10 rows, correct alone — list accumulators are
+    // immune). Layout: state [rem, closebuf, en, ed, fn, fd, px, tq],
+    // txn [qty, is_close, sign, value_u, fee_u, price_u]; the nested
+    // single-element list_transforms bind consumed/take/unreduced-
+    // fraction locals, as in the d3 oracle.
+    "a8_lifo" ->
+      """WITH txns AS (
+        |  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS symbol,
+        |    epoch_ms(l_shipdate) // 1000 * 1000000 + l_orderkey * 8 + l_linenumber AS executed_at_us,
+        |    CAST(CASE WHEN (l_linenumber % 4) IN (1, 3) THEN 1 ELSE 0 END AS HUGEINT) AS is_close,
+        |    CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE -1 END AS HUGEINT) AS sign,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS value_u,
+        |    abs(CAST(CAST(round(l_extendedprice * (1.0 + l_tax), 4) AS DECIMAL(18,6)) * 1000000 AS HUGEINT)
+        |        - CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS fee_u,
+        |    CAST(CAST(round(l_extendedprice * (1.0 + l_discount), 4) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS price_u,
+        |    GREATEST(CAST(floor(l_quantity) AS INTEGER), 1) AS qty
+        |  FROM lineitem),
+        |packed AS (
+        |  SELECT symbol, CAST(count(*) AS BIGINT) AS transaction_count,
+        |    list([CAST(qty AS HUGEINT), is_close, sign, value_u, fee_u, price_u]
+        |         ORDER BY executed_at_us DESC, qty DESC) AS l
+        |  FROM txns GROUP BY symbol),
+        |folded AS (
+        |  SELECT symbol, transaction_count,
+        |    list_reduce(
+        |      list_prepend([CAST(25 AS HUGEINT), CAST(0 AS HUGEINT), CAST(0 AS HUGEINT), CAST(1 AS HUGEINT),
+        |                    CAST(0 AS HUGEINT), CAST(1 AS HUGEINT), CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)], l),
+        |      (a, x) -> CASE
+        |        WHEN x[2] = 1 THEN [a[1], a[2] + x[1], a[3], a[4], a[5], a[6], a[7], a[8]]
+        |        ELSE list_transform([least(x[1], a[2])], c ->
+        |          list_transform([least(x[1] - c, a[1])], t ->
+        |            list_transform([[a[3] * x[1] + x[3] * x[4] * t * a[4],
+        |                             a[4] * x[1],
+        |                             a[5] * x[1] + x[5] * t * a[6],
+        |                             a[6] * x[1]]], u ->
+        |              [a[1] - t, a[2] - c,
+        |               u[1] // greatest(gcd(abs(u[1]), u[2]), 1),
+        |               u[2] // greatest(gcd(abs(u[1]), u[2]), 1),
+        |               u[3] // greatest(gcd(u[3], u[4]), 1),
+        |               u[4] // greatest(gcd(u[3], u[4]), 1),
+        |               a[7] + x[6] * t, a[8] + t]
+        |            )[1]
+        |          )[1]
+        |        )[1]
+        |      END) AS s
+        |  FROM packed)
+        |SELECT symbol,
+        |  CAST(CASE WHEN s[3] >= 0 THEN (2 * s[3] + s[4]) // (2 * s[4])
+        |            ELSE -((2 * (-s[3]) + s[4]) // (2 * s[4])) END AS DOUBLE) / 1000000.0 AS entry_credit,
+        |  CAST((2 * s[5] + s[6]) // (2 * s[6]) AS DOUBLE) / 1000000.0 AS fees,
+        |  CASE WHEN s[8] > 0
+        |       THEN CAST((2 * s[7] + s[8]) // (2 * s[8]) AS DOUBLE) / 1000000.0 END AS weighted_price,
+        |  transaction_count
+        |FROM folded
+        |WHERE s[1] = 0
+        |ORDER BY symbol""".stripMargin,
     "a9_distinct_agg" ->
       """SELECT p_brand,
         |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,

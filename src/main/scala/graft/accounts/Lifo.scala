@@ -1,7 +1,5 @@
 package graft.accounts
 
-import java.math.{BigDecimal => JBigDecimal, MathContext}
-
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -45,8 +43,6 @@ object Lifo {
       transactionCount: Int
   )
 
-  private val MC = MathContext.DECIMAL128
-
   /** Pure-Scala replay of one symbol's transactions (any order; sorted
     * internally newest-first like the reference). Returns None when the
     * surviving opens cannot account for `currentQty` (incomplete
@@ -59,6 +55,18 @@ object Lifo {
       currentQty
     )
 
+  /** Money grid: inputs live on a 6-dp lattice (DecimalType(18,6)); the
+    * fold converts each amount to exact integer micro-units.
+    */
+  private def micros(x: BigDecimal): BigInt =
+    BigInt(x.bigDecimal.setScale(6, java.math.RoundingMode.HALF_UP).movePointRight(6).toBigIntegerExact)
+
+  /** `round(n/d)` to the nearest integer, ties away from zero — the
+    * same rule as `BigDecimal.setScale(HALF_UP)`, on an exact rational.
+    */
+  private def halfUp(n: BigInt, d: BigInt): BigInt =
+    if (n.signum >= 0) (n * 2 + d) / (d * 2) else -(((-n) * 2 + d) / (d * 2))
+
   /** Streaming replay over a newest-first iterator: O(1) state, and —
     * the scale property — EARLY EXIT once the position is fully
     * accounted (`remaining == 0`): the (often long) older tail of the
@@ -66,6 +74,18 @@ object Lifo {
     * A pathological symbol with millions of fills costs a scan, not
     * heap. The distributed driver feeds this directly from the
     * sort-within-partitions row stream.
+    *
+    * Arithmetic is EXACT: the pro-rata fractions (`take/qty`) ride
+    * gcd-reduced BigInt rationals and the result is rounded ONCE, to
+    * the 6-dp money grid (HALF_UP), at the very end. An earlier
+    * formulation rounded each fraction to 34 significant digits
+    * (`MathContext.DECIMAL128`, mirroring the reference's
+    * decimal-context arithmetic); that leaves the sum a hair off any
+    * exact rounding boundary it should land on (observed: a fees sum
+    * whose true value was exactly ....6875, rounded down instead of
+    * up), so results depended on intermediate precision. Exact
+    * rationals keep accounting off floats AND make the fold
+    * bit-reproducible by any exact implementation.
     */
   def replayStream(symbol: String, sortedNewestFirst: Iterator[Txn], currentQty: Int): Option[LifoResult] = {
     val it = sortedNewestFirst
@@ -76,9 +96,10 @@ object Lifo {
     }
     var remaining = math.abs(currentQty)
     var closeBuffer = 0
-    var entryCredit = BigDecimal(0)
-    var totalFees = BigDecimal(0)
-    var priceXQty = BigDecimal(0)
+    // entry credit and fees as exact rationals in micro-units
+    var enN = BigInt(0); var enD = BigInt(1)
+    var feeN = BigInt(0); var feeD = BigInt(1)
+    var priceXQty = BigInt(0)
     var totalQty = 0
     while (it.hasNext && remaining != 0) {
       val txn = it.next()
@@ -92,12 +113,16 @@ object Lifo {
         val surviving = qty - consumed
         val take = math.min(surviving, remaining)
         if (take > 0) {
-          val fraction = BigDecimal(new JBigDecimal(take).divide(new JBigDecimal(qty), MC))
-          val proportionalValue = txn.value * fraction
-          val sign = if (txn.valueEffect == "Credit") BigDecimal(1) else BigDecimal(-1)
-          entryCredit += proportionalValue * sign
-          totalFees += (txn.netValue - txn.value).abs * fraction
-          priceXQty += txn.price * take
+          val q = BigInt(qty)
+          val t = BigInt(take)
+          val sign = if (txn.valueEffect == "Credit") 1 else -1
+          enN = enN * q + micros(txn.value) * sign * t * enD
+          enD = enD * q
+          val g1 = enN.gcd(enD); if (g1 > 1) { enN /= g1; enD /= g1 }
+          feeN = feeN * q + micros((txn.netValue - txn.value).abs) * t * feeD
+          feeD = feeD * q
+          val g2 = feeN.gcd(feeD); if (g2 > 1) { feeN /= g2; feeD /= g2 }
+          priceXQty += micros(txn.price) * t
           totalQty += take
           remaining -= take
         }
@@ -109,9 +134,9 @@ object Lifo {
     if (remaining != 0) None
     else {
       val wp =
-        if (totalQty > 0) Some(BigDecimal(priceXQty.bigDecimal.divide(new JBigDecimal(totalQty), MC)))
+        if (totalQty > 0) Some(BigDecimal(halfUp(priceXQty, BigInt(totalQty)), 6))
         else None
-      Some(LifoResult(symbol, entryCredit, totalFees, wp, count))
+      Some(LifoResult(symbol, BigDecimal(halfUp(enN, enD), 6), BigDecimal(halfUp(feeN, feeD), 6), wp, count))
     }
   }
 
