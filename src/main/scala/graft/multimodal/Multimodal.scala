@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,12 +16,14 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: rows are drained in fixed-size batches, the kernel
   * sees a whole batch, results stream back out).
   *
-  * The actual media codecs are NOT in this container, so the byte-level
-  * decode is a clearly-marked deterministic STUB — everything around it
-  * (schema, batch shape, partition locality, null handling) is real and
-  * is what carries over to a cluster with real codecs: a scan-local
-  * transform with no shuffle, where batch size bounds peak memory per
-  * task (batch × decoded-frame size), which is the knob that matters at
+  * Image decode/resize are REAL — `javax.imageio` ships with the JDK, so
+  * jpeg/png need no external codecs. Audio/video kernels remain
+  * clearly-marked deterministic STUBS (no codecs in this container); the
+  * plumbing around them (schema, batch shape, partition locality, null
+  * handling) is identical to the real image path and is what carries
+  * over to a cluster with real codecs: a scan-local transform with no
+  * shuffle, where batch size bounds peak memory per task
+  * (batch × decoded-frame size), which is the knob that matters at
   * 100 TB.
   */
 object Multimodal {
@@ -27,27 +34,114 @@ object Multimodal {
     StructField("height", IntegerType)
   ))
 
-  /** Test-harness packer: synthesizes a media table from `documents`
-    * (text bytes as the opaque payload, metadata derived
-    * deterministically) so the pipeline is exercised end-to-end without
-    * real media files.
-    */
-  def packDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      col("text").cast("binary").as("media"),
-      struct(
-        element_at(array(lit("jpeg"), lit("png"), lit("wav")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-        (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height")
-      ).as("meta")
-    )
+  val ImageFormats: Set[String] = Set("jpeg", "png")
 
-  /** ======== STUB ========
-    * Deterministic fake decoder: a real implementation would decode the
-    * codec named by `format` into pixels/samples. Here: a 16-bin byte
-    * histogram normalized to [0,1] — stable, cheap, shaped like an
-    * embedding so downstream ops (ANN, dedup) compose.
+  private val packedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", metaType)
+  ))
+
+  /** Deterministic RGB for the synthetic test images: every (id, x, y)
+    * maps to a fixed color, so packed payloads are bit-stable across
+    * runs and partitionings.
+    */
+  private def synthRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+    val b = ((id * 5 + x * 19 + y * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Encode a deterministic `w`×`h` image as `format` bytes. */
+  def synthImageBytes(id: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, synthRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Real decode: bytes → (width, height, row-major ARGB pixels), or
+    * None when the payload is not a decodable image. One
+    * `ImageIO.read` per media row, batched by the caller.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Features from REAL pixels: 16-bin luminance histogram normalized to
+    * [0,1] — same shape as the audio stub so downstream ops (ANN, dedup)
+    * compose regardless of modality.
+    */
+  def imageFeatures(pixels: Array[Int]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (pixels.nonEmpty) {
+      var i = 0
+      while (i < pixels.length) {
+        val p = pixels(i)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        hist(lum >>> 4) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < 16) { hist(b) /= pixels.length.toFloat; b += 1 }
+    }
+    hist
+  }
+
+  /** Test-harness packer: synthesizes a media table from `documents`.
+    * jpeg/png rows carry REAL encoded images (small, deterministic
+    * pixels derived from doc_id — so the decode path downstream is the
+    * genuine JDK codec); wav rows carry the document's text bytes as an
+    * opaque payload for the stub path. Batched partition-local kernel,
+    * same shape as [[extractFeatures]].
+    */
+  def packDocuments(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = docs.select(col("doc_id").cast("long"), col("text"))
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val format = (id % 3) match {
+            case 0 => "jpeg"
+            case 1 => "png"
+            case _ => "wav"
+          }
+          if (ImageFormats(format)) {
+            val w = (id % 16 + 4).toInt
+            val h = (id % 12 + 4).toInt
+            Row(id, synthImageBytes(id, w, h, format), Row(format, w, h))
+          } else {
+            val bytes = if (r.isNullAt(1)) null else r.getString(1).getBytes("UTF-8")
+            val w = (id % 64 * 16 + 64).toInt
+            val h = (id % 48 * 16 + 64).toInt
+            Row(id, bytes, Row(format, w, h))
+          }
+        }
+      }
+    }(Encoders.row(packedSchema))
+  }
+
+  /** ======== STUB (audio/video only) ========
+    * Deterministic fake decoder for formats whose codecs aren't in this
+    * container: a 16-bin byte histogram normalized to [0,1] — stable,
+    * cheap, shaped like [[imageFeatures]] so the two paths are
+    * interchangeable downstream.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -64,20 +158,27 @@ object Multimodal {
   }
 
   /** Batched feature extraction over the binary column: drains the
-    * partition iterator in `batchSize` chunks, runs the (stub) decode
-    * over each whole batch, and emits rows + `features array<float>`.
-    * Null media → null features.
+    * partition iterator in `batchSize` chunks and runs the
+    * format-dispatched decode over each whole batch — REAL
+    * `javax.imageio` decode for jpeg/png (features from actual pixels),
+    * stub histogram for everything else. Null or undecodable media →
+    * null features (a real pipeline quarantines those rows downstream).
     */
   def extractFeatures(df: DataFrame, mediaCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // batch-shaped kernel boundary: a real decoder amortizes codec
-        // setup across the batch exactly here
+        // batch-shaped kernel boundary: codec setup (and any native
+        // buffers) amortize across the batch exactly here
         batch.map { r =>
+          val format =
+            if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx).getString(0)
           val out: Any =
             if (r.isNullAt(mediaIdx)) null
+            else if (format != null && ImageFormats(format))
+              decodePixels(r.getAs[Array[Byte]](mediaIdx)).map(p => imageFeatures(p._3)).orNull
             else decodeStub(r.getAs[Array[Byte]](mediaIdx))
           Row.fromSeq(r.toSeq :+ out)
         }
@@ -85,17 +186,57 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** ======== STUB ======== resize: a real kernel rescales pixels; the
-    * stub rewrites the metadata and truncates the payload
-    * proportionally, preserving the (bytes, meta) → (bytes, meta)
-    * contract and batch shape.
+  /** Resize: REAL for jpeg/png — decode, nearest-neighbor rescale of the
+    * actual pixels, re-encode in the same format (deterministic, unlike
+    * Graphics2D's platform-dependent interpolators). Other formats (or
+    * undecodable payloads) fall back to the proportional byte-truncate
+    * stub so the (bytes, meta) → (bytes, meta) contract holds for every
+    * row. Batched like the other kernels.
     */
-  def resize(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
-    df.withColumn(
-        "media",
-        expr(s"substring(media, 1, greatest(cast(octet_length(media) * $targetW * $targetH / greatest(meta.width * meta.height, 1) as int), 1))")
-      )
-      .withColumn("meta", struct(col("meta.format"), lit(targetW).as("width"), lit(targetH).as("height")))
+  def resize(df: DataFrame, targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+    val schema = df.schema
+    val mediaIdx = schema.fieldIndex("media")
+    val metaIdx = schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+          val format = if (meta == null) null else meta.getString(0)
+          val bytes = if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx)
+          val decoded =
+            if (format != null && ImageFormats(format)) decodePixels(bytes) else None
+          val newBytes: Array[Byte] = decoded match {
+            case Some((w, h, px)) =>
+              val img = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < targetH) {
+                var x = 0
+                while (x < targetW) {
+                  img.setRGB(x, y, px(math.min(y * h / targetH, h - 1) * w + math.min(x * w / targetW, w - 1)) & 0xffffff)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new ByteArrayOutputStream()
+              ImageIO.write(img, format, out)
+              out.toByteArray
+            case None =>
+              // ======== STUB (non-image) ======== proportional truncate
+              if (bytes == null || meta == null) bytes
+              else {
+                val srcArea = math.max(meta.getInt(1) * meta.getInt(2), 1)
+                val n = math.max((bytes.length.toLong * targetW * targetH / srcArea).toInt, 1)
+                bytes.take(math.min(n, bytes.length))
+              }
+          }
+          val vals = r.toSeq.toArray
+          vals(mediaIdx) = newBytes
+          vals(metaIdx) = Row(format, targetW, targetH)
+          Row.fromSeq(vals.toSeq)
+        }
+      }
+    }(Encoders.row(schema))
+  }
 
   /** ======== STUB ======== frame sampling: emits `n` (frame_idx, frame)
     * rows per media row — the explode shape of video→frames. Frames are

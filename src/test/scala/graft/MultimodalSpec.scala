@@ -33,15 +33,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(Array.emptyByteArray).forall(_ == 0f))
   }
 
-  test("resize rewrites metadata and shrinks payload") {
-    val out = Multimodal.resize(media, 64, 64)
+  test("real decode: 4x4 PNG fixture roundtrips to known pixels") {
+    val bytes = Multimodal.synthImageBytes(42L, 4, 4, "png")
+    val Some((w, h, px)) = Multimodal.decodePixels(bytes)
+    assert(w == 4 && h == 4 && px.length == 16)
+    // PNG is lossless: decoded pixels must be EXACTLY the synthetic RGB
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val r = ((42L * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((42L * 17 + x * 11 + y * 3) % 256).toInt
+      val b = ((42L * 5 + x * 19 + y * 23) % 256).toInt
+      assert((px(y * 4 + x) & 0xffffff) == ((r << 16) | (g << 8) | b), s"pixel ($x,$y)")
+    }
+    // features come from the real pixels: hand-compute the luminance histogram
+    val expected = new Array[Float](16)
+    px.foreach { p =>
+      val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      expected(lum >>> 4) += 1f / 16f
+    }
+    assert(Multimodal.imageFeatures(px).toSeq == expected.toSeq)
+  }
+
+  test("packed jpeg/png payloads are real images whose decoded dims match the metadata") {
+    val rows = media
+      .filter($"meta.format".isin("jpeg", "png"))
+      .select($"media", $"meta.width", $"meta.height")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Some((w, h, _)) = Multimodal.decodePixels(r.getAs[Array[Byte]](0))
+      assert(w == r.getInt(1) && h == r.getInt(2))
+    }
+    // undecodable / non-image payloads yield null features, images real ones
+    assert(Multimodal.decodePixels("not an image".getBytes).isEmpty)
+  }
+
+  test("resize rewrites metadata; images are truly rescaled, stubs never grow") {
+    val out = Multimodal.resize(media, 8, 8)
     val r = out.select($"meta.width", $"meta.height").distinct().as[(Int, Int)].collect()
-    assert(r.toSeq == Seq((64, 64)))
-    val shrunk = out
+    assert(r.toSeq == Seq((8, 8)))
+    // image rows: the output payload is a REAL 8x8 image in the same format
+    val img = out.filter($"meta.format".isin("jpeg", "png")).select($"media").head()
+    val Some((w, h, _)) = Multimodal.decodePixels(img.getAs[Array[Byte]](0))
+    assert(w == 8 && h == 8)
+    // stub (non-image) rows: proportional truncate never grows the payload
+    val grown = out
+      .filter($"meta.format" === "wav")
       .join(media.select($"media_id", octet_length($"media").as("orig_len")), "media_id")
       .filter(octet_length($"media") > $"orig_len")
       .count()
-    assert(shrunk == 0)
+    assert(grown == 0)
   }
 
   test("frame sampling explodes n frames per media row") {
