@@ -51,6 +51,7 @@ object SparkEntry {
     "x2_quality_gopher"  -> (Queries.x2QualityGopher _),
     "x6_chunking"        -> (Queries.x6Chunking _),
     "x7_packing"         -> (Queries.x7Packing _),
+    "x7b_packing"        -> (Queries.x7bPackingExact _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "u4_symbol_dedup"    -> (Queries.u4SymbolDedup _),
     "j5_explode_join"    -> (Queries.j5ExplodeJoin _),
     "b1_backtest"        -> (Queries.b1Backtest _),
+    "b1_enrich"          -> (Queries.b1Enrich _),
     "s2_wire_decode"     -> (Queries.s2WireDecode _),
     "f16_leg_desc"       -> (Queries.f16LegDesc _)
   )
@@ -576,6 +578,24 @@ object Queries {
       .select("source", "doc_id", "n_tokens", "bin_id")
       .orderBy("source", "doc_id")
 
+  /** X7b — exact sequential (first-fit) packing: the overflow-free rule,
+    * fold-based (see [[graft.text.TextOps.packFirstFitExact]]). Same
+    * derivation as x7 so the two rules are directly comparable.
+    */
+  def x7bPackingExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .packFirstFitExact(
+        Tables
+          .documents(spark, dir)
+          .select($"doc_id", $"source", TextOps.tokenCount($"text").cast("long").as("n_tokens")),
+        shardCol = "source",
+        orderCol = "doc_id",
+        tokenCountCol = "n_tokens",
+        budget = 2048
+      )
+      .select("source", "doc_id", "n_tokens", "bin_id")
+      .orderBy("source", "doc_id")
+
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     Tables
@@ -1019,6 +1039,32 @@ object Queries {
       .run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
       .orderBy("symbol", "time_us", "signal_type")
+  }
+
+  /** B1-enrich — the oracle-checkable half of the backtest: candle-close
+    * rows (the signal positions a state machine would emit, here derived
+    * relationally: last event per 30-min bucket, stamped at the bucket
+    * start) enriched with the as-of entry price through the SAME
+    * [[graft.backtest.Backtest.enrichSignals]] code path b1 uses. Hash-
+    * checks the union+window as-of machinery; the signal ENGINE half
+    * stays spec-carried (BacktestSpec/HullMacdSpec).
+    */
+  def b1Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val pricing = Tables
+      .events(spark, dir)
+      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"))
+    val signals = Relational
+      .latestPerKey(
+        pricing.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
+        Seq("symbol", "bucket_us"),
+        "time_us",
+        "time_us"
+      )
+      .select($"symbol", $"bucket_us".as("time_us"), $"close".as("close_price"))
+    graft.backtest.Backtest
+      .enrichSignals(signals, pricing)
+      .select("symbol", "time_us", "close_price", "entry_price")
+      .orderBy("symbol", "time_us")
   }
 
   /** S2 — compact-array wire decode: per-user FEED_DATA-style frames
@@ -1475,6 +1521,30 @@ object Oracles {
         |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE / 2048) AS BIGINT) AS bin_id
         |FROM t ORDER BY source, doc_id""".stripMargin,
+    // X7b — the sequential first-fit fold as a recursive CTE: one
+    // iteration per in-shard position, every shard advances in lockstep,
+    // so total work is O(rows) (a list_reduce can only return the FINAL
+    // state — per-row bin assignments need the recursion). NULL token
+    // counts fold as 0 (matching the engine) but pass through the output
+    // column unchanged.
+    "x7b_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+        |    coalesce(n_tokens, 0) AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + coalesce(d.n_tokens, 0) > 2048
+        |         THEN r.bin_id + 1 ELSE r.bin_id END,
+        |    CASE WHEN r.fill > 0 AND r.fill + coalesce(d.n_tokens, 0) > 2048
+        |         THEN coalesce(d.n_tokens, 0) ELSE r.fill + coalesce(d.n_tokens, 0) END
+        |  FROM rec r JOIN t d ON d.source = r.source AND d.rn = r.rn + 1)
+        |SELECT source, doc_id, n_tokens, bin_id FROM rec ORDER BY source, doc_id""".stripMargin,
     "x3_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),
@@ -1629,6 +1699,23 @@ object Oracles {
         |SELECT query_id, nbr_id, qcos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, nbr_id) AS rn FROM scored) t
         |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin,
+    // B1-enrich — candle-close signal rows (last event per 30-min bucket,
+    // stamped at the bucket start) as-of joined to the pricing stream.
+    "b1_enrich" ->
+      """WITH pricing AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close
+        |  FROM events),
+        |ranked AS (
+        |  SELECT symbol, (time_us // 1800000000) * 1800000000 AS bucket_us, time_us, close,
+        |    row_number() OVER (PARTITION BY symbol, time_us // 1800000000
+        |                       ORDER BY time_us DESC) AS rn
+        |  FROM pricing),
+        |sig AS (SELECT symbol, bucket_us AS time_us, close AS close_price FROM ranked WHERE rn = 1)
+        |SELECT l.symbol, l.time_us, l.close_price, r.close AS entry_price
+        |FROM sig l
+        |ASOF LEFT JOIN (SELECT symbol, time_us, close FROM pricing WHERE close IS NOT NULL) r
+        |  ON l.symbol = r.symbol AND l.time_us >= r.time_us
+        |ORDER BY l.symbol, l.time_us""".stripMargin,
     "j6_asof_join" ->
       """SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id, r.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'error') l

@@ -87,6 +87,18 @@ object Backtest {
   ): DataFrame = {
     val allSignals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close", hullLength, fast, slow, signalLen)
     val signals = scoreFromUs.fold(allSignals)(t => allSignals.filter(col("time_us") >= t))
+    enrichSignals(signals, pricing)
+  }
+
+  /** The relational half of the backtest on its own (reference
+    * `publisher.py:112-128`): attach to each signal row the most recent
+    * non-null pricing close at or before the signal time. Exposed
+    * separately so this half is DuckDB-oracle-checkable (b1_enrich) —
+    * the signal-engine half is a state machine and stays spec-carried.
+    * `signals` needs (symbol, time_us, ...); `pricing` needs
+    * (symbol, time_us, close).
+    */
+  def enrichSignals(signals: DataFrame, pricing: DataFrame): DataFrame = {
     val pricingClean = pricing
       .filter(col("close").isNotNull)
       .select(col("symbol"), col("time_us"), col("close").as("entry_price"))

@@ -165,6 +165,55 @@ object TextOps {
     )
   }
 
+  /** Exact sequential packing (the rule real sequence-packing pipelines
+    * use): walk each shard's documents in order, close the current bin
+    * and open a new one whenever the next document would overflow the
+    * token budget — so every bin holds ≤ `budget` tokens unless a single
+    * oversized document occupies it alone. Contrast [[packIntoBins]],
+    * whose prefix-sum rule keeps a boundary-straddling document in the
+    * earlier bin (overflow) but is a pure window expression.
+    *
+    * This is an order-sensitive fold, so it runs like the LIFO replay:
+    * one shuffle on the shard key, in-partition sort, streaming O(1)
+    * state per shard — no group materialization, spills handled by the
+    * engine's sort. The two rules bound each other: first-fit never uses
+    * fewer bins than the prefix rule on the same shard, and its
+    * non-singleton bins never exceed the budget (PackingSpec).
+    */
+  def packFirstFitExact(
+      df: org.apache.spark.sql.DataFrame,
+      shardCol: String,
+      orderCol: String,
+      tokenCountCol: String,
+      budget: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val prepared = df.withColumn(tokenCountCol, col(tokenCountCol).cast("long"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      prepared.schema.fields :+ org.apache.spark.sql.types.StructField("bin_id", LongType, nullable = false))
+    val shardIdx = prepared.schema.fieldIndex(shardCol)
+    val tokIdx = prepared.schema.fieldIndex(tokenCountCol)
+    prepared
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .mapPartitions { rows =>
+        var curShard: Any = null
+        var started = false
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val s = r.get(shardIdx)
+          if (!started || s != curShard) { curShard = s; started = true; bin = 0L; fill = 0L }
+          val n = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+          if (fill > 0 && fill + n > budget) { bin += 1; fill = 0L }
+          fill += n
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** PII / URL scrub for training text (the standard pre-training
     * redaction pass): emails, URLs, and long digit runs (phone/account
     * numbers) replaced with stable placeholder tokens so downstream

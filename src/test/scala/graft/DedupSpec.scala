@@ -207,6 +207,52 @@ class DedupSpec extends SparkSpec {
     assert(out(("s2", 9L)) == 0) // shards pack independently
   }
 
+  test("packFirstFitExact: straddling doc opens a NEW bin (no boundary overflow)") {
+    import graft.text.TextOps
+    val df = Seq(
+      ("s1", 1L, 1000L), ("s1", 2L, 900L), ("s1", 3L, 300L), ("s1", 4L, 2000L),
+      ("s2", 9L, 50L),
+      ("s3", 5L, 5000L), ("s3", 6L, 10L) // oversized doc occupies a bin alone
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = TextOps.packFirstFitExact(df, "source", "doc_id", "n_tokens", budget = 2048)
+      .select("source", "doc_id", "bin_id").as[(String, Long, Long)].collect()
+      .map { case (s, d, b) => (s, d) -> b }.toMap
+    // fills: 1000 | +900=1900 ok | 1900+300>2048 → new bin | 300+2000>2048 → new bin
+    assert(out(("s1", 1L)) == 0 && out(("s1", 2L)) == 0)
+    assert(out(("s1", 3L)) == 1) // the prefix rule kept this in bin 0 (overflow)
+    assert(out(("s1", 4L)) == 2)
+    assert(out(("s2", 9L)) == 0)
+    assert(out(("s3", 5L)) == 0 && out(("s3", 6L)) == 1) // oversized doc alone, next doc new bin
+  }
+
+  test("packFirstFitExact invariants on real docs: no multi-doc bin over budget, never fewer bins than the prefix rule") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+    val ff = TextOps.packFirstFitExact(docs, "source", "doc_id", "n_tokens", budget = 2048)
+    // every bin with >1 doc holds ≤ budget tokens (the exactness property
+    // the prefix rule lacks); singleton bins may hold an oversized doc
+    val overBudget = ff.groupBy("source", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+      .filter($"n_docs" > 1 && $"fill" > 2048)
+      .count()
+    assert(overBudget == 0)
+    // bin ids are contiguous from 0 per shard
+    val gaps = ff.groupBy("source")
+      .agg(max("bin_id").as("max_bin"), countDistinct("bin_id").as("n_bins"))
+      .filter($"n_bins" =!= $"max_bin" + 1)
+      .count()
+    assert(gaps == 0)
+    // divergence bound: exact packing can only use MORE bins than the
+    // overflowing prefix rule, never fewer
+    val pf = TextOps.packIntoBins(docs, "source", "doc_id", "n_tokens", budget = 2048)
+    val cmp = ff.groupBy("source").agg(countDistinct("bin_id").as("ff_bins"))
+      .join(pf.groupBy("source").agg(countDistinct("bin_id").as("pf_bins")), "source")
+      .filter($"ff_bins" < $"pf_bins")
+      .count()
+    assert(cmp == 0)
+  }
+
   test("sampleMixture: seeded reproducibility, proportions near weights, allowlist semantics") {
     import graft.text.TextOps
     val docsReal = graft.io.Tables.documents(spark, sf001)
