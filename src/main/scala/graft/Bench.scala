@@ -9,6 +9,16 @@ object Bench {
     // absorb session startup (~5 s otherwise lands on whichever query
     // sorts first).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Also warm the BENCH-scale tables themselves (footer reads, page
+    // cache, column decoders): entry() runs at sf0.001, which left the
+    // first sfDir scans cold — in r2 that manufactured phantom per-query
+    // regressions (a2 logged 7.3 s vs 1.0 s warm) in whichever slots ran
+    // early.
+    Seq("lineitem", "orders", "part", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $t failed: $e") }
+      }
     // noop sink forces full materialization of every column (count() would
     // let Catalyst prune projections and under-report work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -391,18 +391,22 @@ object Similarity {
       }: _*)
     val c = corpus
       .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
-      .select(col("nbr_id"), col("nbr_vec"), explode(buckets(col("nbr_vec"))).as("tb"))
-      .select(col("nbr_id"), col("nbr_vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+      .select(col("nbr_id"), col("nbr_vec"), col("nbr_norm"), explode(buckets(col("nbr_vec"))).as("tb"))
+      .select(col("nbr_id"), col("nbr_vec"), col("nbr_norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries
       .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
-      .select(col("query_id"), col("q_vec"), explode(buckets(col("q_vec"))).as("tb"))
-      .select(col("query_id"), col("q_vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), explode(buckets(col("q_vec"))).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val candidates = c
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-    val scored = candidates.withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
-    // (norm precompute matters less here: candidates ≪ pairs)
+    // norms ride each side from BEFORE the explode: one dot per surviving
+    // candidate pair instead of three
+    val scored = candidates
+      .withColumn("cos", cosinePre(col("q_vec"), col("nbr_vec"), col("q_norm"), col("nbr_norm")))
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
