@@ -52,6 +52,8 @@ object SparkEntry {
     "x6_chunking"        -> (Queries.x6Chunking _),
     "x7_packing"         -> (Queries.x7Packing _),
     "x7b_packing"        -> (Queries.x7bPackingExact _),
+    "x8_epoch_shuffle"   -> (Queries.x8EpochShuffle _),
+    "x9_split"           -> (Queries.x9Split _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -595,6 +597,31 @@ object Queries {
       )
       .select("source", "doc_id", "n_tokens", "bin_id")
       .orderBy("source", "doc_id")
+
+  /** X8 — deterministic epoch shuffle: seeded md5 permutation into 8
+    * shards with reproducible within-shard order.
+    */
+  def x8EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .shuffleShards(
+        Tables.documents(spark, dir).select($"doc_id", $"source"),
+        idCol = "doc_id",
+        seed = 42L,
+        numShards = 8
+      )
+      .select("doc_id", "source", "shard", "pos")
+      .orderBy("shard", "pos")
+
+  /** X9 — seeded train/validation/test split assignment (80/10/10). */
+  def x9Split(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .assignSplit(
+        Tables.documents(spark, dir).select($"doc_id", $"source"),
+        idCol = "doc_id",
+        seed = 7L
+      )
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
 
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1545,6 +1572,27 @@ object Oracles {
         |         THEN coalesce(d.n_tokens, 0) ELSE r.fill + coalesce(d.n_tokens, 0) END
         |  FROM rec r JOIN t d ON d.source = r.source AND d.rn = r.rn + 1)
         |SELECT source, doc_id, n_tokens, bin_id FROM rec ORDER BY source, doc_id""".stripMargin,
+    // X8 — the md5 60-bit key: hex-literal cast (DuckDB has no conv());
+    // % stays pmod-compatible because the key is non-negative.
+    "x8_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, md5('42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, source, h,
+        |        ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard FROM k)
+        |SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // X9 — 52-bit uniform deviate, exact in a double on both engines.
+    "x9_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |       WHEN u < CAST(0.9 AS DOUBLE) THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+        |          / CAST(4503599627370496 AS DOUBLE) AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "x3_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks FROM documents),

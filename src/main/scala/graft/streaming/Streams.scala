@@ -169,6 +169,11 @@ object Streams {
       .groupByKey(_.symbol)
       .mapGroups { (sym: String, rows: Iterator[CandleIn]) =>
         var st = emptyIndicatorState
+        // toSeq.sortBy materializes the group: fine for a warm-start
+        // HISTORY slice (bounded by the indicator warmup window). Bulk
+        // batch replay should instead go through the repartition +
+        // sortWithinPartitions + streamed-iterator shape (see
+        // accounts.Lifo.entryCredits), which never buffers a key's run.
         rows.toSeq.sortBy(_.timeUs).foreach { c =>
           st = stepIndicator(st, c, hullLength, fast, slow, signalLen)._1
         }
@@ -195,6 +200,10 @@ object Streams {
     import candles.sparkSession.implicits._
     val fn = (sym: String, rows: Iterator[CandleIn], state: GroupState[IndicatorState]) => {
       var st = state.getOption.getOrElse(emptyIndicatorState)
+      // toSeq.sortBy buffers one key's MICRO-BATCH slice (small by
+      // construction — trigger-bounded), not its full history; batch-mode
+      // reuse of this fold belongs on the Lifo-style sorted-iterator
+      // path instead.
       val out = rows.toSeq.sortBy(_.timeUs).flatMap { c =>
         val (ns, sigs) = stepIndicator(st, c, hullLength, fast, slow, signalLen)
         st = ns

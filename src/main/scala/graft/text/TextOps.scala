@@ -165,6 +165,59 @@ object TextOps {
     )
   }
 
+  /** Deterministic epoch shuffle + shard assignment (the "global shuffle"
+    * step of a training run): each document hashes to a 60-bit key from
+    * `md5(seed:id)`, the key's residue picks the output shard, and the
+    * key ordering defines the within-shard read order. Seeded → the
+    * epoch permutation is reproducible across runs and resumable
+    * mid-epoch; changing the seed reshuffles. One shuffle on the shard
+    * residue (the unavoidable data movement of a global shuffle); the
+    * window sort streams per shard. md5 keeps the permutation
+    * engine-portable (any system reproduces the same epoch order).
+    */
+  def shuffleShards(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      seed: Long,
+      numShards: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(expr("conv(substring(__h, 1, 15), 16, 10)").cast("long"), lit(numShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Seeded train/validation/test split: a uniform deviate in [0,1) from
+    * the top 13 hex digits of `md5(seed:id)` (52 bits — exact in a
+    * double), thresholded into labels. Deterministic per (seed, id):
+    * membership survives reruns, corpus growth, and engine swaps — the
+    * property a leakage-free split needs. Scan-local, no shuffle; the
+    * hash is uniform within every stratum, so per-source proportions
+    * track the global fractions without explicit stratification.
+    */
+  def assignSplit(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      seed: Long,
+      trainFrac: Double = 0.8,
+      validationFrac: Double = 0.1
+  ): org.apache.spark.sql.DataFrame = {
+    require(trainFrac >= 0 && validationFrac >= 0 && trainFrac + validationFrac <= 1.0,
+      s"fractions must be non-negative and sum ≤ 1: $trainFrac/$validationFrac")
+    val u = expr(s"conv(substring(md5(concat('$seed:', cast($idCol as string))), 1, 13), 16, 10)")
+      .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+    df.withColumn(
+      "split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + validationFrac, "validation")
+        .otherwise("test")
+    )
+  }
+
   /** Exact sequential packing (the rule real sequence-packing pipelines
     * use): walk each shard's documents in order, close the current bin
     * and open a new one whenever the next document would overflow the

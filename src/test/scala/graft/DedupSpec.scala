@@ -253,6 +253,49 @@ class DedupSpec extends SparkSpec {
     assert(cmp == 0)
   }
 
+  test("shuffleShards: seeded permutation is reproducible, balanced, contiguous per shard") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf001).select("doc_id", "source")
+    val a = TextOps.shuffleShards(docs, "doc_id", seed = 42L, numShards = 8)
+    val b = TextOps.shuffleShards(docs, "doc_id", seed = 42L, numShards = 8)
+    assert(a.select("doc_id", "shard", "pos").collect().toSet ==
+      b.select("doc_id", "shard", "pos").collect().toSet) // same seed → same permutation
+    val c = TextOps.shuffleShards(docs, "doc_id", seed = 43L, numShards = 8)
+    assert(a.select("doc_id", "shard", "pos").collect().toSet !=
+      c.select("doc_id", "shard", "pos").collect().toSet) // new seed → new epoch order
+    // every doc lands in exactly one shard; pos is 1..n within each shard
+    assert(a.count() == docs.count())
+    val badPos = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+      .count()
+    assert(badPos == 0)
+    // md5 residues spread: no shard holds more than twice the fair share
+    val n = docs.count()
+    val maxShard = a.groupBy("shard").count().agg(max("count")).as[Long].head()
+    assert(maxShard < 2 * n / 8, s"skewed shard: $maxShard of $n")
+  }
+
+  test("assignSplit: deterministic, exhaustive, proportions near 80/10/10") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf001).select("doc_id", "source")
+    val s1 = TextOps.assignSplit(docs, "doc_id", seed = 7L)
+    val s2 = TextOps.assignSplit(docs, "doc_id", seed = 7L)
+    assert(s1.collect().toSet == s2.collect().toSet)
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("train", "validation", "test")))
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.getOrElse("validation", 0L) + counts.getOrElse("test", 0L) + counts("train") == n.toLong)
+    // membership is stable under corpus growth: the sf0.001 assignment is
+    // a sub-map of the sf0.01 assignment (pure function of (seed, id))
+    val small = TextOps.assignSplit(
+      graft.io.Tables.documents(spark, sf0001).select("doc_id"), "doc_id", seed = 7L)
+      .as[(Long, String)].collect().toMap
+    val bigMap = s1.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, sp) => bigMap.get(id).forall(_ == sp) })
+  }
+
   test("sampleMixture: seeded reproducibility, proportions near weights, allowlist semantics") {
     import graft.text.TextOps
     val docsReal = graft.io.Tables.documents(spark, sf001)
