@@ -14,6 +14,25 @@ import graft.indicators.Indicators
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("LIFO pro-rata rounding == BigDecimal.divide(6, HALF_UP) on the exact rational") {
+    val rng = new Random(7)
+    (1 to 300).foreach { trial =>
+      val q = 1 + rng.nextInt(50)
+      val c = 1 + rng.nextInt(q) // partial take: fraction c/q
+      val v = BigDecimal(BigInt(rng.nextInt(100000000)), rng.nextInt(7)) // scale 0..6
+      val net = v + BigDecimal(BigInt(rng.nextInt(100000)), 4)
+      val r = Lifo
+        .replay(Seq(Txn("S", 1L, "Sell to Open", BigDecimal(1), v, "Credit", net, q)), c)
+        .get
+      def exact(x: BigDecimal): BigDecimal = BigDecimal(
+        x.bigDecimal
+          .multiply(new java.math.BigDecimal(c))
+          .divide(new java.math.BigDecimal(q), 6, java.math.RoundingMode.HALF_UP))
+      assert(r.entryCredit == exact(v), s"trial $trial: credit v=$v c=$c q=$q")
+      assert(r.fees == exact((net - v).abs), s"trial $trial: fees v=$v net=$net c=$c q=$q")
+    }
+  }
+
   test("LIFO conservation: consumed quantity exactly accounts the position") {
     val rng = new Random(42)
     (1 to 50).foreach { trial =>
