@@ -48,22 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(ShingleHashes.FunctionName),
         info(ShingleHashes.FunctionName, "sorted distinct 60-bit n-token shingle hashes from array<string>"),
-        (exprs: Seq[Expression]) => ShingleHashes(exprs.head, shingleWidth(exprs)))
+        (exprs: Seq[Expression]) => ShingleHashes(exprs.head, ShingleHashes.width(exprs)))
     )
-  }
-
-  /** The shingle width is baked into the expression at construction, so
-    * it must be a literal INT — pattern-match instead of blind
-    * `eval().asInstanceOf` so a column / wrong-typed argument is a clear
-    * analysis error, not an NPE at resolution time.
-    */
-  private def shingleWidth(exprs: Seq[Expression]): Int = exprs(1) match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
-    case other =>
-      throw new org.apache.spark.sql.AnalysisException(
-        "USER_RAISED_EXCEPTION",
-        Map("errorMessage" ->
-          s"${ShingleHashes.FunctionName}(tokens, n): second argument must be an INT literal, got ${other.sql}"),
-        None)
   }
 }

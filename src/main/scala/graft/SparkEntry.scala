@@ -1077,15 +1077,19 @@ object Queries {
     * stays spec-carried (BacktestSpec/HullMacdSpec).
     */
   def b1Enrich(spark: SparkSession, dir: String): DataFrame = {
-    val pricing = Tables
+    val events = Tables
       .events(spark, dir)
-      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"))
+      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"), $"event_id")
+    val pricing = events.select("symbol", "time_us", "close")
+    // event_id tie-break: ts_us is micros truncated from nanos, so two
+    // events CAN collide on (symbol, time_us) in future corpora — the
+    // deterministic pick must not depend on row order (oracle parity)
     val signals = Relational
       .latestPerKey(
-        pricing.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
+        events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
         Seq("symbol", "bucket_us"),
         "time_us",
-        "time_us"
+        "event_id"
       )
       .select($"symbol", $"bucket_us".as("time_us"), $"close".as("close_price"))
     graft.backtest.Backtest
@@ -1751,12 +1755,12 @@ object Oracles {
     // stamped at the bucket start) as-of joined to the pricing stream.
     "b1_enrich" ->
       """WITH pricing AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close
+        |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close, event_id
         |  FROM events),
         |ranked AS (
         |  SELECT symbol, (time_us // 1800000000) * 1800000000 AS bucket_us, time_us, close,
         |    row_number() OVER (PARTITION BY symbol, time_us // 1800000000
-        |                       ORDER BY time_us DESC) AS rn
+        |                       ORDER BY time_us DESC, event_id DESC) AS rn
         |  FROM pricing),
         |sig AS (SELECT symbol, bucket_us AS time_us, close AS close_price FROM ranked WHERE rn = 1)
         |SELECT l.symbol, l.time_us, l.close_price, r.close AS entry_price

@@ -83,10 +83,27 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
 object ShingleHashes {
   val FunctionName = "graft_shingle_hashes"
 
+  /** The shingle width is baked into the expression at construction, so
+    * it must be a literal INT — pattern-match instead of blind
+    * `eval().asInstanceOf` so a column / wrong-typed argument is a clear
+    * analysis error, not an NPE/ClassCastException at resolution time.
+    * Shared by BOTH registration paths (per-session
+    * [[register]] and [[graft.GraftExtensions]]).
+    */
+  def width(exprs: Seq[Expression]): Int = exprs(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
+    case other =>
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$FunctionName(tokens, n): second argument must be an INT literal, got ${other.sql}"),
+        None)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
-      exprs => ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      exprs => ShingleHashes(exprs.head, width(exprs)),
       "built-in"
     )
 }

@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a disk-backed stream cache: every per-row
+  // decode/encode would create and delete a temp FILE. The kernels only
+  // ever touch in-memory byte arrays, so cache in memory instead —
+  // set once per JVM (executor), cheap and idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val metaType: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
@@ -167,14 +173,16 @@ object Multimodal {
   def extractFeatures(df: DataFrame, mediaCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val metaIdx = df.schema.fieldIndex("meta")
+    // format dispatch needs the metadata struct; a frame without one
+    // (opaque bytes only) degrades to the stub histogram for every row
+    val metaIdx = df.schema.fieldNames.indexOf("meta")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // batch-shaped kernel boundary: codec setup (and any native
         // buffers) amortize across the batch exactly here
         batch.map { r =>
           val format =
-            if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx).getString(0)
+            if (metaIdx < 0 || r.isNullAt(metaIdx)) null else r.getStruct(metaIdx).getString(0)
           val out: Any =
             if (r.isNullAt(mediaIdx)) null
             else if (format != null && ImageFormats(format))

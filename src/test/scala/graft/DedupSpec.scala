@@ -54,6 +54,13 @@ class DedupSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_shingle_hashes width validation also covers the per-session registry path") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_shingle_hashes(array('a','b'), CAST(2 AS BIGINT))").collect()
+    }
+    assert(err.getMessage.contains("graft_shingle_hashes"), err.getMessage)
+  }
+
   test("exactDuplicates groups identical normalized texts only") {
     val out = Dedup.exactDuplicates(docs, "doc_id", "text")
     val rows = out.select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
