@@ -107,9 +107,6 @@ object SparkEntry {
     // batched binary decode is a mapPartitions kernel (the point is the
     // non-SQL batch plumbing); correctness carried by MultimodalSpec.
     "m1_multimodal",
-    // per-symbol position-aware state machine (SURVEY T5) — correctness
-    // carried by HullMacdSpec (reference golden scenarios).
-    "g1_signal_engine",
     // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
     // carried by StrategiesSpec (reference canonical cases).
     "s11_classify",
@@ -821,7 +818,7 @@ object Queries {
       .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value")
     graft.signals.HullMacd
       .detectSignals(ev, "symbol", "ts_us", "value")
-      .orderBy("symbol", "time_us", "signal_type")
+      .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
   /** §2.11 — greedy strategy classification over synthetic option legs
@@ -1153,7 +1150,136 @@ object Queries {
   * `epoch_us(ts)` for the nano-timestamp events table.
   */
 object Oracles {
+
+  /** Padded-WMA SQL with [[graft.indicators.Indicators.paddedWmaCol]]'s
+    * exact left-to-right add order (bit-reproducible: SQL `+` is
+    * left-associative like Scala's `reduceLeft`).
+    */
+  private def wmaSql(v: String, pad: String, period: Int, w: String): String = {
+    val terms = (0 until period).map { k =>
+      val weight = (period - k).toDouble
+      val src = if (k == 0) v else s"coalesce(lag($v,$k) OVER $w, $pad)"
+      s"$weight*$src"
+    }
+    s"(${terms.mkString(" + ")})/${(period * (period + 1) / 2).toDouble}"
+  }
+
+  // G1 — the HullMacd per-symbol state machine as a DuckDB list_reduce
+  // fold (the a8 technique: LIST(VARCHAR) accumulator — STRUCT
+  // accumulators mis-fold on ragged vectors in DuckDB v1.0.0 — with
+  // nested single-element list_transforms binding locals). The
+  // accumulator layout is [hullDir, macdPos, hullArmed, macdArmed,
+  // bullishOpen, bearishOpen, sig...]; each candle item is
+  // [ts_us, hull_color, macd_pos, pre_session, power_hour]. The fold
+  // only emits (t|TYPE|DIR|TRIGGER) keys — every numeric output column
+  // is a pass-through of the candle's indicator values, so they are
+  // re-joined from the indicator CTEs (bit-exact per the w2/w4 oracle
+  // precedent; same WMA add order, same seeded-EMA left fold).
+  // Reference semantics: `analytics/engines/hull_macd.py:93-260`.
+  private val g1Lambda: String =
+    """(a, x) -> CASE WHEN x[4] = '1'
+      |  THEN list_concat([x[2], x[3], a[3], a[4], a[5], a[6]], a[7:])
+      |  ELSE list_transform([[
+      |         CASE WHEN a[1] <> '' AND a[1] <> x[2] THEN '1' ELSE '0' END,
+      |         CASE WHEN a[2] <> '' AND a[2] <> x[3] THEN '1' ELSE '0' END]], h ->
+      |    list_transform([[
+      |         CASE WHEN a[5] = '1' AND h[1] = '1' AND x[2] = 'Down' THEN 'hull'
+      |              WHEN a[5] = '1' AND h[2] = '1' AND x[3] = 'bearish' THEN 'macd'
+      |              ELSE '' END,
+      |         CASE WHEN a[6] = '1' AND h[1] = '1' AND x[2] = 'Up' THEN 'hull'
+      |              WHEN a[6] = '1' AND h[2] = '1' AND x[3] = 'bullish' THEN 'macd'
+      |              ELSE '' END]], c ->
+      |      list_transform([[
+      |         CASE WHEN c[1] <> '' THEN '0' ELSE a[5] END,
+      |         CASE WHEN c[2] <> '' THEN '0' ELSE a[6] END]], o ->
+      |        list_transform([list_concat(
+      |             CASE WHEN c[1] <> '' THEN [x[1] || '|CLOSE|BULLISH|' || c[1]] ELSE []::VARCHAR[] END,
+      |             CASE WHEN c[2] <> '' THEN [x[1] || '|CLOSE|BEARISH|' || c[2]] ELSE []::VARCHAR[] END)], g ->
+      |          CASE WHEN x[5] = '1'
+      |            THEN list_concat(list_concat([x[2], x[3], a[3], a[4], o[1], o[2]], a[7:]), g)
+      |            ELSE list_transform([[
+      |                   CASE WHEN h[1] = '1' THEN (CASE WHEN x[2] = 'Up' THEN 'BULLISH' ELSE 'BEARISH' END) ELSE a[3] END,
+      |                   CASE WHEN h[2] = '1' THEN (CASE WHEN x[3] = 'bullish' THEN 'BULLISH' ELSE 'BEARISH' END) ELSE a[4] END]], r ->
+      |              CASE
+      |                WHEN r[1] <> '' AND r[1] = r[2]
+      |                     AND NOT ((r[1] = 'BULLISH' AND o[1] = '1') OR (r[1] = 'BEARISH' AND o[2] = '1'))
+      |                THEN list_concat(list_concat(
+      |                       [x[2], x[3], '', '',
+      |                        CASE WHEN r[1] = 'BULLISH' THEN '1' ELSE o[1] END,
+      |                        CASE WHEN r[1] = 'BEARISH' THEN '1' ELSE o[2] END], a[7:]),
+      |                       list_append(g, x[1] || '|OPEN|' || r[1] || '|confluence'))
+      |                WHEN r[1] <> '' AND r[2] <> '' AND r[1] <> r[2]
+      |                THEN list_concat(list_concat(
+      |                       [x[2], x[3],
+      |                        CASE WHEN h[1] = '1' AND h[2] = '0' THEN r[1] ELSE '' END,
+      |                        CASE WHEN h[2] = '1' AND h[1] = '0' THEN r[2] ELSE '' END,
+      |                        o[1], o[2]], a[7:]), g)
+      |                ELSE list_concat(list_concat([x[2], x[3], r[1], r[2], o[1], o[2]], a[7:]), g)
+      |              END)[1]
+      |          END)[1])[1])[1])[1]
+      |END""".stripMargin
+
+  private val g1Sql: String = {
+    val wma10 = wmaSql("value", "pad", 10, "w")
+    val wma20 = wmaSql("value", "pad", 20, "w")
+    val wma4 = wmaSql("hd", "pad", 4, "w")
+    s"""WITH base AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value,
+       |         first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pad,
+       |         list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM events WHERE value IS NOT NULL),
+       |d AS (
+       |  SELECT *, 2.0*($wma10) - ($wma20) AS hd
+       |  FROM base WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
+       |h AS (
+       |  SELECT *, $wma4 AS hma
+       |  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
+       |mac AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(pad, pre), (acc, v) -> (2.0/13.0)*v + (1.0 - 2.0/13.0)*acc)
+       |    - list_reduce(list_prepend(pad, pre), (acc, v) -> (2.0/27.0)*v + (1.0 - 2.0/27.0)*acc) AS macd_value
+       |  FROM h),
+       |sg AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(0.0, list(macd_value) OVER (PARTITION BY symbol ORDER BY ts_us
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |                (acc, v) -> (2.0/10.0)*v + (1.0 - 2.0/10.0)*acc) AS avg
+       |  FROM mac),
+       |candles AS (
+       |  SELECT symbol, ts_us, value AS close_price,
+       |    hma,
+       |    CASE WHEN hma > lag(hma,1) OVER w THEN 'Up' ELSE 'Down' END AS hma_color,
+       |    macd_value, avg, macd_value - avg AS diff,
+       |    CASE WHEN macd_value > avg THEN 'bullish' ELSE 'bearish' END AS mp,
+       |    CASE WHEN hour(timezone('America/New_York', timezone('UTC',
+       |           make_timestamp((ts_us // 1000) * 1000)))) < 10 THEN '1' ELSE '0' END AS pre_gate,
+       |    CASE WHEN hour(timezone('America/New_York', timezone('UTC',
+       |           make_timestamp((ts_us // 1000) * 1000)))) >= 15 THEN '1' ELSE '0' END AS pow_gate,
+       |    row_number() OVER w AS rn
+       |  FROM sg WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
+       |packed AS (
+       |  SELECT symbol,
+       |    list([CAST(ts_us AS VARCHAR), hma_color, mp, pre_gate, pow_gate] ORDER BY ts_us) AS l
+       |  FROM candles WHERE rn >= 2 GROUP BY symbol),
+       |folded AS (
+       |  SELECT symbol, list_reduce(list_prepend(['','','','','0','0'], l), $g1Lambda) AS s
+       |  FROM packed),
+       |sigs AS (SELECT symbol, unnest(s[7:]) AS enc FROM folded),
+       |parsed AS (
+       |  SELECT symbol, CAST(split_part(enc,'|',1) AS BIGINT) AS time_us,
+       |    split_part(enc,'|',2) AS signal_type, split_part(enc,'|',3) AS direction,
+       |    split_part(enc,'|',4) AS trigger
+       |  FROM sigs)
+       |SELECT p.symbol, p.time_us, p.signal_type, p.direction, 'hull_macd' AS engine, p.trigger,
+       |  c.hma_color AS hull_direction, c.hma AS hull_value, c.macd_value,
+       |  c.avg AS macd_signal, c.diff AS macd_histogram, c.close_price
+       |FROM parsed p JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
+       |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "g1_signal_engine" -> g1Sql,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
