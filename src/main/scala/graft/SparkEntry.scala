@@ -109,10 +109,7 @@ object SparkEntry {
     "m1_multimodal",
     // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
     // carried by StrategiesSpec (reference canonical cases).
-    "s11_classify",
-    // end-to-end backtest slice (engine fold + as-of enrichment) —
-    // correctness carried by BacktestSpec (per-signal as-of assertion).
-    "b1_backtest"
+    "s11_classify"
   )
 }
 
@@ -1062,7 +1059,7 @@ object Queries {
     graft.backtest.Backtest
       .run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
-      .orderBy("symbol", "time_us", "signal_type")
+      .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
   /** B1-enrich — the oracle-checkable half of the backtest: candle-close
@@ -1219,32 +1216,45 @@ object Oracles {
       |          END)[1])[1])[1])[1]
       |END""".stripMargin
 
-  private val g1Sql: String = {
-    val wma10 = wmaSql("value", "pad", 10, "w")
-    val wma20 = wmaSql("value", "pad", 20, "w")
-    val wma4 = wmaSql("hd", "pad", 4, "w")
-    s"""WITH base AS (
-       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value,
-       |         first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pad,
-       |         list(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+  /** The candle→indicator→state-machine CTE chain shared by the g1 and
+    * b1 oracles, parameterized on indicator lengths exactly like
+    * [[graft.signals.HullMacd.detectSignals]]. `src` must be a prior
+    * CTE providing (symbol, ts_us, value). Produces CTEs `candles`
+    * (indicator-augmented, `rn` = per-symbol row number) and `parsed`
+    * (one row per emitted signal: symbol, time_us, signal_type,
+    * direction, trigger).
+    */
+  private def signalEngineCtes(src: String, hullLength: Int, fast: Int, slow: Int, signalLen: Int): String = {
+    val half = math.round(hullLength / 2.0).toInt
+    val sqrtLen = math.round(math.sqrt(hullLength.toDouble)).toInt
+    val wmaHalf = wmaSql("value", "pad", half, "w")
+    val wmaFull = wmaSql("value", "pad", hullLength, "w")
+    val wmaFinal = wmaSql("hd", "pad", sqrtLen, "w")
+    val aF = s"2.0/${fast + 1}.0"
+    val aS = s"2.0/${slow + 1}.0"
+    val aM = s"2.0/${signalLen + 1}.0"
+    s"""base AS (
+       |  SELECT symbol, ts_us, value,
+       |         first_value(value) OVER (PARTITION BY symbol ORDER BY ts_us) AS pad,
+       |         list(value) OVER (PARTITION BY symbol ORDER BY ts_us
        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
-       |  FROM events WHERE value IS NOT NULL),
+       |  FROM $src WHERE value IS NOT NULL),
        |d AS (
-       |  SELECT *, 2.0*($wma10) - ($wma20) AS hd
+       |  SELECT *, 2.0*($wmaHalf) - ($wmaFull) AS hd
        |  FROM base WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
        |h AS (
-       |  SELECT *, $wma4 AS hma
+       |  SELECT *, $wmaFinal AS hma
        |  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY ts_us)),
        |mac AS (
        |  SELECT *,
-       |    list_reduce(list_prepend(pad, pre), (acc, v) -> (2.0/13.0)*v + (1.0 - 2.0/13.0)*acc)
-       |    - list_reduce(list_prepend(pad, pre), (acc, v) -> (2.0/27.0)*v + (1.0 - 2.0/27.0)*acc) AS macd_value
+       |    list_reduce(list_prepend(pad, pre), (acc, v) -> ($aF)*v + (1.0 - $aF)*acc)
+       |    - list_reduce(list_prepend(pad, pre), (acc, v) -> ($aS)*v + (1.0 - $aS)*acc) AS macd_value
        |  FROM h),
        |sg AS (
        |  SELECT *,
        |    list_reduce(list_prepend(0.0, list(macd_value) OVER (PARTITION BY symbol ORDER BY ts_us
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |                (acc, v) -> (2.0/10.0)*v + (1.0 - 2.0/10.0)*acc) AS avg
+       |                (acc, v) -> ($aM)*v + (1.0 - $aM)*acc) AS avg
        |  FROM mac),
        |candles AS (
        |  SELECT symbol, ts_us, value AS close_price,
@@ -1270,16 +1280,46 @@ object Oracles {
        |  SELECT symbol, CAST(split_part(enc,'|',1) AS BIGINT) AS time_us,
        |    split_part(enc,'|',2) AS signal_type, split_part(enc,'|',3) AS direction,
        |    split_part(enc,'|',4) AS trigger
-       |  FROM sigs)
+       |  FROM sigs)""".stripMargin
+  }
+
+  private val g1Sql: String =
+    s"""WITH src AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value FROM events),
+       |${signalEngineCtes("src", hullLength = 20, fast = 12, slow = 26, signalLen = 9)}
        |SELECT p.symbol, p.time_us, p.signal_type, p.direction, 'hull_macd' AS engine, p.trigger,
        |  c.hma_color AS hull_direction, c.hma AS hull_value, c.macd_value,
        |  c.avg AS macd_signal, c.diff AS macd_histogram, c.close_price
        |FROM parsed p JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
        |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
-  }
+
+  // B1 — the FULL backtest slice: 30-minute signal candles (latest event
+  // per bucket, stamped at the bucket start) → the same fold at
+  // Hull(8)/MACD(4,8,3) → each signal enriched with its as-of entry
+  // price from the raw pricing stream (DuckDB native ASOF JOIN, the
+  // b1_enrich-proven shape). Composition of two already-green halves.
+  private val b1Sql: String =
+    s"""WITH pricing AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close
+       |  FROM events),
+       |ranked AS (
+       |  SELECT symbol, (time_us // 1800000000) * 1800000000 AS bucket_us, time_us, close,
+       |    row_number() OVER (PARTITION BY symbol, time_us // 1800000000
+       |                       ORDER BY time_us DESC) AS rnk
+       |  FROM pricing),
+       |src AS (SELECT symbol, bucket_us AS ts_us, close AS value FROM ranked WHERE rnk = 1),
+       |${signalEngineCtes("src", hullLength = 8, fast = 4, slow = 8, signalLen = 3)}
+       |SELECT p.symbol, p.time_us, p.signal_type, p.direction, p.trigger,
+       |  c.close_price, r.close AS entry_price
+       |FROM parsed p
+       |JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
+       |ASOF LEFT JOIN (SELECT symbol, time_us, close FROM pricing WHERE close IS NOT NULL) r
+       |  ON p.symbol = r.symbol AND p.time_us >= r.time_us
+       |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
 
   val sql: Map[String, String] = Map(
     "g1_signal_engine" -> g1Sql,
+    "b1_backtest" -> b1Sql,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
