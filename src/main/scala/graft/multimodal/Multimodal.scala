@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -17,14 +18,15 @@ import org.apache.spark.sql.types._
   * sees a whole batch, results stream back out).
   *
   * Image decode/resize are REAL — `javax.imageio` ships with the JDK, so
-  * jpeg/png need no external codecs. Audio/video kernels remain
-  * clearly-marked deterministic STUBS (no codecs in this container); the
-  * plumbing around them (schema, batch shape, partition locality, null
-  * handling) is identical to the real image path and is what carries
-  * over to a cluster with real codecs: a scan-local transform with no
-  * shuffle, where batch size bounds peak memory per task
-  * (batch × decoded-frame size), which is the knob that matters at
-  * 100 TB.
+  * jpeg/png need no external codecs. Audio decode is REAL too —
+  * `javax.sound.sampled` handles WAV PCM without external codecs. Only
+  * the VIDEO kernels remain clearly-marked deterministic STUBS (no video
+  * codecs in this container); the plumbing around them (schema, batch
+  * shape, partition locality, null handling) is identical to the real
+  * image/audio paths and is what carries over to a cluster with real
+  * codecs: a scan-local transform with no shuffle, where batch size
+  * bounds peak memory per task (batch × decoded-frame size), which is
+  * the knob that matters at 100 TB.
   */
 object Multimodal {
 
@@ -41,6 +43,7 @@ object Multimodal {
   ))
 
   val ImageFormats: Set[String] = Set("jpeg", "png")
+  val AudioFormats: Set[String] = Set("wav")
 
   private val packedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -71,6 +74,78 @@ object Multimodal {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, format, out)
     out.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM sample for the synthetic test audio:
+    * every (id, i) maps to a fixed sample in [-32768, 32767], so packed
+    * payloads are bit-stable across runs and partitionings.
+    */
+  private def synthSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  /** Encode `n` deterministic samples as a real WAV container
+    * (16-bit signed mono PCM, 8 kHz, little-endian) via the JDK's
+    * `javax.sound.sampled` — no external codec needed.
+    */
+  def synthWavBytes(id: Long, n: Int): Array[Byte] = {
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = synthSample(id, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real audio decode: WAV bytes → 16-bit PCM samples (one Int per
+    * frame-channel, either endianness), or None when the payload is not
+    * decodable PCM. One `AudioSystem.getAudioInputStream` per media
+    * row, batched by the caller.
+    */
+  def decodePcmSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED || fmt.getSampleSizeInBits != 16) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) =
+            if (fmt.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+            else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some(samples)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Features from REAL samples: 16-bin amplitude histogram normalized
+    * to [0,1] — same shape as [[imageFeatures]] so downstream ops (ANN,
+    * dedup) compose regardless of modality.
+    */
+  def audioFeatures(samples: Array[Int]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (samples.nonEmpty) {
+      var i = 0
+      while (i < samples.length) {
+        hist((samples(i) + 32768) >>> 12) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < 16) { hist(b) /= samples.length.toFloat; b += 1 }
+    }
+    hist
   }
 
   /** Real decode: bytes → (width, height, row-major ARGB pixels), or
@@ -112,10 +187,11 @@ object Multimodal {
 
   /** Test-harness packer: synthesizes a media table from `documents`.
     * jpeg/png rows carry REAL encoded images (small, deterministic
-    * pixels derived from doc_id — so the decode path downstream is the
-    * genuine JDK codec); wav rows carry the document's text bytes as an
-    * opaque payload for the stub path. Batched partition-local kernel,
-    * same shape as [[extractFeatures]].
+    * pixels derived from doc_id) and wav rows REAL WAV PCM containers
+    * (deterministic samples derived from doc_id) — so both decode paths
+    * downstream exercise the genuine JDK codecs. For audio the metadata
+    * reuses (width = sample count, height = 1). Batched partition-local
+    * kernel, same shape as [[extractFeatures]].
     */
   def packDocuments(docs: DataFrame, batchSize: Int = 64): DataFrame = {
     val src = docs.select(col("doc_id").cast("long"), col("text"))
@@ -133,21 +209,19 @@ object Multimodal {
             val h = (id % 12 + 4).toInt
             Row(id, synthImageBytes(id, w, h, format), Row(format, w, h))
           } else {
-            val bytes = if (r.isNullAt(1)) null else r.getString(1).getBytes("UTF-8")
-            val w = (id % 64 * 16 + 64).toInt
-            val h = (id % 48 * 16 + 64).toInt
-            Row(id, bytes, Row(format, w, h))
+            val n = (id % 96 + 32).toInt
+            Row(id, synthWavBytes(id, n), Row(format, n, 1))
           }
         }
       }
     }(Encoders.row(packedSchema))
   }
 
-  /** ======== STUB (audio/video only) ========
+  /** ======== STUB (video/unknown formats only) ========
     * Deterministic fake decoder for formats whose codecs aren't in this
     * container: a 16-bin byte histogram normalized to [0,1] — stable,
-    * cheap, shaped like [[imageFeatures]] so the two paths are
-    * interchangeable downstream.
+    * cheap, shaped like [[imageFeatures]]/[[audioFeatures]] so all
+    * paths are interchangeable downstream.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -167,8 +241,10 @@ object Multimodal {
     * partition iterator in `batchSize` chunks and runs the
     * format-dispatched decode over each whole batch — REAL
     * `javax.imageio` decode for jpeg/png (features from actual pixels),
-    * stub histogram for everything else. Null or undecodable media →
-    * null features (a real pipeline quarantines those rows downstream).
+    * REAL `javax.sound.sampled` decode for wav (features from actual
+    * PCM samples), stub histogram for everything else (video). Null or
+    * undecodable media → null features (a real pipeline quarantines
+    * those rows downstream).
     */
   def extractFeatures(df: DataFrame, mediaCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
@@ -187,6 +263,8 @@ object Multimodal {
             if (r.isNullAt(mediaIdx)) null
             else if (format != null && ImageFormats(format))
               decodePixels(r.getAs[Array[Byte]](mediaIdx)).map(p => imageFeatures(p._3)).orNull
+            else if (format != null && AudioFormats(format))
+              decodePcmSamples(r.getAs[Array[Byte]](mediaIdx)).map(audioFeatures).orNull
             else decodeStub(r.getAs[Array[Byte]](mediaIdx))
           Row.fromSeq(r.toSeq :+ out)
         }

@@ -53,6 +53,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageFeatures(px).toSeq == expected.toSeq)
   }
 
+  test("real audio decode: WAV PCM fixture roundtrips to known samples") {
+    val n = 64
+    val bytes = Multimodal.synthWavBytes(7L, n)
+    // a real RIFF/WAVE container came out of the JDK encoder
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val Some(samples) = Multimodal.decodePcmSamples(bytes)
+    assert(samples.length == n)
+    // WAV PCM is lossless: decoded samples must be EXACTLY the synth values
+    for (i <- 0 until n)
+      assert(samples(i) == (((7L * 31 + i.toLong * 7919) % 65536) - 32768).toInt, s"sample $i")
+    // features come from the real samples: hand-compute the amplitude histogram
+    val expected = new Array[Float](16)
+    samples.foreach(s => expected((s + 32768) >>> 12) += 1f / n)
+    assert(Multimodal.audioFeatures(samples).toSeq == expected.toSeq)
+    // non-audio payloads refuse to decode
+    assert(Multimodal.decodePcmSamples("not audio".getBytes).isEmpty)
+  }
+
+  test("packed wav payloads are real WAV whose decoded sample count matches the metadata") {
+    val rows = media
+      .filter($"meta.format" === "wav")
+      .select($"media", $"meta.width")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Some(samples) = Multimodal.decodePcmSamples(r.getAs[Array[Byte]](0))
+      assert(samples.length == r.getInt(1))
+    }
+  }
+
   test("packed jpeg/png payloads are real images whose decoded dims match the metadata") {
     val rows = media
       .filter($"meta.format".isin("jpeg", "png"))
