@@ -165,19 +165,29 @@ object Streams {
       signalLen: Int = 9
   ): org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState] = {
     import history.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    // One shuffle on symbol, engine-sorted runs, streamed per-key fold
+    // with O(hullLength) state — the accounts.Lifo shape. No group
+    // materialization, so a caller can point this at a YEAR of history
+    // (not just a warmup-window slice) and the engine's sort handles
+    // spilling, not task memory.
     history
-      .groupByKey(_.symbol)
-      .mapGroups { (sym: String, rows: Iterator[CandleIn]) =>
-        var st = emptyIndicatorState
-        // toSeq.sortBy materializes the group: fine for a warm-start
-        // HISTORY slice (bounded by the indicator warmup window). Bulk
-        // batch replay should instead go through the repartition +
-        // sortWithinPartitions + streamed-iterator shape (see
-        // accounts.Lifo.entryCredits), which never buffers a key's run.
-        rows.toSeq.sortBy(_.timeUs).foreach { c =>
-          st = stepIndicator(st, c, hullLength, fast, slow, signalLen)._1
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("timeUs"))
+      .mapPartitions { rows =>
+        new Iterator[(String, IndicatorState)] {
+          private var cur: CandleIn = if (rows.hasNext) rows.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): (String, IndicatorState) = {
+            val sym = cur.symbol
+            var st = emptyIndicatorState
+            while (cur != null && cur.symbol == sym) {
+              st = stepIndicator(st, cur, hullLength, fast, slow, signalLen)._1
+              cur = if (rows.hasNext) rows.next() else null
+            }
+            (sym, st)
+          }
         }
-        (sym, st)
       }
       .groupByKey(_._1)
       .mapValues(_._2)

@@ -102,6 +102,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "live range produced no signals — cut landed badly")
   }
 
+  test("warm-start seeding folds an OVERSIZED shuffled history identically to a sequential fold") {
+    // far beyond any warmup window (5k candles/symbol) and deliberately
+    // shuffled: the streamed-iterator seeding path must sort per key and
+    // produce the exact state a sequential fold would, regardless of
+    // input order or partitioning.
+    val syms = Seq("AAA", "BB", "C")
+    val candles = for {
+      s <- syms
+      i <- 0 until 5000
+    } yield CandleIn(s, 1000000L * i + 17, 50.0 + 40.0 * math.sin(i * 0.05 + s.length) + (i % 7) * 0.13)
+    val shuffled = new scala.util.Random(11).shuffle(candles)
+
+    val seeded = Streams
+      .seedIndicatorState(shuffled.toDS().repartition(8))
+      .flatMapGroups((sym, states) => states.map(sym -> _))
+      .collect()
+      .toMap
+
+    val expected = syms.map { s =>
+      var st = Streams.emptyIndicatorState
+      candles.filter(_.symbol == s).sortBy(_.timeUs).foreach { c =>
+        st = Streams.stepIndicator(st, c, 20, 12, 26, 9)._1
+      }
+      s -> st
+    }.toMap
+
+    assert(seeded.keySet == expected.keySet)
+    syms.foreach(s => assert(seeded(s) == expected(s), s"state mismatch for $s"))
+  }
+
   test("transformWithState twin emits the same signals as flatMapGroupsWithState") {
     implicit val ctx = spark.sqlContext
     // transformWithState requires the RocksDB state store (multiple
