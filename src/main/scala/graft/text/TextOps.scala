@@ -258,6 +258,10 @@ object TextOps {
         var fill = 0L
         rows.map { r =>
           val s = r.get(shardIdx)
+          // Any-typed key change detection: Scala `!=` dispatches through
+          // BoxesRunTime.equals — VALUE equality for boxed primitives
+          // (never reference identity), null-safe, i.e. Objects.equals
+          // semantics. PackingSpec pins this with a boxed-long shard key.
           if (!started || s != curShard) { curShard = s; started = true; bin = 0L; fill = 0L }
           val n = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
           if (fill > 0 && fill + n > budget) { bin += 1; fill = 0L }

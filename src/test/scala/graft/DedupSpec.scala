@@ -232,6 +232,23 @@ class DedupSpec extends SparkSpec {
     assert(out(("s3", 5L)) == 0 && out(("s3", 6L)) == 1) // oversized doc alone, next doc new bin
   }
 
+  test("packFirstFitExact: boxed-primitive shard keys compare by VALUE (bins accumulate, never reset per row)") {
+    import graft.text.TextOps
+    // a bigint shard column reaches the kernel as boxed java.lang.Long
+    // per row; if key-change detection used reference identity instead
+    // of value equality, every row would open shard-state afresh and
+    // the second doc would land in bin 0 instead of bin 1
+    val df = Seq(
+      (7L, 1L, 1500L), (7L, 2L, 1500L), (7L, 3L, 100L),
+      (8L, 4L, 1500L), (8L, 5L, 1500L)
+    ).toDF("shard", "doc_id", "n_tokens")
+    val out = TextOps.packFirstFitExact(df, "shard", "doc_id", "n_tokens", budget = 2048)
+      .select("shard", "doc_id", "bin_id").as[(Long, Long, Long)].collect()
+      .map { case (s, d, b) => (s, d) -> b }.toMap
+    assert(out((7L, 1L)) == 0 && out((7L, 2L)) == 1 && out((7L, 3L)) == 1)
+    assert(out((8L, 4L)) == 0 && out((8L, 5L)) == 1)
+  }
+
   test("packFirstFitExact invariants on real docs: no multi-doc bin over budget, never fewer bins than the prefix rule") {
     import graft.text.TextOps
     val docs = graft.io.Tables.documents(spark, sf001)
