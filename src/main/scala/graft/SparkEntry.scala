@@ -62,6 +62,7 @@ object SparkEntry {
     "d4_ngram_jaccard"   -> (Queries.d4NgramJaccard _),
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
     "d6_embed_lsh_pairs" -> (Queries.d6EmbedLshPairs _),
+    "d6_buckets"         -> (Queries.d6Buckets _),
     "d7_decontaminate"   -> (Queries.d7Decontaminate _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
@@ -97,10 +98,13 @@ object SparkEntry {
     */
   def oracleFree: Set[String] = Set(
     // LSH hyperplanes are Scala-generated; correctness = recall vs the
-    // oracle-checked brute-force n1 (SimilaritySpec).
+    // oracle-checked brute-force n1 (SimilaritySpec). The shared
+    // blocking machinery is additionally hash-pinned by d6_buckets.
     "n2_ann_lsh",
-    // sign-LSH pair blocking (hyperplanes Scala-generated); correctness
-    // = recall ≥95% vs the oracle-checked exact d5 (SimilaritySpec).
+    // sign-LSH pair blocking at this exact configuration is hash-pinned
+    // by d6_buckets (hyperplanes exported as SQL literals); the end
+    // metric stays recall ≥95% vs the oracle-checked exact d5
+    // (SimilaritySpec). Only the verify-join composition is oracle-free.
     "d6_embed_lsh_pairs",
     // IVF centroid model state is Scala-side; correctness = recall vs n1.
     "n3_ann_ivf",
@@ -706,6 +710,19 @@ object Queries {
     Similarity
       .lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
       .orderBy("id_a", "id_b")
+
+  /** The d6 BLOCKING step alone — seeded sign-LSH bucket assignment at
+    * d6's exact configuration (bits=2, tables=8, seed=42, corpus
+    * dim=64). Oracle-checkable because the hyperplanes are exported as
+    * SQL literals: DuckDB recomputes every bucket bit from the same
+    * planes, pinning the candidate generation the d6/n2 scale path
+    * rides; the end-metric recall stays covered by SimilaritySpec.
+    */
+  def d6Buckets(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bucketAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        bits = 2, tables = 8, seed = 42L, dim = 64)
+      .orderBy("tbl", "bucket", "id")
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def n1AnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -1317,9 +1334,31 @@ object Oracles {
        |  ON p.symbol = r.symbol AND p.time_us >= r.time_us
        |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
 
+  // D6-buckets — sign-LSH bucket assignment recomputed from the SAME
+  // seeded hyperplanes, exported as SQL literals (Double.toString is
+  // shortest-round-trip, so DuckDB parses back the identical binary64).
+  // Each plane's dot product is an explicit 64-term left-associative
+  // sum — the evaluation order of the native DotProduct expression —
+  // and each float element casts to DOUBLE exactly on both engines.
+  private val d6BucketsSql: String = {
+    val planes = graft.similarity.Similarity.tablePlanes(bits = 2, tables = 8, dim = 64, seed = 42L)
+    def dotSql(plane: Array[Double]): String =
+      plane.zipWithIndex
+        .map { case (c, i) => s"CAST(embedding[${i + 1}] AS DOUBLE)*($c)" }
+        .mkString(" + ")
+    val perTable = planes.zipWithIndex.map { case (ps, t) =>
+      val bucket = ps.zipWithIndex
+        .map { case (p, b) => s"CASE WHEN (${dotSql(p)}) > 0.0 THEN ${1L << b} ELSE 0 END" }
+        .mkString(" + ")
+      s"SELECT CAST($t AS INTEGER) AS tbl, CAST($bucket AS BIGINT) AS bucket, vec_id AS id FROM embeddings"
+    }
+    perTable.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, bucket, id")
+  }
+
   val sql: Map[String, String] = Map(
     "g1_signal_engine" -> g1Sql,
     "b1_backtest" -> b1Sql,
+    "d6_buckets" -> d6BucketsSql,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t

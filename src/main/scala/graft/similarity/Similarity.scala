@@ -147,6 +147,39 @@ object Similarity {
     * 12–16 / tables 8–16: bucket occupancy shrinks by 2^bits, which is
     * what keeps the within-bucket pair join sub-quadratic at scale.
     */
+  /** The seeded hyperplane family for a banded sign-LSH table set —
+    * factored out so the DuckDB oracle can embed the SAME plane values
+    * as SQL literals and recompute bucket assignment independently
+    * (d6_buckets).
+    */
+  def tablePlanes(bits: Int, tables: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(t => hyperplanes(bits, dim, seed = seed + 1000L * t))
+
+  /** The blocking step of [[lshNearDupPairs]] on its own: the slim
+    * (tbl, bucket, id) bucket-assignment relation. Deterministic given
+    * (bits, tables, seed, dim), so it is oracle-checkable — the one part
+    * of the LSH pipeline that is pure relational algebra over the seeded
+    * model, pinning the exact blocking the scale path performs.
+    */
+  def bucketAssignments(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      tables: Int,
+      seed: Long,
+      dim: Int
+  ): DataFrame = {
+    val planes = tablePlanes(bits, tables, dim, seed)
+    def buckets(vec: Column): Column =
+      array(planes.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("tbl"), signBucket(vec, ps).as("bucket"))
+      }: _*)
+    df.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .select(col("id"), explode(buckets(col("v"))).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("id"))
+  }
+
   def lshNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -157,17 +190,10 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val dim = inferDim(df, vecCol)
-    val tablePlanes = Array.tabulate(tables)(t => hyperplanes(bits, dim, seed = seed + 1000L * t))
-    def buckets(vec: Column): Column =
-      array(tablePlanes.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("tbl"), signBucket(vec, planes).as("bucket"))
-      }: _*)
     val v = df
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val slim = v
-      .select(col("id"), explode(buckets(col("v"))).as("tb"))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("id"))
+    val slim = bucketAssignments(df, idCol, vecCol, bits, tables, seed, dim)
     val a = slim.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = slim.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val candidates = a
