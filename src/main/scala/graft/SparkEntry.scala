@@ -63,6 +63,8 @@ object SparkEntry {
     "d5_embed_neardup"   -> (Queries.d5EmbedNeardup _),
     "d6_embed_lsh_pairs" -> (Queries.d6EmbedLshPairs _),
     "d6_buckets"         -> (Queries.d6Buckets _),
+    "n2_buckets"         -> (Queries.n2Buckets _),
+    "n3_cells"           -> (Queries.n3Cells _),
     "d7_decontaminate"   -> (Queries.d7Decontaminate _),
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
@@ -724,6 +726,28 @@ object Queries {
         bits = 2, tables = 8, seed = 42L, dim = 64)
       .orderBy("tbl", "bucket", "id")
 
+  /** The n2 BLOCKING step alone — the same hyperplane-literal pin as
+    * [[d6Buckets]] at n2's configuration (bits=4, tables=6, seed=42).
+    */
+  def n2Buckets(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .bucketAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        bits = 4, tables = 6, seed = 42L, dim = 64)
+      .orderBy("tbl", "bucket", "id")
+
+  /** The n3/IVF BLOCKING step alone — nearest-centroid cell assignment
+    * under the deterministic id-fallback centroid set (first 16 corpus
+    * vectors by id), which is pure relational algebra and so
+    * hash-checkable: DuckDB recomputes every centroid dot with the same
+    * left-to-right fold and the same (score, cell) tie-break. The n3
+    * query itself runs the SAME machinery with the k-means-fitted model
+    * (Scala-side state; recall spec covers the end metric).
+    */
+  def n3Cells(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cellAssignments(Tables.embeddings(spark, dir), "vec_id", "embedding", nCentroids = 16)
+      .orderBy("id")
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def n1AnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -1340,8 +1364,8 @@ object Oracles {
   // Each plane's dot product is an explicit 64-term left-associative
   // sum — the evaluation order of the native DotProduct expression —
   // and each float element casts to DOUBLE exactly on both engines.
-  private val d6BucketsSql: String = {
-    val planes = graft.similarity.Similarity.tablePlanes(bits = 2, tables = 8, dim = 64, seed = 42L)
+  private def bucketsSql(bits: Int, tables: Int, seed: Long): String = {
+    val planes = graft.similarity.Similarity.tablePlanes(bits, tables, dim = 64, seed = seed)
     def dotSql(plane: Array[Double]): String =
       plane.zipWithIndex
         .map { case (c, i) => s"CAST(embedding[${i + 1}] AS DOUBLE)*($c)" }
@@ -1354,11 +1378,38 @@ object Oracles {
     }
     perTable.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, bucket, id")
   }
+  private val d6BucketsSql: String = bucketsSql(bits = 2, tables = 8, seed = 42L)
+  private val n2BucketsSql: String = bucketsSql(bits = 4, tables = 6, seed = 42L)
+
+  // N3-cells — nearest-centroid assignment under the id-fallback
+  // centroid set. The centroids are corpus rows, so no literals are
+  // needed: the dot product folds element products left-to-right
+  // (list_reduce over an ordered product list = the native DotProduct
+  // loop) and the argmax tie-breaks on (score, cell) like Spark's
+  // array_max over (score, cell) structs.
+  private val n3CellsSql: String =
+    """WITH cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cvec
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id AS id, c.cell,
+      |    list_reduce(
+      |      list_prepend(0.0, list_transform(generate_series(1, 64),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x) AS score
+      |  FROM embeddings e CROSS JOIN cents c),
+      |best AS (
+      |  SELECT id, cell,
+      |    row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+      |  FROM scored)
+      |SELECT id, CAST(cell AS INTEGER) AS cell FROM best WHERE rn = 1 ORDER BY id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "g1_signal_engine" -> g1Sql,
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
+    "n2_buckets" -> n2BucketsSql,
+    "n3_cells" -> n3CellsSql,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t

@@ -334,6 +334,58 @@ object Similarity {
     * cell-assigned corpus would be written partitioned by `cell` so each
     * probe is a partition-pruned scan.
     */
+  /** Resolve the IVF centroid set: a fitted model when provided, else
+    * the deterministic fallback (first `nCentroids` corpus vectors by
+    * id) — the fallback is pure relational algebra over the corpus, so
+    * cell assignment under it is DuckDB-oracle-checkable (n3_cells).
+    */
+  def resolveCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      centroidModel: Option[Array[Array[Double]]]
+  ): Array[(Int, Array[Double])] = centroidModel match {
+    case Some(m) =>
+      require(m.length == nCentroids, s"centroidModel has ${m.length} cells but nCentroids=$nCentroids")
+      m.zipWithIndex.map { case (c, i) => i -> c }
+    case None =>
+      corpus
+        .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))
+        .orderBy("id")
+        .limit(nCentroids)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+  }
+
+  /** (dot, cellId) structs for every centroid; struct max/sort orders by
+    * dot first, then cell id (ties → larger cell).
+    */
+  private def cellScoresCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (cid, cvec) =>
+      struct(dot(vec, array(cvec.map(lit): _*)).as("score"), lit(cid).as("cell"))
+    }: _*)
+
+  /** The IVF BLOCKING step on its own: nearest-centroid cell per corpus
+    * vector. With the id-fallback centroid set this is deterministic
+    * pure-relational and hash-pinnable; [[ivfTopK]] runs the same
+    * machinery with the fitted model.
+    */
+  def cellAssignments(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      centroidModel: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
+    corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .select("id", "cell")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       idCol: String,
@@ -344,25 +396,8 @@ object Similarity {
       nProbe: Int = 4,
       centroidModel: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val centroids: Array[(Int, Array[Double])] = centroidModel match {
-      case Some(m) =>
-        require(m.length == nCentroids, s"centroidModel has ${m.length} cells but nCentroids=$nCentroids")
-        m.zipWithIndex.map { case (c, i) => i -> c }
-      case None =>
-        corpus
-          .select(col(idCol).cast("long").as("id"), toDoubleArr(col(vecCol)).as("v"))
-          .orderBy("id")
-          .limit(nCentroids)
-          .collect()
-          .zipWithIndex
-          .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
-    }
-    def centroidCol(c: Array[Double]): Column = array(c.map(lit): _*)
-    // (dot, cellId) structs; struct max/sort orders by dot first
-    def cellScores(vec: Column): Column =
-      array(centroids.map { case (cid, cvec) =>
-        struct(dot(vec, centroidCol(cvec)).as("score"), lit(cid).as("cell"))
-      }: _*)
+    val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
+    def cellScores(vec: Column): Column = cellScoresCol(vec, centroids)
     val assignedCorpus = corpus
       .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
       .withColumn("cell", array_max(cellScores(col("nbr_vec"))).getField("cell"))
