@@ -1086,15 +1086,19 @@ object Queries {
     * the HullMacd engine, entry prices as-of joined from the raw stream.
     */
   def b1Backtest(spark: SparkSession, dir: String): DataFrame = {
-    val pricing = Tables
+    val events = Tables
       .events(spark, dir)
-      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"))
+      .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"), $"event_id")
+    val pricing = events.select("symbol", "time_us", "close")
+    // event_id tie-break (the b1_enrich rule): ts_us is micros truncated
+    // from nanos, so two events CAN collide on (symbol, time_us) in
+    // future corpora — the deterministic pick must not depend on row order
     val signalCandles = Relational
       .latestPerKey(
-        pricing.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
+        events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
         Seq("symbol", "bucket_us"),
         "time_us",
-        "time_us"
+        "event_id"
       )
       .select($"symbol", $"bucket_us".as("time_us"), $"close")
     graft.backtest.Backtest
@@ -1341,12 +1345,12 @@ object Oracles {
   // b1_enrich-proven shape). Composition of two already-green halves.
   private val b1Sql: String =
     s"""WITH pricing AS (
-       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close
+       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us, value AS close, event_id
        |  FROM events),
        |ranked AS (
        |  SELECT symbol, (time_us // 1800000000) * 1800000000 AS bucket_us, time_us, close,
        |    row_number() OVER (PARTITION BY symbol, time_us // 1800000000
-       |                       ORDER BY time_us DESC) AS rnk
+       |                       ORDER BY time_us DESC, event_id DESC) AS rnk
        |  FROM pricing),
        |src AS (SELECT symbol, bucket_us AS ts_us, close AS value FROM ranked WHERE rnk = 1),
        |${signalEngineCtes("src", hullLength = 8, fast = 4, slow = 8, signalLen = 3)}
