@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier(SortedJaccard.FunctionName),
         info(SortedJaccard.FunctionName, "merge-Jaccard over two sorted distinct array<bigint>"),
-        (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1)))
+        (exprs: Seq[Expression]) => SortedJaccard(exprs(0), exprs(1), SortedJaccard.thresholdOf(exprs)))
     )
     ext.injectFunction(
       (FunctionIdentifier(Simhash60.FunctionName),

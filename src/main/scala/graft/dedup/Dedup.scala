@@ -154,7 +154,10 @@ object Dedup {
       .join(hashedB.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
-        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
+        // thresholded form: merge early-exits once the pair provably
+        // can't reach `threshold` (null, dropped by the filter below);
+        // exact values for every surviving pair — oracle unchanged
+        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"), lit(threshold))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -283,7 +286,10 @@ object Dedup {
       )
       .withColumn(
         "jaccard",
-        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"))
+        // thresholded form: merge early-exits once the pair provably
+        // can't reach `threshold` (null, dropped by the filter below);
+        // exact values for every surviving pair — oracle unchanged
+        call_function(graft.expressions.SortedJaccard.FunctionName, col("sh_a"), col("sh_b"), lit(threshold))
       )
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -20,8 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `len(list_intersect)/len(union)` on the un-hashed shingle sets match
   * bit-for-bit (both are exact ratios of the same small integers).
   * Returns null when both sides are empty.
+  *
+  * Optional third argument (literal double ≥ 0): a similarity
+  * threshold enabling MERGE EARLY EXIT. At any merge position the
+  * best-case final Jaccard is `(inter + r) / (n + m − inter − r)` with
+  * `r = min` of the elements left on each side (every remaining element
+  * matches, shrinking the union maximally); once that bound drops below
+  * the threshold the pair CANNOT reach it, and the expression returns
+  * null instead of finishing the merge. A downstream `jaccard >= t`
+  * filter drops nulls, so results are IDENTICAL to the 2-arg form for
+  * every surviving pair — only sub-threshold work is skipped (roughly
+  * the tail half of each dissimilar pair's merge, the common case in
+  * near-dup joins).
   */
-case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
+case class SortedJaccard(left: Expression, right: Expression, threshold: Double = -1.0)
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sorted_jaccard"
@@ -50,10 +63,15 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
     while (p < n) { if (x.isNullAt(p)) return null; p += 1 }
     p = 0
     while (p < m) { if (y.isNullAt(p)) return null; p += 1 }
+    // early-exit bound: jaccard >= t iff (1+t)*maxInter >= t*(n+m);
+    // precompute B = t*(n+m)/(1+t) so the per-iteration check is integer
+    // adds + one double compare
+    val bound = if (threshold >= 0) threshold * (n + m) / (1.0 + threshold) else -1.0
     var i = 0
     var j = 0
     var inter = 0
     while (i < n && j < m) {
+      if (threshold >= 0 && inter + math.min(n - i, m - j) < bound) return null
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv == yv) { inter += 1; i += 1; j += 1 }
@@ -72,6 +90,7 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
       val inter = ctx.freshName("inter")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val boundVar = ctx.freshName("bound")
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -82,13 +101,17 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } }
          |  if (!${ev.isNull}) {
          |    int $i = 0; int $j = 0; int $inter = 0;
+         |    double $boundVar = $threshold >= 0 ? $threshold * ($n + $m) / (1.0 + $threshold) : -1.0;
          |    while ($i < $n && $j < $m) {
+         |      if ($threshold >= 0 && $inter + Math.min($n - $i, $m - $j) < $boundVar) { ${ev.isNull} = true; break; }
          |      long $xv = $a.getLong($i);
          |      long $yv = $b.getLong($j);
          |      if ($xv == $yv) { $inter++; $i++; $j++; }
          |      else if ($xv < $yv) { $i++; } else { $j++; }
          |    }
-         |    ${ev.value} = (double) $inter / (double) ($n + $m - $inter);
+         |    if (!${ev.isNull}) {
+         |      ${ev.value} = (double) $inter / (double) ($n + $m - $inter);
+         |    }
          |  }
          |}
        """.stripMargin
@@ -101,10 +124,25 @@ case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpr
 object SortedJaccard {
   val FunctionName = "graft_sorted_jaccard"
 
+  /** Optional 3rd argument: a literal non-negative DOUBLE threshold for
+    * merge early exit. Pattern-matched (not blind `eval`) so a column or
+    * wrong-typed argument is a clear analysis error.
+    */
+  def thresholdOf(exprs: Seq[Expression]): Double = exprs match {
+    case Seq(_, _) => -1.0
+    case Seq(_, _, org.apache.spark.sql.catalyst.expressions.Literal(t: Double, DoubleType)) if t >= 0 => t
+    case other =>
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$FunctionName(a, b[, t]): optional third argument must be a non-negative DOUBLE literal, got ${other.drop(2).map(_.sql).mkString(",")}"),
+        None)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
-      exprs => SortedJaccard(exprs(0), exprs(1)),
+      exprs => SortedJaccard(exprs(0), exprs(1), thresholdOf(exprs)),
       "built-in"
     )
 }

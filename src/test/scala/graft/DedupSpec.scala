@@ -352,6 +352,39 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == "see (<URL>) and then <URL>.")
   }
 
+  test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val fn = graft.expressions.SortedJaccard.FunctionName
+    // random-ish sorted distinct hash sets across the similarity range
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val base = Seq.fill(40)(rng.nextLong().abs % 10000).distinct.sorted
+      val keep = base.take(rng.nextInt(base.length + 1))
+      val other = (keep ++ Seq.fill(40)(rng.nextLong().abs % 10000)).distinct.sorted
+      (i, base, other)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val both = df
+      .select(
+        $"i",
+        call_function(fn, $"a", $"b").as("exact"),
+        call_function(fn, $"a", $"b", lit(0.3)).as("thresholded")
+      )
+      .collect()
+    both.foreach { r =>
+      val exact = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val thr = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      exact match {
+        case Some(e) if e >= 0.3 => assert(thr.contains(e), s"row ${r.getInt(0)}: $thr != $exact")
+        case _                   => assert(thr.isEmpty || thr == exact, s"row ${r.getInt(0)}: sub-threshold must be null or exact")
+      }
+    }
+    // a non-literal / negative threshold is an analysis error, not an NPE
+    intercept[Exception] {
+      df.select(call_function(fn, $"a", $"b", lit(-0.5))).collect()
+    }
+  }
+
   test("null array elements yield null from the native expressions, never garbage") {
     // containsNull=true arrays pass the type checks; a null slot must
     // poison the result (HOF parity), not read as 0
