@@ -54,6 +54,7 @@ object SparkEntry {
     "x7b_packing"        -> (Queries.x7bPackingExact _),
     "x8_epoch_shuffle"   -> (Queries.x8EpochShuffle _),
     "x9_split"           -> (Queries.x9Split _),
+    "x10_corpus_freq"    -> (Queries.x10CorpusFreq _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -621,6 +622,19 @@ object Queries {
         seed = 7L
       )
       .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+
+  /** x10 — corpus-frequency document scoring (the LM-filter shape with
+    * exact integer internals; see
+    * [[graft.text.TextOps.corpusFrequencyStats]]).
+    */
+  def x10CorpusFreq(spark: SparkSession, dir: String): DataFrame =
+    // minCount 500: the synthetic corpus has a tiny dense vocabulary
+    // (31 tokens, counts 26..964 at sf0.01), so a realistic threshold
+    // would leave oov_frac identically 0 — 500 makes the driver check
+    // exercise BOTH branches of the OOV rule
+    TextOps
+      .corpusFrequencyStats(Tables.documents(spark, dir), "doc_id", "text", minCount = 500L)
       .orderBy("doc_id")
 
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
@@ -1856,6 +1870,28 @@ object Oracles {
         |        CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
         |          / CAST(4503599627370496 AS DOUBLE) AS u
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // x10 — integer-exact internals (counts, sums), ONE final double
+    // division per output column: both engines produce identical bits
+    // with no float-order concerns.
+    "x10_corpus_freq" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM nrm),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_tokens FROM vocab),
+        |per_doc AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(v.tok_count) AS BIGINT) AS freq_sum,
+        |    CAST(sum(CASE WHEN v.tok_count < 500 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count
+        |  FROM tk t JOIN vocab v USING (tok)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(freq_sum AS DOUBLE) / CAST(n_tokens * corpus_tokens AS DOUBLE) AS mean_token_freq,
+        |  CAST(oov_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac
+        |FROM per_doc, tot
         |ORDER BY doc_id""".stripMargin,
     "x3_lang_id" ->
       """WITH t AS (

@@ -358,4 +358,56 @@ object TextOps {
     * `visualizations/models.py:130-147`, repurposed for content identity).
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Corpus-frequency document scoring — the language-model-filtering
+    * shape (CCNet-style: score each document by how typical its tokens
+    * are of the corpus) with EXACT integer internals so the score is
+    * engine-reproducible: no log/perplexity transcendentals whose last
+    * ulp differs between libm implementations.
+    *
+    *   - `mean_token_freq` = Σ count(tok) / (n_tokens × corpus_tokens):
+    *     the mean corpus frequency of the document's tokens. High =
+    *     stopword-heavy/common text, low = rare-token text; both tails
+    *     are the usual filter targets.
+    *   - `oov_frac` = fraction of tokens with corpus count < `minCount`
+    *     — the out-of-vocabulary rate against the corpus itself.
+    *
+    * All aggregation is integer (order-free exact); each output is ONE
+    * final double division, so a DuckDB oracle matches bit-for-bit.
+    *
+    * Scale shape: vocabulary aggregation (map-side combine) → token
+    * equi-join (AQE broadcasts small vocabularies; shuffle join
+    * otherwise) → per-doc integer aggregation (map-side combine) → a
+    * one-row broadcast of the corpus total. Two shuffles on a 100 TB
+    * corpus, both combiner-friendly. NULL-text documents are absent
+    * from the output (null tokens explode to nothing), matching the
+    * oracle's `WHERE text IS NOT NULL`.
+    */
+  def corpusFrequencyStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_count"))
+    val totals = vocab.agg(sum(col("tok_count")).as("corpus_tokens"))
+    toks
+      .join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("tok_count")).as("freq_sum"),
+        sum(when(col("tok_count") < minCount, 1L).otherwise(0L)).as("oov_count")
+      )
+      .crossJoin(org.apache.spark.sql.functions.broadcast(totals))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("freq_sum").cast("double") / (col("n_tokens") * col("corpus_tokens")).cast("double"))
+          .as("mean_token_freq"),
+        (col("oov_count").cast("double") / col("n_tokens").cast("double")).as("oov_frac")
+      )
+  }
 }

@@ -352,6 +352,26 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == "see (<URL>) and then <URL>.")
   }
 
+  test("corpusFrequencyStats: hand-computed scores on a planted corpus; null text absent") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the cat sat"),          // the:3, cat:2, sat:1
+      (2L, "the cat ran"),          // ran:1
+      (3L, "the zebra"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusFrequencyStats(docs, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)]
+      .collect()
+    // corpus_tokens = 8; counts: the=3 cat=2 sat=1 ran=1 zebra=1
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // null-text doc absent
+    val Array(d1, d2, d3) = out
+    assert(d1._2 == 3 && d1._3 == (3.0 + 2 + 1) / (3.0 * 8) && d1._4 == 1.0 / 3)
+    assert(d2._2 == 3 && d2._3 == (3.0 + 2 + 1) / (3.0 * 8) && d2._4 == 1.0 / 3)
+    assert(d3._2 == 2 && d3._3 == (3.0 + 1) / (2.0 * 8) && d3._4 == 1.0 / 2)
+  }
+
   test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName

@@ -33,9 +33,11 @@ class PlanLintSpec extends SparkSpec {
     *     with a non-equi self-exclusion predicate — the ANN query set is
     *     bounded by design ("broadcast queries, one corpus scan"); the
     *     corpus side streams.
+    *   - x10_corpus_freq: a ONE-ROW broadcast cross join attaching the
+    *     corpus token total to the per-doc aggregates.
     */
   private val bnljAllowed: Set[String] =
-    Set("d5_embed_neardup", "p7_nearest_key", "n1_ann_brute", "n4_ann_quantized")
+    Set("d5_embed_neardup", "p7_nearest_key", "n1_ann_brute", "n4_ann_quantized", "x10_corpus_freq")
 
   /** Queries whose defining behavior is a scan-level predicate: each
     * must show at least one parquet scan with non-empty PushedFilters.
