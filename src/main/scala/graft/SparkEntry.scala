@@ -55,6 +55,7 @@ object SparkEntry {
     "x8_epoch_shuffle"   -> (Queries.x8EpochShuffle _),
     "x9_split"           -> (Queries.x9Split _),
     "x10_corpus_freq"    -> (Queries.x10CorpusFreq _),
+    "d8_components"      -> (Queries.d8Components _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -675,6 +676,19 @@ object Queries {
     Dedup
       .minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
       .orderBy("id_a", "id_b")
+
+  /** d8 — near-dup cluster resolution: connected components over the d2
+    * pair list (pointer-jumping min-label propagation); component =
+    * minimum doc id of the cluster = the canonical keeper.
+    */
+  def d8Components(spark: SparkSession, dir: String): DataFrame =
+    Dedup
+      .connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3),
+        "id_a",
+        "id_b"
+      )
+      .orderBy("component", "id")
 
   /** 60-bit SimHash near-dup pairs (hamming ≤ 20 over synthetic docs —
     * wide threshold so the operator produces work on this corpus).
@@ -1399,6 +1413,34 @@ object Oracles {
   private val d6BucketsSql: String = bucketsSql(bits = 2, tables = 8, seed = 42L)
   private val n2BucketsSql: String = bucketsSql(bits = 4, tables = 6, seed = 42L)
 
+  // Shared CTE chain producing the d2 MinHash+LSH verified pair list
+  // (ends with CTE `pairs`); d2 filters it, d8 runs a recursive closure
+  // over it. xor-permutation minhash: same seed constants as
+  // Dedup.xorSeeds.
+  private val d2PairsCtes: String = {
+    val sigExprs = graft.dedup.Dedup
+      .xorSeeds(16)
+      .map(s => s"list_min(list_transform(hs, h -> xor(h, $s)))")
+      .mkString("[", ", ", "]")
+    s"""base AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM documents)),
+       |filt AS (SELECT * FROM base WHERE len(sh) > 0),
+       |hashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM filt),
+       |sig AS (SELECT id, $sigExprs AS sig FROM hashed),
+       |banded AS (
+       |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+       |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)""".stripMargin
+  }
+
   // N3-cells — nearest-centroid assignment under the id-fallback
   // centroid set. The centroids are corpus rows, so no literals are
   // needed: the dot product folds element products left-to-right
@@ -1923,31 +1965,28 @@ object Oracles {
         |              count(*) OVER (PARTITION BY fingerprint) AS group_size FROM fp)
         |SELECT doc_id, keeper_id, fingerprint, CAST(group_size AS BIGINT) AS group_size
         |FROM g WHERE group_size > 1 ORDER BY doc_id""".stripMargin,
-    "d2_minhash_lsh" -> {
-      // xor-permutation minhash: same seed constants as Dedup.xorSeeds
-      val sigExprs = graft.dedup.Dedup
-        .xorSeeds(16)
-        .map(s => s"list_min(list_transform(hs, h -> xor(h, $s)))")
-        .mkString("[", ", ", "]")
-      s"""WITH base AS (
-         |  SELECT doc_id AS id,
-         |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
-         |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM documents)),
-         |filt AS (SELECT * FROM base WHERE len(sh) > 0),
-         |hashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM filt),
-         |sig AS (SELECT id, $sigExprs AS sig FROM hashed),
-         |banded AS (
-         |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
-         |  FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
-         |pairs AS (
-         |  SELECT c.id_a, c.id_b,
-         |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
-         |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)
-         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin
-    },
+    "d2_minhash_lsh" ->
+      s"""WITH $d2PairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // D8 — connected components over the SAME pair CTEs via a recursive
+    // closure: reach(id, r) reaches every label r in id's component;
+    // min(r) is the component = canonical keeper id. UNION (not UNION
+    // ALL) dedups rows, so the recursion terminates at the closure.
+    "d8_components" ->
+      s"""WITH RECURSIVE $d2PairsCtes,
+         |thresholded AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.3),
+         |nodes AS (SELECT id_a AS id FROM thresholded UNION SELECT id_b FROM thresholded),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM thresholded
+         |          UNION SELECT id_b, id_a FROM thresholded),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |csize AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.id, c.component, s.cluster_size
+         |FROM comp c JOIN csize s USING (component)
+         |ORDER BY c.component, c.id""".stripMargin,
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup
         .xorSeeds(16)

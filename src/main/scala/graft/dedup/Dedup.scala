@@ -324,4 +324,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Near-dup CLUSTER RESOLUTION: connected components over a pair list
+    * (the step after any pairwise dedup — d2/d3/d4/d6 emit pairs; a
+    * pipeline keeps ONE document per component). Labels every node that
+    * appears in a pair with its component = the MINIMUM id reachable
+    * from it (so the label doubles as the canonical keeper id), plus the
+    * component size. Nodes in no pair are trivially their own keeper and
+    * are not emitted.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING (each round
+    * also replaces a node's label by its label's label), which halves
+    * label-chain depth per round — O(log n) rounds even on path graphs,
+    * each round a pair of equi-joins + one aggregation. The
+    * convergence test is a driver-side SCALAR (count of changed labels),
+    * not a data collect. Each round's result is persisted and the
+    * previous round freed, so the plan doesn't grow with iterations.
+    * Deterministic: min is order-free.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct().withColumn("label", col("id")).persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // 1. neighbor-min: label := min(label, min over neighbors' labels)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+      // 2. pointer jump: label := label(label) — halves chain depth
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("label2")), Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIter pointer-jumping rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, Seq("label"))
+      .select(col("id"), col("label").as("component"), col("cluster_size"))
+  }
 }

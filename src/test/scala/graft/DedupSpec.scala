@@ -352,6 +352,24 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == "see (<URL>) and then <URL>.")
   }
 
+  test("connectedComponents: chains, pairs, and a 20-node path all label to the component min") {
+    val pairs = (
+      Seq((1L, 2L), (2L, 3L)) ++        // triangle-free chain -> component 1, size 3
+        Seq((10L, 11L)) ++              // isolated pair -> component 10, size 2
+        (100L until 119L).map(i => (i, i + 1)) // 20-node path: needs pointer jumping, not 1-hop
+    ).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (id, comp, size) => id -> (comp, size) }
+      .toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == (1L, 3L)))
+    assert(Seq(10L, 11L).forall(out(_) == (10L, 2L)))
+    assert((100L to 119L).forall(out(_) == (100L, 20L)))
+    assert(out.size == 3 + 2 + 20) // nodes in no pair are absent
+  }
+
   test("corpusFrequencyStats: hand-computed scores on a planted corpus; null text absent") {
     import graft.text.TextOps
     val docs = Seq(
