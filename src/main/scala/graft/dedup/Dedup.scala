@@ -343,12 +343,19 @@ object Dedup {
     * Deterministic: min is order-free.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    // symmetric edge list; duplicates are harmless under min-aggregation,
+    // so no distinct (one less shuffle on the persisted base)
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct().withColumn("label", col("id")).persist()
+    // round 0 folded into init: label = min(id, min neighbor) — every
+    // node appears as src of the symmetric list
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+      .persist()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -365,13 +372,13 @@ object Dedup {
         .join(stepped.select(col("id").as("label"), col("label").as("label2")), Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
         .persist()
-      val changed = next
+      // early-exit probe: any changed label at all?
+      done = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
-        .count()
+        .isEmpty
       labels.unpersist()
       labels = next
-      done = changed == 0
       iter += 1
     }
     edges.unpersist()
