@@ -24,7 +24,10 @@ object Bench {
     // Median of 3 runs per query: single-run sub-second slots moved >20%
     // across rounds with untouched code (scheduler/GC ordering noise);
     // the median is stable enough to make a >20% delta a real signal.
+    // odd reps → true median; even reps → upper median (documented
+    // choice; keep reps odd for round-over-round comparisons)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

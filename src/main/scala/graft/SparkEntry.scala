@@ -879,9 +879,23 @@ object Queries {
     * event timestamps).
     */
   def g1SignalEngine(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables
-      .events(spark, dir)
-      .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value")
+    // deterministic (symbol, ts_us) dedup BEFORE the engine: ts_us is
+    // micros truncated from nanos, so two events CAN collide on the key
+    // in future corpora; detectSignals' own keep-last dedup tie-breaks
+    // on ts_us itself (row-order-nondeterministic among exact dups) and
+    // the oracle could not mirror it. event_id desc pins the pick on
+    // both engines; detectSignals' internal dedup is then a no-op.
+    val ev = Relational
+      .latestPerKey(
+        Tables
+          .events(spark, dir)
+          .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value", $"event_id")
+          .filter($"value".isNotNull),
+        Seq("symbol", "ts_us"),
+        "ts_us",
+        "event_id"
+      )
+      .select("symbol", "ts_us", "value")
     graft.signals.HullMacd
       .detectSignals(ev, "symbol", "ts_us", "value")
       .orderBy("symbol", "time_us", "signal_type", "direction")
@@ -1117,10 +1131,18 @@ object Queries {
     val events = Tables
       .events(spark, dir)
       .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"), $"event_id")
-    val pricing = events.select("symbol", "time_us", "close")
     // event_id tie-break (the b1_enrich rule): ts_us is micros truncated
     // from nanos, so two events CAN collide on (symbol, time_us) in
-    // future corpora — the deterministic pick must not depend on row order
+    // future corpora — the deterministic pick must not depend on row
+    // order. Applied to BOTH halves: the bucket dedup below AND the
+    // as-of right side (the ASOF↔union-window parity requires a unique
+    // (key, ts) right side — see oracle notes). Null closes drop BEFORE
+    // the dedup — "most recent NON-NULL close" means a null-close dup
+    // must not shadow a real price — which also keeps the IsNotNull
+    // predicate at the scan.
+    val pricing = Relational
+      .latestPerKey(events.filter($"close".isNotNull), Seq("symbol", "time_us"), "time_us", "event_id")
+      .select("symbol", "time_us", "close")
     val signalCandles = Relational
       .latestPerKey(
         events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
@@ -1147,10 +1169,16 @@ object Queries {
     val events = Tables
       .events(spark, dir)
       .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"), $"event_id")
-    val pricing = events.select("symbol", "time_us", "close")
     // event_id tie-break: ts_us is micros truncated from nanos, so two
     // events CAN collide on (symbol, time_us) in future corpora — the
-    // deterministic pick must not depend on row order (oracle parity)
+    // deterministic pick must not depend on row order (oracle parity).
+    // The as-of RIGHT side needs it too: ASOF↔union-window equivalence
+    // requires a unique (key, ts) right side. Null closes drop BEFORE
+    // the dedup (a null-close dup must not shadow a real price; keeps
+    // the IsNotNull predicate at the scan).
+    val pricing = Relational
+      .latestPerKey(events.filter($"close".isNotNull), Seq("symbol", "time_us"), "time_us", "event_id")
+      .select("symbol", "time_us", "close")
     val signals = Relational
       .latestPerKey(
         events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
@@ -1358,7 +1386,11 @@ object Oracles {
 
   private val g1Sql: String =
     s"""WITH src AS (
-       |  SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value FROM events),
+       |  SELECT symbol, ts_us, value FROM (
+       |    SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value,
+       |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+       |    FROM events WHERE value IS NOT NULL) t
+       |  WHERE rn = 1),
        |${signalEngineCtes("src", hullLength = 20, fast = 12, slow = 26, signalLen = 9)}
        |SELECT p.symbol, p.time_us, p.signal_type, p.direction, 'hull_macd' AS engine, p.trigger,
        |  c.hma_color AS hull_direction, c.hma AS hull_value, c.macd_value,
@@ -1386,7 +1418,12 @@ object Oracles {
        |  c.close_price, r.close AS entry_price
        |FROM parsed p
        |JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
-       |ASOF LEFT JOIN (SELECT symbol, time_us, close FROM pricing WHERE close IS NOT NULL) r
+       |ASOF LEFT JOIN (
+       |  SELECT symbol, time_us, close FROM (
+       |    SELECT symbol, time_us, close,
+       |      row_number() OVER (PARTITION BY symbol, time_us ORDER BY event_id DESC) AS prn
+       |    FROM pricing WHERE close IS NOT NULL) dp
+       |  WHERE prn = 1) r
        |  ON p.symbol = r.symbol AND p.time_us >= r.time_us
        |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
 
@@ -1931,7 +1968,7 @@ object Oracles {
         |  FROM tk t JOIN vocab v USING (tok)
         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens,
-        |  CAST(freq_sum AS DOUBLE) / CAST(n_tokens * corpus_tokens AS DOUBLE) AS mean_token_freq,
+        |  CAST(freq_sum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(corpus_tokens AS DOUBLE)) AS mean_token_freq,
         |  CAST(oov_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac
         |FROM per_doc, tot
         |ORDER BY doc_id""".stripMargin,
@@ -2100,7 +2137,12 @@ object Oracles {
         |sig AS (SELECT symbol, bucket_us AS time_us, close AS close_price FROM ranked WHERE rn = 1)
         |SELECT l.symbol, l.time_us, l.close_price, r.close AS entry_price
         |FROM sig l
-        |ASOF LEFT JOIN (SELECT symbol, time_us, close FROM pricing WHERE close IS NOT NULL) r
+        |ASOF LEFT JOIN (
+        |  SELECT symbol, time_us, close FROM (
+        |    SELECT symbol, time_us, close,
+        |      row_number() OVER (PARTITION BY symbol, time_us ORDER BY event_id DESC) AS prn
+        |    FROM pricing WHERE close IS NOT NULL) dp
+        |  WHERE prn = 1) r
         |  ON l.symbol = r.symbol AND l.time_us >= r.time_us
         |ORDER BY l.symbol, l.time_us""".stripMargin,
     "j6_asof_join" ->

@@ -364,9 +364,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
+      // persisted: it feeds BOTH sides of the pointer-jump self-join —
+      // unpersisted, the dominant edges-join-aggregate would execute
+      // twice per round
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist()
       // 2. pointer jump: label := label(label) — halves chain depth
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("label2")), Seq("label"), "left")
@@ -377,6 +381,7 @@ object Dedup {
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
         .isEmpty
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       iter += 1

@@ -65,8 +65,14 @@ case class SortedJaccard(left: Expression, right: Expression, threshold: Double 
     while (p < m) { if (y.isNullAt(p)) return null; p += 1 }
     // early-exit bound: jaccard >= t iff (1+t)*maxInter >= t*(n+m);
     // precompute B = t*(n+m)/(1+t) so the per-iteration check is integer
-    // adds + one double compare
-    val bound = if (threshold >= 0) threshold * (n + m) / (1.0 + threshold) else -1.0
+    // adds + one double compare. The 1e-6 safety margin makes the exit
+    // CONSERVATIVE: double rounding of B can land a few ulps above the
+    // true rational bound, which would wrongly prune a pair whose exact
+    // jaccard EQUALS the threshold (e.g. t=0.15, |A∩B|=15, |A∪B|=100 —
+    // maxInter=15 vs B=15.000000000000002); the margin (≫ any ulp
+    // error, ≪ 1 so it never weakens pruning between integers) ensures
+    // exit implies strictly-unreachable.
+    val bound = if (threshold >= 0) threshold * (n + m) / (1.0 + threshold) - 1e-6 else -1.0
     var i = 0
     var j = 0
     var inter = 0
@@ -101,7 +107,7 @@ case class SortedJaccard(left: Expression, right: Expression, threshold: Double 
          |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } }
          |  if (!${ev.isNull}) {
          |    int $i = 0; int $j = 0; int $inter = 0;
-         |    double $boundVar = $threshold >= 0 ? $threshold * ($n + $m) / (1.0 + $threshold) : -1.0;
+         |    double $boundVar = $threshold >= 0 ? $threshold * ($n + $m) / (1.0 + $threshold) - 1e-6 : -1.0;
          |    while ($i < $n && $j < $m) {
          |      if ($threshold >= 0 && $inter + Math.min($n - $i, $m - $j) < $boundVar) { ${ev.isNull} = true; break; }
          |      long $xv = $a.getLong($i);

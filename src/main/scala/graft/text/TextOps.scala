@@ -405,7 +405,11 @@ object TextOps {
       .select(
         col(idCol),
         col("n_tokens"),
-        (col("freq_sum").cast("double") / (col("n_tokens") * col("corpus_tokens")).cast("double"))
+        // cast each factor BEFORE multiplying: a long product overflows
+        // at ~2.5e13 corpus tokens × ~4e5-token docs; the double product
+        // is overflow-free and identical on both engines (one IEEE
+        // multiply of exactly-converted longs)
+        (col("freq_sum").cast("double") / (col("n_tokens").cast("double") * col("corpus_tokens").cast("double")))
           .as("mean_token_freq"),
         (col("oov_count").cast("double") / col("n_tokens").cast("double")).as("oov_frac")
       )

@@ -423,6 +423,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("thresholded SortedJaccard: EXACT-threshold pair survives the early exit (bound rounding)") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val fn = graft.expressions.SortedJaccard.FunctionName
+    // |A|=15 contained in |B|=100: jaccard = 15/100 = 0.15 exactly; the
+    // unguarded bound t*(n+m)/(1+t) = 15.000000000000002 would prune it
+    val a = (1L to 15L).toArray.toSeq
+    val b = (1L to 100L).toArray.toSeq
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(call_function(fn, $"a", $"b", lit(0.15)).as("j"))
+      .head()
+    assert(!r.isNullAt(0) && r.getDouble(0) == 0.15, "exact-threshold pair must not be pruned")
+  }
+
   test("null array elements yield null from the native expressions, never garbage") {
     // containsNull=true arrays pass the type checks; a null slot must
     // poison the result (HOF parity), not read as 0

@@ -94,6 +94,18 @@ class PlanLintSpec extends SparkSpec {
   test("every query plans without error and reads at least one source") {
     plans.foreach { case (name, ns) =>
       assert(ns.nonEmpty, s"$name produced an empty physical plan")
+      // a real source must survive planning: a parquet scan, a cached
+      // intermediate (iterative operators fold over persisted rounds),
+      // or a materialized local relation (driver-fitted model state) —
+      // a query that constant-folds its read away would silently pass
+      // the other lints
+      val hasSource = ns.exists { n =>
+        n.isInstanceOf[FileSourceScanExec] ||
+        n.getClass.getSimpleName.startsWith("InMemoryTableScan") ||
+        n.getClass.getSimpleName.startsWith("LocalTableScan") ||
+        n.getClass.getSimpleName.startsWith("RDDScan")
+      }
+      assert(hasSource, s"$name: no scan/source node in the physical plan")
     }
   }
 }
