@@ -56,6 +56,7 @@ object SparkEntry {
     "x9_split"           -> (Queries.x9Split _),
     "x10_corpus_freq"    -> (Queries.x10CorpusFreq _),
     "d8_components"      -> (Queries.d8Components _),
+    "x11_eval_sample"    -> (Queries.x11EvalSample _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -624,6 +625,20 @@ object Queries {
       )
       .select("doc_id", "source", "split")
       .orderBy("doc_id")
+
+  /** x11 — deterministic stratified eval-set sampling: exactly 20 docs
+    * per source, ranked by seeded md5 (engine-portable, reproducible).
+    */
+  def x11EvalSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .sampleStratified(
+        Tables.documents(spark, dir).select($"doc_id", $"source"),
+        idCol = "doc_id",
+        strataCol = "source",
+        quota = 20,
+        seed = 13L
+      )
+      .orderBy("source", "doc_id")
 
   /** x10 — corpus-frequency document scoring (the LM-filter shape with
     * exact integer internals; see
@@ -1950,6 +1965,13 @@ object Oracles {
         |          / CAST(4503599627370496 AS DOUBLE) AS u
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x11_eval_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
     // x10 — integer-exact internals (counts, sums), ONE final double
     // division per output column: both engines produce identical bits
     // with no float-order concerns.

@@ -359,6 +359,35 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
+  /** Deterministic stratified sampling with EXACT per-stratum quotas —
+    * the eval-set construction step (held-out slices per source/domain
+    * with fixed sizes). Rank each stratum by `md5(seed:id)` and keep the
+    * first `quota`: seeded → reproducible across runs, partitionings,
+    * and engines (md5, not engine-internal hashing); uniform within each
+    * stratum; id tie-break total.
+    *
+    * Exact quotas require a per-stratum rank = one shuffle on the
+    * stratum key plus an in-partition sort (engine-spill-safe, nothing
+    * materialized per group). When approximate stratum fractions are
+    * enough, prefer the scan-local seeded threshold of [[assignSplit]] —
+    * that is the no-shuffle path; this is the exact-count one.
+    */
+  def sampleStratified(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      strataCol: String,
+      quota: Int,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Corpus-frequency document scoring — the language-model-filtering
     * shape (CCNet-style: score each document by how typical its tokens
     * are of the corpus) with EXACT integer internals so the score is

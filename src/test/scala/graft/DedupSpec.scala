@@ -320,6 +320,25 @@ class DedupSpec extends SparkSpec {
     assert(small.forall { case (id, sp) => bigMap.get(id).forall(_ == sp) })
   }
 
+  test("sampleStratified: exact quotas, seeded determinism, partitioning-independent") {
+    import graft.text.TextOps
+    import graft.io.Tables
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"source")
+    val a = TextOps.sampleStratified(docs, "doc_id", "source", quota = 7, seed = 13L)
+      .as[(Long, String)].collect().toSet
+    // every stratum contributes EXACTLY min(quota, stratum size)
+    val sizes = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val got = a.groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.foreach { case (s, n) => assert(got.getOrElse(s, 0) == math.min(7L, n), s"stratum $s") }
+    // same seed + different partitioning → identical set; different seed → different set
+    val b = TextOps.sampleStratified(docs.repartition(13), "doc_id", "source", quota = 7, seed = 13L)
+      .as[(Long, String)].collect().toSet
+    assert(a == b)
+    val c = TextOps.sampleStratified(docs, "doc_id", "source", quota = 7, seed = 14L)
+      .as[(Long, String)].collect().toSet
+    assert(a != c)
+  }
+
   test("sampleMixture: seeded reproducibility, proportions near weights, allowlist semantics") {
     import graft.text.TextOps
     val docsReal = graft.io.Tables.documents(spark, sf001)
