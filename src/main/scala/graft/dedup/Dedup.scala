@@ -350,12 +350,19 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist()
     // round 0 folded into init: label = min(id, min neighbor) — every
-    // node appears as src of the symmetric list
+    // node appears as src of the symmetric list.
+    // localCheckpoint (NOT persist): each round's self-join doubles the
+    // LOGICAL plan, so lineage grows exponentially with rounds — persist
+    // caches data but keeps the plan, and by ~8 rounds analysis/explain
+    // OOMs. Checkpointing truncates the plan to the materialized RDD,
+    // keeping every round's plan constant-size (found by the
+    // random-graph property test; the pattern any iterative DataFrame
+    // algorithm needs).
     var labels = edges
       .groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -364,25 +371,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_label")).as("min_nbr"))
-      // persisted: it feeds BOTH sides of the pointer-jump self-join —
-      // unpersisted, the dominant edges-join-aggregate would execute
-      // twice per round
+      // checkpointed: it feeds BOTH sides of the pointer-jump self-join —
+      // otherwise the dominant edges-join-aggregate would execute twice
+      // per round (and its plan would ride both subtrees)
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       // 2. pointer jump: label := label(label) — halves chain depth
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("label2")), Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       // early-exit probe: any changed label at all?
       done = next
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
         .isEmpty
-      stepped.unpersist()
-      labels.unpersist()
       labels = next
       iter += 1
     }

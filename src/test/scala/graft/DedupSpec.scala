@@ -389,6 +389,40 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 3 + 2 + 20) // nodes in no pair are absent
   }
 
+  test("connectedComponents: property vs driver union-find on seeded random graphs") {
+    // reference implementation: plain weighted union-find
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id canonical labels: path-compress to the root, which is the
+      // min because unions always point larger roots at smaller ones
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 8) {
+      val n = 5 + rng.nextInt(40)
+      val m = 1 + rng.nextInt(60)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val got = graft.dedup.Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long, Long)]
+          .collect()
+          .map { case (id, comp, _) => id -> comp }
+          .toMap
+        assert(got == expected, s"trial $trial (n=$n, m=${edges.size})")
+      }
+    }
+  }
+
   test("corpusFrequencyStats: hand-computed scores on a planted corpus; null text absent") {
     import graft.text.TextOps
     val docs = Seq(
