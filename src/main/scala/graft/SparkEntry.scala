@@ -57,6 +57,7 @@ object SparkEntry {
     "x10_corpus_freq"    -> (Queries.x10CorpusFreq _),
     "d8_components"      -> (Queries.d8Components _),
     "x11_eval_sample"    -> (Queries.x11EvalSample _),
+    "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -704,6 +705,22 @@ object Queries {
         "id_b"
       )
       .orderBy("component", "id")
+
+  /** d8b — the deduplicated corpus itself: every document except
+    * non-keeper near-dup cluster members (keeper = cluster min id).
+    */
+  def d8bDedupFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3),
+      "id_a",
+      "id_b"
+    )
+    Dedup
+      .keepersOnly(docs, "doc_id", clusters)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
 
   /** 60-bit SimHash near-dup pairs (hamming ≤ 20 over synthetic docs —
     * wide threshold so the operator produces work on this corpus).
@@ -2027,6 +2044,22 @@ object Oracles {
     "d2_minhash_lsh" ->
       s"""WITH $d2PairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // D8b — the deduplicated corpus: documents minus non-keeper cluster
+    // members, derived from the same recursive closure.
+    "d8b_dedup_filter" ->
+      s"""WITH RECURSIVE $d2PairsCtes,
+         |thresholded AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.3),
+         |nodes AS (SELECT id_a AS id FROM thresholded UNION SELECT id_b FROM thresholded),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM thresholded
+         |          UNION SELECT id_b, id_a FROM thresholded),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
     // D8 — connected components over the SAME pair CTEs via a recursive
     // closure: reach(id, r) reaches every label r in id's component;
     // min(r) is the component = canonical keeper id. UNION (not UNION

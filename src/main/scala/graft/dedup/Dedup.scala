@@ -398,4 +398,17 @@ object Dedup {
       .join(sizes, Seq("label"))
       .select(col("id"), col("label").as("component"), col("cluster_size"))
   }
+
+  /** The corpus filter a dedup pipeline actually ships: drop every
+    * cluster member EXCEPT the keeper (its component label = the
+    * cluster's min id), keep all unpaired documents untouched. A
+    * left-anti join against the slim non-keeper id list — the corpus
+    * never shuffles on content, only on the (tiny) drop list's key.
+    */
+  def keepersOnly(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(
+      components.filter(col("id") =!= col("component")).select(col("id").as(idCol)),
+      Seq(idCol),
+      "left_anti"
+    )
 }

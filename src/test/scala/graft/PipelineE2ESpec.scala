@@ -34,12 +34,17 @@ class PipelineE2ESpec extends SparkSpec {
     val nExact = exactDeduped.count()
     assert(nExact <= nKept)
 
-    // 4. near-dup removal: keep the smaller id of each minhash pair
-    val nearDupLosers = Dedup.minhashLshPairs(exactDeduped, "doc_id", "text")
-      .select($"id_b".as("doc_id")).distinct()
-    val nearDeduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 4. near-dup removal via PROPER cluster resolution: connected
+    // components over the pair list, keep one doc (the min id) per
+    // cluster — pairwise "drop id_b" would over-drop transitive chains
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(exactDeduped, "doc_id", "text"), "id_a", "id_b")
+    val nearDeduped = Dedup.keepersOnly(exactDeduped, "doc_id", clusters)
     val nNear = nearDeduped.count()
     assert(nNear <= nExact)
+    // exactly one survivor per cluster
+    val survivors = nearDeduped.join(clusters.select($"id".as("doc_id"), $"component"), Seq("doc_id"))
+    assert(survivors.groupBy($"component").count().filter($"count" =!= 1).count() == 0)
 
     // 5. decontaminate against a synthetic benchmark slice
     val benchmark = docs.filter(pmod($"doc_id", lit(101)) === 0).select("doc_id", "text")
