@@ -159,6 +159,14 @@ object Indicators {
     * All three EMA recursions + histogram + color run in ONE streaming
     * pass over key-sorted partitions (single shuffle) — the recursions
     * chain row-locally, so no intermediate materialization is needed.
+    *
+    * OUTPUT CONTRACT: rows come back key-partitioned and
+    * (key, order)-sorted — the fold's own repartition + in-partition
+    * sort survives the order-preserving `mapPartitions`. Downstream
+    * per-key folds (the signal engine) compose on this contract
+    * directly instead of re-shuffling; Catalyst cannot prove the
+    * invariant through `mapPartitions`, so a caller-side repartition
+    * would plan a REDUNDANT exchange + sort.
     */
   def withMacd(
       df: DataFrame,

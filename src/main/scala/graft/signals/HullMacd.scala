@@ -168,9 +168,16 @@ object HullMacd {
     val mvIdx = withMacd.schema.fieldIndex("macd_value")
     val msIdx = withMacd.schema.fieldIndex("avg")
     val mhIdx = withMacd.schema.fieldIndex("diff")
-    val sorted = withMacd
-      .repartition(col(symbolCol))
-      .sortWithinPartitions(col(symbolCol), col(timeUsCol))
+    // NO repartition here: withMacd's output contract is
+    // key-partitioned, (key, time)-sorted rows (its own fold shuffled
+    // and sorted; mapPartitions preserved the layout), so re-shuffling
+    // would add a redundant Exchange that Catalyst can't eliminate (it
+    // cannot see through mapPartitions). The in-partition sort is kept:
+    // it is a cheap pass over already-sorted rows AND the row-format
+    // boundary between the two object pipelines (fusing the
+    // mapPartitions lambdas directly trips Spark's object-serializer
+    // pruning with an ObjectType-in-struct projection error).
+    val sorted = withMacd.sortWithinPartitions(col(symbolCol), col(timeUsCol))
     sorted.mapPartitions { rows =>
       var curKey: String = null
       var started = false
