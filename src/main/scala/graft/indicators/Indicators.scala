@@ -176,15 +176,21 @@ object Indicators {
       priorCloseCol: Option[String],
       fastLength: Int = 12,
       slowLength: Int = 26,
-      macdLength: Int = 9
+      macdLength: Int = 9,
+      prePartitioned: Boolean = false
   ): DataFrame = {
     val aF = 2.0 / (fastLength + 1.0)
     val aS = 2.0 / (slowLength + 1.0)
     val aM = 2.0 / (macdLength + 1.0)
     val outNames = Seq("macd_value", "avg", "diff", "diff_color")
     require(df.columns.intersect(outNames).isEmpty, s"input must not contain ${outNames.mkString(",")}")
-    val sorted = df
-      .repartition(col(key))
+    // prePartitioned: the caller guarantees rows are already
+    // key-partitioned (e.g. straight out of a window over the same key);
+    // the explicit repartition would plan a redundant Exchange Catalyst
+    // can't remove. The in-partition sort stays either way (cheap on
+    // sorted input, and the fold's correctness depends on it).
+    val base = if (prePartitioned) df else df.repartition(col(key))
+    val sorted = base
       .sortWithinPartitions((key +: order).map(col): _*)
     val outSchema = StructType(
       sorted.schema.fields ++ Seq(

@@ -159,7 +159,10 @@ object HullMacd {
     val deduped = Relational
       .dedupKeepLast(df.filter(col(closeCol).isNotNull), Seq(symbolCol, timeUsCol), timeUsCol)
     val withHull = Indicators.withHull(deduped, symbolCol, Seq(timeUsCol), closeCol, hullLength, padCol = None)
-    val withMacd = Indicators.withMacd(withHull, symbolCol, Seq(timeUsCol), closeCol, None, fast, slow, signalLen)
+    // withHull's windows partition by the same key, so the MACD fold can
+    // skip its repartition (prePartitioned) — no redundant exchange
+    val withMacd = Indicators.withMacd(withHull, symbolCol, Seq(timeUsCol), closeCol, None, fast, slow, signalLen,
+      prePartitioned = true)
     val symIdx = withMacd.schema.fieldIndex(symbolCol)
     val timeIdx = withMacd.schema.fieldIndex(timeUsCol)
     val closeIdx = withMacd.schema.fieldIndex(closeCol)
