@@ -123,6 +123,16 @@ object SparkEntry {
   )
 }
 
+/** Parameters shared VERBATIM between a query and its oracle SQL —
+  * single definitions so the two sides cannot drift (the same coupling
+  * discipline as `Dedup.xorSeeds` / `Similarity.tablePlanes`).
+  */
+private[graft] object QueryParams {
+  val X10MinCount: Long = 500L
+  val X11Seed: Long = 13L
+  val X11Quota: Int = 20
+}
+
 /** The concrete query programs, one per SURVEY §2 operator. */
 object Queries {
 
@@ -636,8 +646,8 @@ object Queries {
         Tables.documents(spark, dir).select($"doc_id", $"source"),
         idCol = "doc_id",
         strataCol = "source",
-        quota = 20,
-        seed = 13L
+        quota = QueryParams.X11Quota,
+        seed = QueryParams.X11Seed
       )
       .orderBy("source", "doc_id")
 
@@ -651,7 +661,7 @@ object Queries {
     // would leave oov_frac identically 0 — 500 makes the driver check
     // exercise BOTH branches of the OOV rule
     TextOps
-      .corpusFrequencyStats(Tables.documents(spark, dir), "doc_id", "text", minCount = 500L)
+      .corpusFrequencyStats(Tables.documents(spark, dir), "doc_id", "text", minCount = QueryParams.X10MinCount)
       .orderBy("doc_id")
 
   def x3LangId(spark: SparkSession, dir: String): DataFrame = {
@@ -929,7 +939,9 @@ object Queries {
       )
       .select("symbol", "ts_us", "value")
     graft.signals.HullMacd
-      .detectSignals(ev, "symbol", "ts_us", "value")
+      // assumeDeduped: the latestPerKey above already made (symbol,
+      // ts_us) unique with a real tie-break
+      .detectSignals(ev, "symbol", "ts_us", "value", assumeDeduped = true)
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
@@ -1184,7 +1196,9 @@ object Queries {
       )
       .select($"symbol", $"bucket_us".as("time_us"), $"close")
     graft.backtest.Backtest
-      .run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      // assumeDeduped: bucket candles are unique per (symbol, time) by
+      // construction (one row per bucket from the keep-last above)
+      .run(signalCandles, pricing, hullLength = 8, fast = 4, slow = 8, signalLen = 3, assumeDeduped = true)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
@@ -1983,29 +1997,29 @@ object Oracles {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "x11_eval_sample" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY md5('13:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents) t
-        |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY md5('${QueryParams.X11Seed}:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= ${QueryParams.X11Quota} ORDER BY source, doc_id""".stripMargin,
     // x10 — integer-exact internals (counts, sums), ONE final double
     // division per output column: both engines produce identical bits
     // with no float-order concerns.
     "x10_corpus_freq" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents WHERE text IS NOT NULL),
-        |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM nrm),
-        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM tk GROUP BY tok),
-        |tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_tokens FROM vocab),
-        |per_doc AS (
-        |  SELECT t.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(v.tok_count) AS BIGINT) AS freq_sum,
-        |    CAST(sum(CASE WHEN v.tok_count < 500 THEN 1 ELSE 0 END) AS BIGINT) AS oov_count
-        |  FROM tk t JOIN vocab v USING (tok)
-        |  GROUP BY t.doc_id)
+      s"""WITH nrm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM nrm),
+         |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM tk GROUP BY tok),
+         |tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_tokens FROM vocab),
+         |per_doc AS (
+         |  SELECT t.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(v.tok_count) AS BIGINT) AS freq_sum,
+         |    CAST(sum(CASE WHEN v.tok_count < ${QueryParams.X10MinCount} THEN 1 ELSE 0 END) AS BIGINT) AS oov_count
+         |  FROM tk t JOIN vocab v USING (tok)
+         |  GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens,
         |  CAST(freq_sum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(corpus_tokens AS DOUBLE)) AS mean_token_freq,
         |  CAST(oov_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac

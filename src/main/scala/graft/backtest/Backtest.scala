@@ -83,9 +83,11 @@ object Backtest {
       fast: Int = 12,
       slow: Int = 26,
       signalLen: Int = 9,
-      scoreFromUs: Option[Long] = None
+      scoreFromUs: Option[Long] = None,
+      assumeDeduped: Boolean = false
   ): DataFrame = {
-    val allSignals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close", hullLength, fast, slow, signalLen)
+    val allSignals = HullMacd.detectSignals(signalCandles, "symbol", "time_us", "close",
+      hullLength, fast, slow, signalLen, assumeDeduped)
     val signals = scoreFromUs.fold(allSignals)(t => allSignals.filter(col("time_us") >= t))
     enrichSignals(signals, pricing)
   }

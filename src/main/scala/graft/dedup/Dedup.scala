@@ -337,10 +337,12 @@ object Dedup {
     * also replaces a node's label by its label's label), which halves
     * label-chain depth per round — O(log n) rounds even on path graphs,
     * each round a pair of equi-joins + one aggregation. The
-    * convergence test is a driver-side SCALAR (count of changed labels),
-    * not a data collect. Each round's result is persisted and the
-    * previous round freed, so the plan doesn't grow with iterations.
-    * Deterministic: min is order-free.
+    * convergence test is a driver-side early-exit probe (`isEmpty`),
+    * not a data collect. Each round's result is eagerly
+    * local-checkpointed (truncating the otherwise exponentially-growing
+    * logical plan) and the PREVIOUS round's blocks are released once the
+    * probe no longer needs them, so both plan size and storage stay
+    * constant across rounds. Deterministic: min is order-free.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     // symmetric edge list; duplicates are harmless under min-aggregation,
@@ -388,6 +390,13 @@ object Dedup {
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old"))
         .isEmpty
+      // the probe was the last reader of the previous round's blocks
+      // (and of the intra-round `stepped`): release them — without this,
+      // checkpointed label sets accumulate 2× per round in executor
+      // storage. Unpersisting a dead local checkpoint is safe; only live
+      // ones must be kept (their lineage is truncated).
+      stepped.unpersist()
+      labels.unpersist()
       labels = next
       iter += 1
     }

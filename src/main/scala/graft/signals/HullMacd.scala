@@ -154,10 +154,17 @@ object HullMacd {
       hullLength: Int = 20,
       fast: Int = 12,
       slow: Int = 26,
-      signalLen: Int = 9
+      signalLen: Int = 9,
+      assumeDeduped: Boolean = false
   ): DataFrame = {
-    val deduped = Relational
-      .dedupKeepLast(df.filter(col(closeCol).isNotNull), Seq(symbolCol, timeUsCol), timeUsCol)
+    // assumeDeduped: the caller guarantees (symbol, time) is already
+    // unique (e.g. an upstream keep-last with a REAL tie-break column,
+    // or bucket candles that are unique by construction) — the internal
+    // keep-last would be a semantic no-op that still pays a full
+    // sort + window pass. Mirrors withMacd's prePartitioned flag.
+    val deduped =
+      if (assumeDeduped) df.filter(col(closeCol).isNotNull)
+      else Relational.dedupKeepLast(df.filter(col(closeCol).isNotNull), Seq(symbolCol, timeUsCol), timeUsCol)
     val withHull = Indicators.withHull(deduped, symbolCol, Seq(timeUsCol), closeCol, hullLength, padCol = None)
     // withHull's windows partition by the same key, so the MACD fold can
     // skip its repartition (prePartitioned) — no redundant exchange

@@ -380,12 +380,14 @@ object TextOps {
       seed: Long
   ): org.apache.spark.sql.DataFrame = {
     require(quota > 0, s"quota must be positive, got $quota")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(strataCol))
-      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    // delegate to the shared top-k-per-group machinery (O4): this IS
+    // rank-and-filter, just with a seeded-hash ordering
+    graft.ops.Relational.topKPerGroup(
+      df,
+      Seq(strataCol),
+      Seq(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc, col(idCol).asc),
+      quota
+    )
   }
 
   /** Corpus-frequency document scoring — the language-model-filtering

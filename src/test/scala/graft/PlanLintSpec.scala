@@ -16,9 +16,14 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      parquet scan (`PushedFilters` non-empty) — a filter evaluated
   *      after a full-table read is wrong at any scale.
   *
-  * Plans are inspected at the ANALYZED/physical stage without executing
-  * the query (`queryExecution.executedPlan` plans but does not run;
-  * AQE wrappers are unwrapped to their initial physical plan).
+  * Plans are inspected at the ANALYZED/physical stage; for most queries
+  * `queryExecution.executedPlan` plans without running. Exceptions:
+  * queries whose CONSTRUCTION executes bounded work (model fits for
+  * n2/n3, the iterative clustering for d8/d8b) run that work here, and
+  * only their FINAL plan is linted — the per-round join shapes of the
+  * iterative operators are pure equi-joins by construction and carried
+  * by their own specs (random-graph property test). AQE wrappers are
+  * unwrapped to their initial physical plan.
   */
 class PlanLintSpec extends SparkSpec {
 
