@@ -58,6 +58,7 @@ object SparkEntry {
     "d8_components"      -> (Queries.d8Components _),
     "x11_eval_sample"    -> (Queries.x11EvalSample _),
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
+    "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -131,6 +132,8 @@ private[graft] object QueryParams {
   val X10MinCount: Long = 500L
   val X11Seed: Long = 13L
   val X11Quota: Int = 20
+  val X12SpanWidth: Int = 13
+  val X12MaxDupFrac: Double = 0.3
 }
 
 /** The concrete query programs, one per SURVEY §2 operator. */
@@ -650,6 +653,23 @@ object Queries {
         seed = QueryParams.X11Seed
       )
       .orderBy("source", "doc_id")
+
+  /** x12 — duplicate-span coverage (the Gopher/RefinedWeb dup-n-gram
+    * repetition rule at token granularity; see
+    * [[graft.text.TextOps.dupSpanStats]]). The synthetic corpus's
+    * injected near-dups give the 13-token windows real cross-document
+    * repeats, so both branches of the threshold are exercised.
+    */
+  def x12DupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .dupSpanStats(
+        Tables.documents(spark, dir),
+        "doc_id",
+        "text",
+        n = QueryParams.X12SpanWidth,
+        maxDupSpanFrac = QueryParams.X12MaxDupFrac
+      )
+      .orderBy("doc_id")
 
   /** x10 — corpus-frequency document scoring (the LM-filter shape with
     * exact integer internals; see
@@ -2003,6 +2023,37 @@ object Oracles {
          |                       ORDER BY md5('${QueryParams.X11Seed}:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents) t
          |WHERE rk <= ${QueryParams.X11Quota} ORDER BY source, doc_id""".stripMargin,
+    // x12 — integer window counts, one final double division (the x10
+    // discipline); md5 span fingerprints are engine-portable. Zero-window
+    // docs (< n tokens) surface via the LEFT JOIN with fraction 0.
+    "x12_dup_spans" -> {
+      val n = QueryParams.X12SpanWidth
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |spans AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= $n
+         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
+         |      ELSE []::VARCHAR[] END AS ws
+         |  FROM base),
+         |expl AS (SELECT doc_id, unnest(ws) AS span FROM spans),
+         |dup AS (SELECT span FROM (SELECT span, count(*) AS c FROM expl GROUP BY span) t WHERE c > 1),
+         |stats AS (
+         |  SELECT e.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM expl e LEFT JOIN dup d USING (span) GROUP BY e.doc_id)
+         |SELECT b.doc_id,
+         |  coalesce(s.n_spans, 0) AS n_spans,
+         |  coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN coalesce(s.n_spans, 0) > 0
+         |    THEN CAST(s.n_dup_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) ELSE 0.0 END AS dup_span_frac,
+         |  (CASE WHEN coalesce(s.n_spans, 0) > 0
+         |    THEN CAST(s.n_dup_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) ELSE 0.0 END) < ${QueryParams.X12MaxDupFrac} AS keep_doc
+         |FROM base b LEFT JOIN stats s USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
     // x10 — integer-exact internals (counts, sums), ONE final double
     // division per output column: both engines produce identical bits
     // with no float-order concerns.

@@ -390,6 +390,82 @@ object TextOps {
     )
   }
 
+  /** Duplicate-span coverage filter — the published "fraction of the
+    * document covered by duplicated n-grams" rule (Rae et al. 2021
+    * §A1.1 dup-n-gram family; the RefinedWeb/MassiveText repetition
+    * filter), at token granularity: every overlapping `n`-token window
+    * is fingerprinted (md5 — engine-portable), windows are counted
+    * across the WHOLE corpus, and each document reports the fraction of
+    * its windows that appear more than once corpus-wide. High coverage
+    * = boilerplate / template / near-dup content that document-level
+    * dedup (d1/d2/d8) misses when only PART of the text repeats.
+    * `keep_doc` applies the threshold — configuration, not algorithm.
+    *
+    * Integer internals, ONE final double division (the x10 discipline),
+    * so a DuckDB oracle matches bit-for-bit. Documents shorter than `n`
+    * tokens have zero windows and report fraction 0 (kept): too short
+    * to exhibit span repetition is not a repetition failure — length
+    * itself is x2's rule. NULL-text documents are absent from the
+    * output, matching the oracle's `WHERE text IS NOT NULL`.
+    *
+    * Scale shape: scan-local window explode → slim (id, 32-char hash)
+    * rows ride ONE shuffle into the span-count aggregate (map-side
+    * combine) → the duplicated-span set (a tiny filtered aggregate on a
+    * mostly-unique corpus; AQE broadcasts it) flags occurrences → one
+    * per-doc integer aggregation. The document text itself never
+    * shuffles.
+    */
+  def dupSpanStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      maxDupSpanFrac: Double = 0.3
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens, got $n")
+    require(maxDupSpanFrac > 0.0, s"maxDupSpanFrac must be positive, got $maxDupSpanFrac")
+    val toks = tokens(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        when(
+          size(toks) >= n,
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary"))
+          )
+        ).otherwise(array().cast("array<string>")).as("spans")
+      )
+    val slim = base.select(col(idCol), explode(col("spans")).as("span"))
+    val dupSpans = slim
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("span"), lit(1L).as("is_dup"))
+    val stats = slim
+      .join(dupSpans, Seq("span"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans")
+      )
+    val frac = when(
+      col("n_spans") > 0,
+      col("n_dup_spans").cast("double") / col("n_spans").cast("double")
+    ).otherwise(lit(0.0))
+    base
+      .select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans")
+      )
+      .withColumn("dup_span_frac", frac)
+      .withColumn("keep_doc", frac < maxDupSpanFrac)
+  }
+
   /** Corpus-frequency document scoring — the language-model-filtering
     * shape (CCNet-style: score each document by how typical its tokens
     * are of the corpus) with EXACT integer internals so the score is

@@ -443,6 +443,35 @@ class DedupSpec extends SparkSpec {
     assert(d3._2 == 2 && d3._3 == (3.0 + 1) / (2.0 * 8) && d3._4 == 1.0 / 2)
   }
 
+  test("dupSpanStats: hand-computed coverage on a planted corpus; short and null docs") {
+    import graft.text.TextOps
+    val docs = Seq(
+      // docs 1 and 2 share the span "a b c" (1 window each of 3);
+      // doc 1 has 3 windows total ("a b c", "b c d", "c d e"),
+      // doc 2 has 2 ("z a b" does NOT match — windows are positional)
+      (1L, "a b c d e"),
+      (2L, "x a b c"),
+      (3L, "p q"),                      // < n tokens: zero windows, kept
+      (4L, null.asInstanceOf[String]),  // absent from output
+      (5L, "a b c a b c a b c")         // self-repeating: every "a b c" dups docs 1/2
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpanStats(docs, "doc_id", "text", n = 3, maxDupSpanFrac = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)]
+      .collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L)) // null-text doc absent
+    val Array(d1, d2, d3, d5) = out
+    // doc 1: windows {abc, bcd, cde}; only abc repeats corpus-wide → 1/3
+    assert(d1 == ((1L, 3L, 1L, 1.0 / 3.0, true)))
+    // doc 2: windows {xab, abc}; abc repeats → 1/2, NOT kept (frac < 0.5 is strict)
+    assert(d2 == ((2L, 2L, 1L, 0.5, false)))
+    // doc 3: too short for any window → fraction 0, kept
+    assert(d3 == ((3L, 0L, 0L, 0.0, true)))
+    // doc 5: windows {abc, bca, cab, abc, bca, cab, abc} — every window
+    // occurs >1× (abc ×3 here + docs 1/2; bca/cab ×2 within the doc)
+    assert(d5 == ((5L, 7L, 7L, 1.0, false)))
+  }
+
   test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName
