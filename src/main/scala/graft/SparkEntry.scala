@@ -104,16 +104,10 @@ object SparkEntry {
     * ScalaTest specs carry the correctness burden instead.
     */
   def oracleFree: Set[String] = Set(
-    // LSH hyperplanes are Scala-generated; correctness = recall vs the
-    // oracle-checked brute-force n1 (SimilaritySpec). The shared
-    // blocking machinery is additionally hash-pinned by d6_buckets.
-    "n2_ann_lsh",
-    // sign-LSH pair blocking at this exact configuration is hash-pinned
-    // by d6_buckets (hyperplanes exported as SQL literals); the end
-    // metric stays recall ≥95% vs the oracle-checked exact d5
-    // (SimilaritySpec). Only the verify-join composition is oracle-free.
-    "d6_embed_lsh_pairs",
-    // IVF centroid model state is Scala-side; correctness = recall vs n1.
+    // IVF centroid model state is Scala-side (k-means fitted on a
+    // bounded sample); correctness = recall vs the oracle-checked n1
+    // (SimilaritySpec) + the n3_cells oracle pinning the assignment
+    // machinery under the relational id-fallback centroid set.
     "n3_ann_ivf",
     // batched binary decode is a mapPartitions kernel (the point is the
     // non-SQL batch plumbing); correctness carried by MultimodalSpec.
@@ -1499,7 +1493,7 @@ object Oracles {
   // Each plane's dot product is an explicit 64-term left-associative
   // sum — the evaluation order of the native DotProduct expression —
   // and each float element casts to DOUBLE exactly on both engines.
-  private def bucketsSql(bits: Int, tables: Int, seed: Long): String = {
+  private def bucketsUnion(bits: Int, tables: Int, seed: Long): String = {
     val planes = graft.similarity.Similarity.tablePlanes(bits, tables, dim = 64, seed = seed)
     def dotSql(plane: Array[Double]): String =
       plane.zipWithIndex
@@ -1511,10 +1505,56 @@ object Oracles {
         .mkString(" + ")
       s"SELECT CAST($t AS INTEGER) AS tbl, CAST($bucket AS BIGINT) AS bucket, vec_id AS id FROM embeddings"
     }
-    perTable.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, bucket, id")
+    perTable.mkString("", "\nUNION ALL\n", "")
   }
-  private val d6BucketsSql: String = bucketsSql(bits = 2, tables = 8, seed = 42L)
-  private val n2BucketsSql: String = bucketsSql(bits = 4, tables = 6, seed = 42L)
+  private val d6BucketsSql: String = bucketsUnion(bits = 2, tables = 8, seed = 42L) + "\nORDER BY tbl, bucket, id"
+  private val n2BucketsSql: String = bucketsUnion(bits = 4, tables = 6, seed = 42L) + "\nORDER BY tbl, bucket, id"
+
+  // The exact-cosine SQL of the d5/n1 oracles (list_reduce left fold =
+  // the native DotProduct loop order; norms recomputed per side exactly
+  // like Similarity.norm = sqrt(dot(v,v))).
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $x[i] * $y[i])), (acc, x) -> acc + x)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  // D6 — the FULL sign-LSH near-dup pair pipeline: bucket assignment
+  // from the exported hyperplane literals (the d6_buckets pin) →
+  // distinct same-(table,bucket) candidate pairs (id_a < id_b) → exact
+  // cosine verify ≥ 0.4 (the d5 formula). Every stage is relational
+  // over the seeded model, so the whole scale path hash-checks, not
+  // just its blocking step.
+  private val d6PairsSql: String =
+    s"""WITH b AS (
+       |${bucketsUnion(bits = 2, tables = 8, seed = 42L)}),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |p AS (
+       |  SELECT c.id_a, c.id_b, ${cosSql("va.v", "vb.v")} AS cos
+       |  FROM cand c JOIN e va ON va.vec_id = c.id_a JOIN e vb ON vb.vec_id = c.id_b)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  // N2 — the FULL multi-table LSH ANN pipeline: same bucket literals at
+  // n2's configuration, query side = vec_id < 10, candidates from ANY
+  // shared (table, bucket) excluding self, exact cosine re-rank, top-5
+  // per query with the (cos DESC, nbr_id) tie-break of the n1 oracle.
+  private val n2TopKSql: String =
+    s"""WITH b AS (
+       |${bucketsUnion(bits = 4, tables = 6, seed = 42L)}),
+       |qb AS (SELECT * FROM b WHERE id < 10),
+       |cand AS (
+       |  SELECT DISTINCT qb.id AS query_id, b.id AS nbr_id
+       |  FROM qb JOIN b ON qb.tbl = b.tbl AND qb.bucket = b.bucket AND b.id <> qb.id),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.nbr_id, ${cosSql("q.v", "n.v")} AS cos
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.nbr_id)
+       |SELECT query_id, nbr_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM scored) t
+       |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin
 
   // Shared CTE chain producing the d2 MinHash+LSH verified pair list
   // (ends with CTE `pairs`); d2 filters it, d8 runs a recursive closure
@@ -1572,6 +1612,8 @@ object Oracles {
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
     "n2_buckets" -> n2BucketsSql,
+    "d6_embed_lsh_pairs" -> d6PairsSql,
+    "n2_ann_lsh" -> n2TopKSql,
     "n3_cells" -> n3CellsSql,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
