@@ -941,15 +941,17 @@ object Queries {
     // on ts_us itself (row-order-nondeterministic among exact dups) and
     // the oracle could not mirror it. event_id desc pins the pick on
     // both engines; detectSignals' internal dedup is then a no-op.
+    // Agg form (max_by): event_id is unique, so the pick is total; the
+    // map-side combine beats the window form's full per-partition sort.
     val ev = Relational
-      .latestPerKey(
+      .latestPerKeyAgg(
         Tables
           .events(spark, dir)
           .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value", $"event_id")
           .filter($"value".isNotNull),
         Seq("symbol", "ts_us"),
-        "ts_us",
-        "event_id"
+        $"event_id",
+        Seq("value")
       )
       .select("symbol", "ts_us", "value")
     graft.signals.HullMacd
@@ -1198,15 +1200,19 @@ object Queries {
     // the dedup — "most recent NON-NULL close" means a null-close dup
     // must not shadow a real price — which also keeps the IsNotNull
     // predicate at the scan.
+    // Agg form (max_by) for both dedups: event_id is unique so the
+    // (time_us, event_id) struct order is total, and the bucket dedup's
+    // 30-min keys give the map-side combine real reduction — the window
+    // form would sort every raw event instead.
     val pricing = Relational
-      .latestPerKey(events.filter($"close".isNotNull), Seq("symbol", "time_us"), "time_us", "event_id")
+      .latestPerKeyAgg(events.filter($"close".isNotNull), Seq("symbol", "time_us"), $"event_id", Seq("close"))
       .select("symbol", "time_us", "close")
     val signalCandles = Relational
-      .latestPerKey(
+      .latestPerKeyAgg(
         events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
         Seq("symbol", "bucket_us"),
-        "time_us",
-        "event_id"
+        struct($"time_us", $"event_id"),
+        Seq("close")
       )
       .select($"symbol", $"bucket_us".as("time_us"), $"close")
     graft.backtest.Backtest
@@ -1236,15 +1242,17 @@ object Queries {
     // requires a unique (key, ts) right side. Null closes drop BEFORE
     // the dedup (a null-close dup must not shadow a real price; keeps
     // the IsNotNull predicate at the scan).
+    // Agg form (max_by): see b1Backtest — unique event_id makes the pick
+    // total; the bucket dedup combines map-side.
     val pricing = Relational
-      .latestPerKey(events.filter($"close".isNotNull), Seq("symbol", "time_us"), "time_us", "event_id")
+      .latestPerKeyAgg(events.filter($"close".isNotNull), Seq("symbol", "time_us"), $"event_id", Seq("close"))
       .select("symbol", "time_us", "close")
     val signals = Relational
-      .latestPerKey(
+      .latestPerKeyAgg(
         events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
         Seq("symbol", "bucket_us"),
-        "time_us",
-        "event_id"
+        struct($"time_us", $"event_id"),
+        Seq("close")
       )
       .select($"symbol", $"bucket_us".as("time_us"), $"close".as("close_price"))
     graft.backtest.Backtest
