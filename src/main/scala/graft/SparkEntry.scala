@@ -59,6 +59,7 @@ object SparkEntry {
     "x11_eval_sample"    -> (Queries.x11EvalSample _),
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
+    "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -663,6 +664,16 @@ object Queries {
         n = QueryParams.X12SpanWidth,
         maxDupSpanFrac = QueryParams.X12MaxDupFrac
       )
+      .orderBy("doc_id")
+
+  /** x13 — exact span dedup with first-occurrence retention (the
+    * RefinedWeb exact-substring rule at token-window granularity; see
+    * [[graft.text.TextOps.dedupSpansExact]]). Same window width as x12
+    * so the two rules describe the same repetition surface.
+    */
+  def x13SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .dedupSpansExact(Tables.documents(spark, dir), "doc_id", "text", n = QueryParams.X12SpanWidth)
       .orderBy("doc_id")
 
   /** x10 — corpus-frequency document scoring (the LM-filter shape with
@@ -2103,6 +2114,46 @@ object Oracles {
          |    THEN CAST(s.n_dup_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) ELSE 0.0 END) < ${QueryParams.X12MaxDupFrac} AS keep_doc
          |FROM base b LEFT JOIN stats s USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin
+    },
+    // x13 — the oracle recomputes first-occurrence retention with a
+    // row_number window (values identical to the engine's min-struct
+    // aggregate: (doc_id, pos) is a total order) and reconstructs the
+    // text with the same positional coverage rule. coalesce on the
+    // final join: DuckDB's array_to_string([]) is NULL where Spark's
+    // concat_ws over an empty array is '' (the fully-removed-doc case).
+    "x13_span_dedup" -> {
+      val n = QueryParams.X12SpanWidth
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |spans AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= $n
+         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
+         |      ELSE []::VARCHAR[] END AS ws
+         |  FROM base),
+         |occ AS (
+         |  SELECT doc_id, u.pos, ws[u.pos] AS span
+         |  FROM spans, (SELECT unnest(range(1, len(ws) + 1)) AS pos) u),
+         |rmv AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |    FROM occ) t
+         |  WHERE rn > 1),
+         |starts AS (SELECT doc_id, list(pos ORDER BY pos) AS st FROM rmv GROUP BY doc_id),
+         |clean AS (
+         |  SELECT b.doc_id, b.toks,
+         |    list_transform(
+         |      list_filter(range(1, len(b.toks) + 1),
+         |        p -> len(list_filter(coalesce(s.st, []::BIGINT[]), x -> p >= x AND p < x + $n)) = 0),
+         |      p -> b.toks[p]) AS ct
+         |  FROM base b LEFT JOIN starts s USING (doc_id))
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(toks) - len(ct) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(ct, ' '), '') AS clean_text
+         |FROM clean ORDER BY doc_id""".stripMargin
     },
     // x10 — integer-exact internals (counts, sums), ONE final double
     // division per output column: both engines produce identical bits

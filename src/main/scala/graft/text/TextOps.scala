@@ -466,6 +466,89 @@ object TextOps {
       .withColumn("keep_doc", frac < maxDupSpanFrac)
   }
 
+  /** Exact span dedup with FIRST-OCCURRENCE retention — the
+    * RefinedWeb-style exact-substring dedup (Penedo et al. 2023 §3.3)
+    * at token-window granularity: every `n`-token window that repeats
+    * anywhere in the corpus is REMOVED except its globally-first
+    * occurrence (ordered by (doc id, position) — deterministic and
+    * engine-reproducible), and each document's text is reconstructed
+    * from the surviving tokens. [[dupSpanStats]] FLAGS repetition-heavy
+    * documents; this operator CLEANS partial repetition out of the kept
+    * ones — the pair of rules a real pre-training pass ships.
+    *
+    * A token survives iff no removed span covers its position. Outputs
+    * one row per non-NULL-text document: token counts before/after and
+    * the cleaned text (documents shorter than `n` pass through).
+    *
+    * Scale shape: scan-local window fingerprints → slim (id, pos, hash)
+    * occurrence rows ride ONE shuffle into a per-span aggregate
+    * (count + min (id, pos) — both combiner-friendly, no window sort
+    * over skewed span groups) → only spans with >1 occurrence join back
+    * (tiny on a mostly-unique corpus; AQE broadcasts) → per-doc removal
+    * lists are bounded by document length. The reconstruct is
+    * scan-local lambda work; document text never shuffles.
+    */
+  def dedupSpansExact(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens, got $n")
+    val toksOf = tokens(col(textCol))
+    val base = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toksOf.as("toks"))
+      .withColumn(
+        "spans",
+        when(
+          size(col("toks")) >= n,
+          transform(
+            sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))).cast("binary"))
+          )
+        ).otherwise(array().cast("array<string>"))
+      )
+    // 1-based window start positions alongside each fingerprint
+    val occ = base
+      .select(col(idCol), posexplode(col("spans")).as(Seq("pos0", "span")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("span"))
+    // one combiner-friendly aggregate: occurrence count + the globally
+    // first (id, pos) — min over a struct is lexicographic, and (id,
+    // pos) is unique per occurrence, so the pick is total. No window
+    // sort: an ultra-common span (the skew case at 100 TB) reduces
+    // map-side instead of piling into one sorted partition.
+    val firsts = occ
+      .groupBy(col("span"))
+      .agg(
+        count(lit(1)).as("occ_count"),
+        min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("first")
+      )
+      .filter(col("occ_count") > 1)
+      .select(col("span"), col("first"))
+    val removals = occ
+      .join(firsts, Seq("span"))
+      .filter(!(col(idCol) === col("first.fid") && col("pos") === col("first.fpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    base
+      .join(removals, Seq(idCol), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn(
+        "clean_toks",
+        filter(
+          col("toks"),
+          (_, i) => !exists(col("starts"), s => (i + 1) >= s && (i + 1) < s + n)
+        )
+      )
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("clean_toks"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("clean_toks")).as("clean_text")
+      )
+  }
+
   /** Corpus-frequency document scoring — the language-model-filtering
     * shape (CCNet-style: score each document by how typical its tokens
     * are of the corpus) with EXACT integer internals so the score is

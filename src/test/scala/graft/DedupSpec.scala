@@ -472,6 +472,32 @@ class DedupSpec extends SparkSpec {
     assert(d5 == ((5L, 7L, 7L, 1.0, false)))
   }
 
+  test("dedupSpansExact: first occurrence survives, later copies removed, text reconstructed") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "a b c d e"),   // windows: abc, bcd, cde — all FIRST occurrences (doc 1 is earliest)
+      (2L, "x a b c y"),   // abc repeats doc 1 → removed: positions 2,3,4 covered
+      (3L, "p q"),         // shorter than n: untouched
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b c d e")    // full duplicate of doc 1 → every window removed → empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupSpansExact(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
+    val Array(d1, d2, d3, d5) = out
+    // doc 1 holds every first occurrence: nothing removed
+    assert(d1 == ((1L, 5L, 0L, "a b c d e")))
+    // doc 2: "a b c" at position 2 repeats doc 1's first occurrence →
+    // tokens 2..4 drop; "x a b" and "b c y" windows are unique
+    assert(d2 == ((2L, 5L, 3L, "x y")))
+    assert(d3 == ((3L, 2L, 0L, "p q")))
+    // doc 5 repeats doc 1 wholesale: all three windows removed, covering
+    // every token
+    assert(d5 == ((5L, 5L, 5L, "")))
+  }
+
   test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName
