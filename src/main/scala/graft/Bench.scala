@@ -29,13 +29,21 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // a failing rep's wall time is NOT a sample — timing the exception
+      // path would report a bogus (usually fast) median for an
+      // intermittently failing query; the median is over successful reps
+      // only, and a query with zero successes reports -1 so the failure
+      // is visible in the JSON, not just on stderr
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+        }
       }.sorted
-      name -> times(times.length / 2)
+      name -> (if (times.nonEmpty) times(times.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

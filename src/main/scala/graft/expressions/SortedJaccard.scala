@@ -130,20 +130,37 @@ case class SortedJaccard(left: Expression, right: Expression, threshold: Double 
 object SortedJaccard {
   val FunctionName = "graft_sorted_jaccard"
 
-  /** Optional 3rd argument: a literal non-negative DOUBLE threshold for
-    * merge early exit. Pattern-matched (not blind `eval`) so a column or
-    * wrong-typed argument is a clear analysis error.
+  /** Optional 3rd argument: a non-negative numeric CONSTANT threshold
+    * for merge early exit. Any foldable numeric expression is accepted
+    * and evaluated at resolution time — SQL spells `0.3` as
+    * DECIMAL(1,1) and `CAST(0.3 AS DOUBLE)` as a Cast, neither of which
+    * the narrow `Literal(_: Double, DoubleType)` pattern matched, so
+    * the documented SQL 3-arg form used to fail analysis. Columns and
+    * non-numeric arguments are still a clear analysis error (the
+    * foldable gate keeps this from being a blind `eval`).
     */
   def thresholdOf(exprs: Seq[Expression]): Double = exprs match {
     case Seq(_, _) => -1.0
-    case Seq(_, _, org.apache.spark.sql.catalyst.expressions.Literal(t: Double, DoubleType)) if t >= 0 => t
-    case other =>
-      throw new org.apache.spark.sql.AnalysisException(
-        "USER_RAISED_EXCEPTION",
-        Map("errorMessage" ->
-          s"$FunctionName(a, b[, t]): optional third argument must be a non-negative DOUBLE literal, got ${other.drop(2).map(_.sql).mkString(",")}"),
-        None)
+    case Seq(_, _, e) if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      e.eval() match {
+        case null => fail(exprs)
+        case v =>
+          val t = v match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number                             => n.doubleValue()
+            case _                                     => fail(exprs)
+          }
+          if (t >= 0) t else fail(exprs)
+      }
+    case _ => fail(exprs)
   }
+
+  private def fail(exprs: Seq[Expression]): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        s"$FunctionName(a, b[, t]): optional third argument must be a non-negative numeric constant, got ${exprs.drop(2).map(_.sql).mkString(",")}"),
+      None)
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -442,13 +442,17 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       bits: Int = 4,
-      tables: Int = 6
+      tables: Int = 6,
+      seed: Long = 42L
   ): DataFrame = {
     val dim = inferDim(corpus, vecCol)
-    val tablePlanes = Array.tabulate(tables)(t => hyperplanes(bits, dim, seed = 42L + 1000L * t))
+    // single-definition plane family (shared with bucketAssignments and
+    // the n2 oracle's SQL literals) — an inline re-derivation here would
+    // silently desynchronize the query from its oracle on any edit
+    val planes = tablePlanes(bits, tables, dim, seed)
     def buckets(vec: Column): Column =
-      array(tablePlanes.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("tbl"), signBucket(vec, planes).as("bucket"))
+      array(planes.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("tbl"), signBucket(vec, ps).as("bucket"))
       }: _*)
     val c = corpus
       .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))

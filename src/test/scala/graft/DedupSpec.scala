@@ -529,6 +529,24 @@ class DedupSpec extends SparkSpec {
     intercept[Exception] {
       df.select(call_function(fn, $"a", $"b", lit(-0.5))).collect()
     }
+    // a column threshold is not foldable -> analysis error too
+    intercept[Exception] {
+      df.select(call_function(fn, $"a", $"b", $"i")).collect()
+    }
+    // the SQL spelling of the threshold is DECIMAL(1,1), not DOUBLE —
+    // foldable numeric constants must be accepted (the documented form)
+    df.createOrReplaceTempView("sj_docs")
+    val sqlRows = spark.sql(s"SELECT $fn(a, b, 0.3) AS t, $fn(a, b, CAST(0.3 AS DOUBLE)) AS c FROM sj_docs").collect()
+    both.zip(sqlRows).foreach { case (viaLit, viaSql) =>
+      assert(
+        (viaLit.isNullAt(2) && viaSql.isNullAt(0)) || viaLit.getDouble(2) == viaSql.getDouble(0),
+        "SQL decimal literal must behave exactly like lit(0.3)"
+      )
+      assert(
+        (viaSql.isNullAt(0) && viaSql.isNullAt(1)) || viaSql.getDouble(0) == viaSql.getDouble(1),
+        "CAST(0.3 AS DOUBLE) must behave exactly like the bare 0.3"
+      )
+    }
   }
 
   test("thresholded SortedJaccard: EXACT-threshold pair survives the early exit (bound rounding)") {
