@@ -32,6 +32,17 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Every Generate in this library explodes a COMPUTED array
+      // (window fingerprints, chunk lists, LSH buckets, wire frames).
+      // InferFiltersFromGenerate duplicates the generator child into a
+      // `size(e) > 0 AND isnotnull(e)` scan filter, re-evaluating the
+      // whole array expression per row for the rare privilege of
+      // skipping empty-array rows — measured 2× on the dup-span
+      // operators at sf0.1. For attribute children (where the rule is
+      // free) our explodes gain nothing: empty arrays are rare and
+      // cheap to drop at the Generate itself.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session: `local[cores]` with matching shuffle width.

@@ -122,19 +122,26 @@ object TextOps {
     */
   def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
     require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
-    val toks = tokens(text)
     val stride = chunkSize - overlap
+    // tokens bind through a 1-element-array lambda (the spanFingerprints
+    // / quantizeInt8 pattern): referenced directly, the token-split
+    // expression lands inside the per-chunk lambda and re-tokenizes the
+    // whole document once per chunk.
     // NULL text must yield a NULL array (posexplode then drops the doc,
     // matching the oracle's WHERE text IS NOT NULL). Unguarded,
     // greatest(null − overlap, 1) = 1 (greatest SKIPS nulls) and
     // concat_ws(null slice) = "" would emit one spurious empty chunk.
-    when(
-      toks.isNotNull,
-      transform(
-        sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(stride)),
-        i => concat_ws(" ", slice(toks, i, lit(chunkSize)))
-      )
-    )
+    transform(
+      array(tokens(text)),
+      ts =>
+        when(
+          ts.isNotNull,
+          transform(
+            sequence(lit(1), greatest(size(ts) - overlap, lit(1)), lit(stride)),
+            i => concat_ws(" ", slice(ts, i, lit(chunkSize)))
+          )
+        )
+    ).getItem(0)
   }
 
   /** Per-shard sequence packing: assign documents (ordered by `orderCol`
@@ -408,13 +415,42 @@ object TextOps {
     * itself is x2's rule. NULL-text documents are absent from the
     * output, matching the oracle's `WHERE text IS NOT NULL`.
     *
-    * Scale shape: scan-local window explode → slim (id, 32-char hash)
-    * rows ride ONE shuffle into the span-count aggregate (map-side
-    * combine) → the duplicated-span set (a tiny filtered aggregate on a
-    * mostly-unique corpus; AQE broadcasts it) flags occurrences → one
-    * per-doc integer aggregation. The document text itself never
+    * Scale shape — the expensive fingerprint pass runs ONCE: a span
+    * with corpus count 1 has its single occurrence in exactly one
+    * document (`min(id)` = that document), so `n_dup = n_spans −
+    * n_unique` needs no flag-join back over the exploded occurrences.
+    * Slim (id, 32-char hash) rows ride one combiner-friendly shuffle
+    * into the per-span aggregate; the unique-span set reduces to a tiny
+    * per-doc count; the window count (`n_spans`) is plain token
+    * arithmetic on a branch that never hashes. The document text never
     * shuffles.
     */
+  /** md5 fingerprints of every overlapping `n`-token window (empty for
+    * docs shorter than `n`) — the shared blocking unit of the dup-span
+    * operators ([[dupSpanStats]], [[dedupSpansExact]]); position i in
+    * the result array is the window starting at token i (1-based).
+    *
+    * `toks` binds through a 1-element-array lambda (the [[
+    * graft.similarity.Similarity.quantizeInt8]] pattern): referenced
+    * directly, the token-split expression lands INSIDE the per-window
+    * lambda (an O(doc²) re-tokenize per window) and
+    * InferFiltersFromGenerate additionally duplicates the whole spans
+    * expression into scan filters — together a ~30× slowdown at sf0.1
+    * before this binding.
+    */
+  private def spanFingerprints(toks: Column, n: Int): Column =
+    transform(
+      array(toks),
+      ts =>
+        when(
+          size(ts) >= n,
+          transform(
+            sequence(lit(1), size(ts) - (n - 1)),
+            i => md5(concat_ws(" ", slice(ts, i, lit(n))).cast("binary"))
+          )
+        ).otherwise(array().cast("array<string>"))
+    ).getItem(0)
+
   def dupSpanStats(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -425,43 +461,34 @@ object TextOps {
     require(n >= 2, s"span width must be >= 2 tokens, got $n")
     require(maxDupSpanFrac > 0.0, s"maxDupSpanFrac must be positive, got $maxDupSpanFrac")
     val toks = tokens(col(textCol))
+    // n_spans sits BESIDE the fingerprints, not inside them: column
+    // pruning then hands the count-only branch a hash-free projection
+    // (plain token arithmetic) while the explode branch prunes the count
     val base = df
       .filter(col(textCol).isNotNull)
       .select(
         col(idCol),
-        when(
-          size(toks) >= n,
-          transform(
-            sequence(lit(1), size(toks) - (n - 1)),
-            i => md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary"))
-          )
-        ).otherwise(array().cast("array<string>")).as("spans")
+        spanFingerprints(toks, n).as("spans"),
+        greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_spans")
       )
-    val slim = base.select(col(idCol), explode(col("spans")).as("span"))
-    val dupSpans = slim
+    // a count-1 span's single occurrence lives in exactly one document,
+    // so min(id) attributes it; dup occurrences are everything else
+    val uniques = base
+      .select(col(idCol), explode(col("spans")).as("span"))
       .groupBy(col("span"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
-      .select(col("span"), lit(1L).as("is_dup"))
-    val stats = slim
-      .join(dupSpans, Seq("span"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans")
-      )
+      .agg(count(lit(1)).as("c"), min(col(idCol)).as("only_doc"))
+      .filter(col("c") === 1)
+      .groupBy(col("only_doc").as(idCol))
+      .agg(count(lit(1)).as("n_unique"))
     val frac = when(
       col("n_spans") > 0,
       col("n_dup_spans").cast("double") / col("n_spans").cast("double")
     ).otherwise(lit(0.0))
     base
-      .select(col(idCol))
-      .join(stats, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans")
-      )
+      .select(col(idCol), col("n_spans"))
+      .join(uniques, Seq(idCol), "left")
+      .withColumn("n_dup_spans", col("n_spans") - coalesce(col("n_unique"), lit(0L)))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"))
       .withColumn("dup_span_frac", frac)
       .withColumn("keep_doc", frac < maxDupSpanFrac)
   }
@@ -495,20 +522,10 @@ object TextOps {
       n: Int = 13
   ): org.apache.spark.sql.DataFrame = {
     require(n >= 2, s"span width must be >= 2 tokens, got $n")
-    val toksOf = tokens(col(textCol))
     val base = df
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), toksOf.as("toks"))
-      .withColumn(
-        "spans",
-        when(
-          size(col("toks")) >= n,
-          transform(
-            sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(n))).cast("binary"))
-          )
-        ).otherwise(array().cast("array<string>"))
-      )
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("spans", spanFingerprints(col("toks"), n))
     // 1-based window start positions alongside each fingerprint
     val occ = base
       .select(col(idCol), posexplode(col("spans")).as(Seq("pos0", "span")))
