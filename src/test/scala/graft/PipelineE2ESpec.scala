@@ -7,8 +7,8 @@ import graft.text.TextOps
 /** End-to-end training-data sweep over the real documents table — the
   * user journey the operator suite exists for, composed in pipeline
   * order: redact → quality filter → exact dedup → near-dup removal →
-  * decontaminate → chunk → pack. Each stage's contract is asserted on
-  * the stage's actual output, not in isolation.
+  * decontaminate → span-level cleanup → chunk → pack. Each stage's
+  * contract is asserted on the stage's actual output, not in isolation.
   */
 class PipelineE2ESpec extends SparkSpec {
   import spark.implicits._
@@ -52,15 +52,33 @@ class PipelineE2ESpec extends SparkSpec {
     val nClean = clean.count()
     assert(nClean <= nNear && nClean > 0)
 
-    // 6. chunk to 40-token windows, 10 overlap
-    val chunks = clean
+    // 6. span-level repetition cleanup: drop docs whose dup-span
+    // coverage exceeds the threshold (x12 rule), then strip the
+    // remaining repeated spans keeping each span's first occurrence
+    // (x13 rule) — document-level dedup upstream leaves exactly this
+    // partial/boilerplate repetition behind
+    val spanStats = TextOps.dupSpanStats(clean, "doc_id", "text", n = 13, maxDupSpanFrac = 0.5)
+    val unflagged = clean.join(spanStats.filter($"keep_doc").select("doc_id"), Seq("doc_id"))
+    val nUnflagged = unflagged.count()
+    assert(nUnflagged <= nClean && nUnflagged > 0)
+    val stripped = TextOps.dedupSpansExact(unflagged, "doc_id", "text", n = 13)
+    assert(stripped.filter($"n_removed" > $"n_tokens").count() == 0)
+    val despanned = unflagged
+      .drop("text")
+      .join(stripped.select($"doc_id", $"clean_text".as("text")), Seq("doc_id"))
+      .filter(length($"text") > 0) // fully-stripped docs leave the corpus
+    val nDespanned = despanned.count()
+    assert(nDespanned <= nUnflagged && nDespanned > 0)
+
+    // 7. chunk to 40-token windows, 10 overlap
+    val chunks = despanned
       .select($"doc_id", $"source", posexplode(TextOps.chunkTokens($"text", 40, 10)).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens", size(split($"chunk_text", " ")).cast("long"))
     val nChunks = chunks.count()
-    assert(nChunks >= nClean) // every surviving doc yields >= 1 chunk
+    assert(nChunks >= nDespanned) // every surviving doc yields >= 1 chunk
     assert(chunks.filter($"n_tokens" > 40).count() == 0)
 
-    // 7. pack chunks into 2048-token bins per source shard
+    // 8. pack chunks into 2048-token bins per source shard
     val packed = TextOps.packIntoBins(
       chunks.withColumn("ord", $"doc_id" * 1000 + $"chunk_idx"),
       "source", "ord", "n_tokens", budget = 2048
@@ -72,6 +90,6 @@ class PipelineE2ESpec extends SparkSpec {
     val binsPerSource = packed.groupBy("source").agg(countDistinct($"bin_id").as("n"), max($"bin_id").as("mx")).collect()
     binsPerSource.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Long]("mx") + 1, s"bins not dense: $r"))
 
-    info(s"sweep: $total docs -> $nKept quality -> $nExact exact-dedup -> $nNear near-dedup -> $nClean clean -> $nChunks chunks")
+    info(s"sweep: $total docs -> $nKept quality -> $nExact exact-dedup -> $nNear near-dedup -> $nClean clean -> $nDespanned span-cleaned -> $nChunks chunks")
   }
 }
