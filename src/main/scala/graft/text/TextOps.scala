@@ -597,7 +597,14 @@ object TextOps {
       minCount: Long = 5L
   ): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // explicit null-text drop: explode would discard the rows anyway,
+    // but the attribute-level predicate reaches the parquet scan
+    // (InferFiltersFromGenerate, which used to derive it, is excluded
+    // session-wide — see Sessions — because its inferred filter
+    // re-evaluates the whole generator expression; this one is free)
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_count"))
     val totals = vocab.agg(sum(col("tok_count")).as("corpus_tokens"))
     toks

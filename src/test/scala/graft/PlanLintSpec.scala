@@ -46,8 +46,11 @@ class PlanLintSpec extends SparkSpec {
 
   /** Queries whose defining behavior is a scan-level predicate: each
     * must show at least one parquet scan with non-empty PushedFilters.
+    * b1_backtest carries b1_enrich's null-close drop; the span/text
+    * operators must land their `text IS NOT NULL` at the scan.
     */
-  private val mustPushFilters: Set[String] = Set("p1_filter_pushdown", "j6_asof_join", "b1_enrich")
+  private val mustPushFilters: Set[String] =
+    Set("p1_filter_pushdown", "j6_asof_join", "b1_enrich", "b1_backtest", "x12_dup_spans", "x13_span_dedup", "x10_corpus_freq")
 
   /** Unwrap AQE and collect every physical node, descending into
     * subquery plans.
