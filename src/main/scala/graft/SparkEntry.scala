@@ -60,6 +60,7 @@ object SparkEntry {
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
+    "x14_pack_sequences" -> (Queries.x14PackSequences _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
@@ -609,6 +610,31 @@ object Queries {
       )
       .select("source", "doc_id", "n_tokens", "bin_id")
       .orderBy("source", "doc_id")
+
+  /** x14 — packed-sequence materialization: x7b's exact first-fit bins
+    * rendered into the training sequences a packed-corpus writer ships
+    * (normalized text, single-space separator, so each sequence
+    * tokenizes back to exactly `seq_tokens`).
+    */
+  def x14PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val packed = TextOps.packFirstFitExact(
+      Tables
+        .documents(spark, dir)
+        .select(
+          $"doc_id",
+          $"source",
+          TextOps.normalize($"text").as("norm"),
+          TextOps.tokenCount($"text").cast("long").as("n_tokens")
+        ),
+      shardCol = "source",
+      orderCol = "doc_id",
+      tokenCountCol = "n_tokens",
+      budget = 2048
+    )
+    TextOps
+      .materializeSequences(packed, "source", "bin_id", "doc_id", "norm", "n_tokens")
+      .orderBy("source", "bin_id")
+  }
 
   /** X8 — deterministic epoch shuffle: seeded md5 permutation into 8
     * shards with reproducible within-shard order.
@@ -2056,6 +2082,33 @@ object Oracles {
         |         THEN coalesce(d.n_tokens, 0) ELSE r.fill + coalesce(d.n_tokens, 0) END
         |  FROM rec r JOIN t d ON d.source = r.source AND d.rn = r.rn + 1)
         |SELECT source, doc_id, n_tokens, bin_id FROM rec ORDER BY source, doc_id""".stripMargin,
+    // X14 — the x7b recursive first-fit CTE, aggregated into packed
+    // sequences: list(norm ORDER BY doc_id) concatenation matches the
+    // engine's sort_array(collect_list(struct(doc_id, norm))) order
+    // (doc_id is unique per shard).
+    "x14_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, doc_id, norm, n_tokens, CAST(0 AS BIGINT) AS bin_id,
+        |    coalesce(n_tokens, 0) AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.norm, d.n_tokens,
+        |    CASE WHEN r.fill > 0 AND r.fill + coalesce(d.n_tokens, 0) > 2048
+        |         THEN r.bin_id + 1 ELSE r.bin_id END,
+        |    CASE WHEN r.fill > 0 AND r.fill + coalesce(d.n_tokens, 0) > 2048
+        |         THEN coalesce(d.n_tokens, 0) ELSE r.fill + coalesce(d.n_tokens, 0) END
+        |  FROM rec r JOIN t d ON d.source = r.source AND d.rn = r.rn + 1)
+        |SELECT source, bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  array_to_string(list(norm ORDER BY doc_id), ' ') AS seq_text
+        |FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
     // X8 — the md5 60-bit key: hex-literal cast (DuckDB has no conv());
     // % stays pmod-compatible because the key is non-negative.
     "x8_epoch_shuffle" ->

@@ -278,6 +278,45 @@ object TextOps {
       }(Encoders.row(outSchema))
   }
 
+  /** Materialize packed training sequences — the writer step after bin
+    * assignment ([[packIntoBins]] / [[packFirstFitExact]]): each
+    * (shard, bin) group's documents concatenate IN ORDER into one
+    * training-sequence row with its document and token counts. Over
+    * normalized text with a single-space separator, the sequence
+    * tokenizes back to exactly the sum of its documents' token counts
+    * (asserted in the spec) — the invariant a packed-corpus writer
+    * needs.
+    *
+    * Determinism: `(orderCol, text)` sorts the collected structs, and
+    * `orderCol` is unique per shard under both packers' contracts, so
+    * the concatenation order is total. Scale: the per-group state is
+    * one bin's documents — bounded by the token budget by construction
+    * (only a single oversized document exceeds it) — making this the
+    * rare `collect_list` whose memory is capped by an operator
+    * invariant rather than data luck. One shuffle on (shard, bin).
+    */
+  def materializeSequences(
+      df: org.apache.spark.sql.DataFrame,
+      shardCol: String,
+      binCol: String,
+      orderCol: String,
+      textCol: String,
+      tokenCountCol: String,
+      sep: String = " "
+  ): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(shardCol), col(binCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).cast("long").as("seq_tokens"),
+        concat_ws(
+          sep,
+          transform(
+            sort_array(collect_list(struct(col(orderCol).as("o"), col(textCol).as("t")))),
+            p => p.getField("t")
+          )
+        ).as("seq_text")
+      )
+
   /** PII / URL scrub for training text (the standard pre-training
     * redaction pass): emails, URLs, and long digit runs (phone/account
     * numbers) replaced with stable placeholder tokens so downstream

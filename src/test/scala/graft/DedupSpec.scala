@@ -498,6 +498,35 @@ class DedupSpec extends SparkSpec {
     assert(d5 == ((5L, 5L, 5L, "")))
   }
 
+  test("materializeSequences: in-order concatenation tokenizes back to the summed counts") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"),
+      (2L, "s1", "delta"),
+      (3L, "s1", "epsilon zeta"),
+      (4L, "s2", "one two three four")
+    ).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        TextOps.normalize(col("text")).as("norm"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = TextOps.packFirstFitExact(docs, "source", "doc_id", "n_tokens", budget = 4)
+    val seqs = TextOps.materializeSequences(packed, "source", "bin_id", "doc_id", "norm", "n_tokens")
+      .orderBy("source", "bin_id")
+      .as[(String, Long, Long, Long, String)]
+      .collect()
+    // s1: [3][1] fit bin 0 (4 tokens), [2] opens bin 1; s2: one bin
+    assert(seqs.toSeq == Seq(
+      ("s1", 0L, 2L, 4L, "alpha beta gamma delta"),
+      ("s1", 1L, 1L, 2L, "epsilon zeta"),
+      ("s2", 0L, 1L, 4L, "one two three four")
+    ))
+    // the writer invariant: each sequence re-tokenizes to seq_tokens
+    val reTok = TextOps.materializeSequences(packed, "source", "bin_id", "doc_id", "norm", "n_tokens")
+      .filter(TextOps.tokenCount(col("seq_text")).cast("long") =!= col("seq_tokens"))
+    assert(reTok.count() == 0)
+  }
+
   test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName
