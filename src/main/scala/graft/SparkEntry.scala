@@ -2107,7 +2107,7 @@ object Oracles {
         |SELECT source, bin_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
-        |  array_to_string(list(norm ORDER BY doc_id), ' ') AS seq_text
+        |  coalesce(array_to_string(list(norm ORDER BY doc_id), ' '), '') AS seq_text
         |FROM rec GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
     // X8 — the md5 60-bit key: hex-literal cast (DuckDB has no conv());
     // % stays pmod-compatible because the key is non-negative.

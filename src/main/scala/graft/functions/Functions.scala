@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** Evaluate an expensive expression ONCE per row and hand the result
+    * to `f` as a lambda variable, via a 1-element-array transform.
+    * Referenced directly, an expensive subtree gets INLINED everywhere
+    * `f` uses it — into every element of a nested lambda (e.g. a full
+    * re-tokenize per window: O(doc²)) and into every optimizer-derived
+    * filter — because Catalyst substitutes aliases through projections
+    * and lambdas cannot reference outer attributes. A lambda variable
+    * is the one binding the optimizer cannot see through. Load-bearing
+    * for [[graft.text.TextOps]]' span/chunk operators and
+    * [[graft.similarity.Similarity.quantizeInt8]].
+    */
+  def bindOnce(e: Column)(f: Column => Column): Column =
+    transform(array(e), f).getItem(0)
+
   /** F1 — float normalize on ingest (reference `events.py:37-53`):
     * NaN/±Inf → null, else round to 10 decimal places.
     */

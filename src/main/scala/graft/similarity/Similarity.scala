@@ -217,20 +217,18 @@ object Similarity {
     * rule. The scale rides along in the struct for dequantization;
     * cosine between quantized vectors doesn't need it (scales cancel).
     *
-    * The scale binds through a 1-element-array lambda: referenced
-    * directly, CollapseProject would inline the `array_max` scan into
-    * EVERY element's quantize lambda (O(d²) per row).
+    * The scale binds through [[graft.functions.Functions.bindOnce]]:
+    * referenced directly, CollapseProject would inline the `array_max`
+    * scan into EVERY element's quantize lambda (O(d²) per row).
     */
   def quantizeInt8(vec: Column): Column = {
     val v = toDoubleArr(vec)
-    transform(
-      array(array_max(transform(v, x => abs(x))) / 127.0),
-      s =>
-        struct(
-          s.as("scale"),
-          transform(v, x => when(s === 0.0, lit(0)).otherwise(floor(x / s + 0.5)).cast("tinyint")).as("q")
-        )
-    ).getItem(0)
+    graft.functions.Functions.bindOnce(array_max(transform(v, x => abs(x))) / 127.0) { s =>
+      struct(
+        s.as("scale"),
+        transform(v, x => when(s === 0.0, lit(0)).otherwise(floor(x / s + 0.5)).cast("tinyint")).as("q")
+      )
+    }
   }
 
   /** Brute-force top-k over the QUANTIZED corpus: same shape as

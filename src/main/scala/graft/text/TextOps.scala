@@ -123,25 +123,22 @@ object TextOps {
   def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
     require(chunkSize > overlap && overlap >= 0, s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
     val stride = chunkSize - overlap
-    // tokens bind through a 1-element-array lambda (the spanFingerprints
-    // / quantizeInt8 pattern): referenced directly, the token-split
+    // tokens bind via bindOnce: referenced directly, the token-split
     // expression lands inside the per-chunk lambda and re-tokenizes the
     // whole document once per chunk.
     // NULL text must yield a NULL array (posexplode then drops the doc,
     // matching the oracle's WHERE text IS NOT NULL). Unguarded,
     // greatest(null − overlap, 1) = 1 (greatest SKIPS nulls) and
     // concat_ws(null slice) = "" would emit one spurious empty chunk.
-    transform(
-      array(tokens(text)),
-      ts =>
-        when(
-          ts.isNotNull,
-          transform(
-            sequence(lit(1), greatest(size(ts) - overlap, lit(1)), lit(stride)),
-            i => concat_ws(" ", slice(ts, i, lit(chunkSize)))
-          )
+    graft.functions.Functions.bindOnce(tokens(text)) { ts =>
+      when(
+        ts.isNotNull,
+        transform(
+          sequence(lit(1), greatest(size(ts) - overlap, lit(1)), lit(stride)),
+          i => concat_ws(" ", slice(ts, i, lit(chunkSize)))
         )
-    ).getItem(0)
+      )
+    }
   }
 
   /** Per-shard sequence packing: assign documents (ordered by `orderCol`
@@ -282,10 +279,13 @@ object TextOps {
     * assignment ([[packIntoBins]] / [[packFirstFitExact]]): each
     * (shard, bin) group's documents concatenate IN ORDER into one
     * training-sequence row with its document and token counts. Over
-    * normalized text with a single-space separator, the sequence
-    * tokenizes back to exactly the sum of its documents' token counts
-    * (asserted in the spec) — the invariant a packed-corpus writer
-    * needs.
+    * NON-EMPTY normalized text with a single-space separator, the
+    * sequence tokenizes back to exactly the sum of its documents' token
+    * counts (asserted in the spec) — the invariant a packed-corpus
+    * writer needs. Empty/whitespace-only documents break the invariant
+    * (`tokenCount("") = 1` by the split convention, but they add no
+    * token to the concatenation) — filter them out upstream, where
+    * x2's length rule drops them anyway.
     *
     * Determinism: `(orderCol, text)` sorts the collected structs, and
     * `orderCol` is unique per shard under both packers' contracts, so
@@ -469,26 +469,23 @@ object TextOps {
     * operators ([[dupSpanStats]], [[dedupSpansExact]]); position i in
     * the result array is the window starting at token i (1-based).
     *
-    * `toks` binds through a 1-element-array lambda (the [[
-    * graft.similarity.Similarity.quantizeInt8]] pattern): referenced
-    * directly, the token-split expression lands INSIDE the per-window
-    * lambda (an O(doc²) re-tokenize per window) and
-    * InferFiltersFromGenerate additionally duplicates the whole spans
+    * `toks` binds through [[graft.functions.Functions.bindOnce]]:
+    * referenced directly, the token-split expression lands INSIDE the
+    * per-window lambda (an O(doc²) re-tokenize per window) and
+    * InferFiltersFromGenerate additionally duplicated the whole spans
     * expression into scan filters — together a ~30× slowdown at sf0.1
     * before this binding.
     */
   private def spanFingerprints(toks: Column, n: Int): Column =
-    transform(
-      array(toks),
-      ts =>
-        when(
-          size(ts) >= n,
-          transform(
-            sequence(lit(1), size(ts) - (n - 1)),
-            i => md5(concat_ws(" ", slice(ts, i, lit(n))).cast("binary"))
-          )
-        ).otherwise(array().cast("array<string>"))
-    ).getItem(0)
+    graft.functions.Functions.bindOnce(toks) { ts =>
+      when(
+        size(ts) >= n,
+        transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => md5(concat_ws(" ", slice(ts, i, lit(n))).cast("binary"))
+        )
+      ).otherwise(array().cast("array<string>"))
+    }
 
   def dupSpanStats(
       df: org.apache.spark.sql.DataFrame,
