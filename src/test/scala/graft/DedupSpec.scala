@@ -527,6 +527,20 @@ class DedupSpec extends SparkSpec {
     assert(reTok.count() == 0)
   }
 
+  test("span operators: empty and all-null corpora yield empty results, not errors") {
+    import graft.text.TextOps
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val allNull = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (df <- Seq(empty, allNull)) {
+      assert(TextOps.dupSpanStats(df, "doc_id", "text", n = 3).count() == 0)
+      assert(TextOps.dedupSpansExact(df, "doc_id", "text", n = 3).count() == 0)
+    }
+    val emptyPacked = TextOps.packFirstFitExact(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_tokens"),
+      "source", "doc_id", "n_tokens", budget = 10)
+    assert(TextOps.materializeSequences(emptyPacked, "source", "bin_id", "doc_id", "source", "n_tokens").count() == 0)
+  }
+
   test("thresholded SortedJaccard: exact value at/above t, null below, never a wrong number") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName
