@@ -28,12 +28,13 @@ object Bench {
     // choice; keep reps odd for round-over-round comparisons)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failing rep's wall time is NOT a sample — timing the exception
       // path would report a bogus (usually fast) median for an
       // intermittently failing query; the median is over successful reps
-      // only, and a query with zero successes reports -1 so the failure
-      // is visible in the JSON, not just on stderr
+      // only, and a query with zero successes goes to the "failed" list
+      // (NOT a sentinel value in the timings map — a downstream consumer
+      // summing or ranking the map must never ingest a non-timing)
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -42,15 +43,20 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
         }
-      }.sorted
-      name -> (if (times.nonEmpty) times(times.length / 2) else -1.0)
+      }
+      (name, times.sorted)
     }
+    val results = timed.collect { case (name, ts) if ts.nonEmpty => name -> ts(ts.length / 2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // the -1 zero-success sentinel must not SHRINK the headline total
-    // (a broken query would read as a round-over-round speedup)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // every rep time, per query: an anomalous median arrives with its own
+    // evidence (spread across reps = GC/contention; uniform = real)
+    val repsJson = timed.map { case (k, ts) => s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = timed.collect { case (name, ts) if ts.isEmpty => "\"" + name + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

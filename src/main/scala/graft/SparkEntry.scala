@@ -620,6 +620,11 @@ object Queries {
     val packed = TextOps.packFirstFitExact(
       Tables
         .documents(spark, dir)
+        // materializeSequences requires null/empty text dropped upstream
+        // (a null doc would inject size(NULL) = -1 token counts into bin
+        // fill under the non-ANSI session config); same WHERE in the
+        // oracle CTE
+        .filter($"text".isNotNull)
         .select(
           $"doc_id",
           $"source",
@@ -2092,7 +2097,7 @@ object Oracles {
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
         |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |rec AS (
         |  SELECT source, rn, doc_id, norm, n_tokens, CAST(0 AS BIGINT) AS bin_id,
         |    coalesce(n_tokens, 0) AS fill

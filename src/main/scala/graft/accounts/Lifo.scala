@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * commutative aggregate — so it runs as a per-symbol fold over
   * key-sorted partitions (same engine shape as
   * [[graft.indicators.Indicators.withFold]]): one shuffle on symbol,
-  * streaming within each key, O(1) state. Money stays `BigDecimal`
-  * end-to-end (DecimalType(18,6)) — the reference deliberately keeps
-  * accounting off floats.
+  * streaming within each key, O(1) state. Money stays exact end-to-end
+  * (6-dp lattice, DecimalType(18,6) at the API surface) — the reference
+  * deliberately keeps accounting off floats.
   */
 object Lifo {
 
@@ -67,77 +67,162 @@ object Lifo {
   private def halfUp(n: BigInt, d: BigInt): BigInt =
     if (n.signum >= 0) (n * 2 + d) / (d * 2) else -(((-n) * 2 + d) / (d * 2))
 
-  /** Streaming replay over a newest-first iterator: O(1) state, and —
-    * the scale property — EARLY EXIT once the position is fully
-    * accounted (`remaining == 0`): the (often long) older tail of the
-    * history is then only counted, never materialized as `Txn` objects.
-    * A pathological symbol with millions of fills costs a scan, not
-    * heap. The distributed driver feeds this directly from the
-    * sort-within-partitions row stream.
+  /** gcd on Longs (Euclid). Callers guarantee neither input is
+    * Long.MinValue (the accumulator promotes before that can happen).
+    * gcd(0, d) = d so a zero numerator reduces to 0/1.
+    */
+  private def gcdLong(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    if (x == 0) 1L else x
+  }
+
+  /** Exact rational accumulator in micro-units: value = n/d, d > 0,
+    * gcd-reduced after every step. Runs on overflow-checked Longs
+    * (`Math.multiplyExact`/`addExact`) while the reduced terms fit —
+    * the realistic case: gcd reduction keeps d ≤ lcm of the distinct
+    * open quantities, and fills stay well under Long range — and
+    * transparently promotes to BigInt on the first overflow. Both paths
+    * compute the SAME reduced rational, so results are bit-identical by
+    * construction (property-tested against an independent
+    * common-denominator fraction sum in LifoSpec/PropertySpec).
+    *
+    * This is the round-5 a8_lifo fix: the per-row BigInt allocation of
+    * the earlier all-BigInt fold made the query GC-bound when the bench
+    * suite ran it under heap pressure (driver round 4: 9.2 s vs 2.3 s
+    * warm-heap; plan unchanged). The fold now allocates nothing per
+    * step on the fast path.
+    */
+  private final class RationalAcc {
+    private var nL = 0L
+    private var dL = 1L
+    private var nB: BigInt = null
+    private var dB: BigInt = null
+    private def promoted: Boolean = nB ne null
+
+    private def promote(): Unit = { nB = BigInt(nL); dB = BigInt(dL) }
+
+    /** value := value + delta * t / q  (n := n*q + delta*t*d; d := d*q). */
+    def fold(delta: BigInt, t: Int, q: Int): Unit = {
+      if (!promoted) {
+        if (delta.isValidLong) {
+          try {
+            val dl = delta.longValue
+            val n2 = Math.addExact(Math.multiplyExact(nL, q), Math.multiplyExact(Math.multiplyExact(dl, t), dL))
+            val d2 = Math.multiplyExact(dL, q)
+            // MinValue would break gcdLong's abs; treat as overflow
+            if (n2 == Long.MinValue) throw new ArithmeticException("long overflow")
+            val g = gcdLong(n2, d2)
+            nL = n2 / g; dL = d2 / g
+            return
+          } catch { case _: ArithmeticException => promote() }
+        } else promote()
+      }
+      nB = nB * BigInt(q) + delta * BigInt(t) * dB
+      dB = dB * BigInt(q)
+      val g = nB.gcd(dB)
+      if (g > 1) { nB /= g; dB /= g }
+    }
+
+    /** Rounded ONCE to the integer micro grid (HALF_UP) at the end. */
+    def roundedMicros: BigInt =
+      if (promoted) halfUp(nB, dB) else halfUp(BigInt(nL), BigInt(dL))
+  }
+
+  /** The replay core as a primitive-feed state machine: O(1) state,
+    * shared by the Txn-object API ([[replayStream]]) and the columnar
+    * row driver in [[entryCredits]]. Feed fills newest-first via
+    * [[close]]/[[open]]/[[other]]; once [[done]], account the rest of
+    * the history with [[tail]] (count only — nothing per-row); then
+    * [[finish]].
     *
     * Arithmetic is EXACT: the pro-rata fractions (`take/qty`) ride
-    * gcd-reduced BigInt rationals and the result is rounded ONCE, to
-    * the 6-dp money grid (HALF_UP), at the very end. An earlier
-    * formulation rounded each fraction to 34 significant digits
-    * (`MathContext.DECIMAL128`, mirroring the reference's
-    * decimal-context arithmetic); that leaves the sum a hair off any
-    * exact rounding boundary it should land on (observed: a fees sum
-    * whose true value was exactly ....6875, rounded down instead of
-    * up), so results depended on intermediate precision. Exact
-    * rationals keep accounting off floats AND make the fold
-    * bit-reproducible by any exact implementation.
+    * gcd-reduced rationals ([[RationalAcc]] — Long fast path, BigInt
+    * fallback) and each result is rounded ONCE, to the 6-dp money grid
+    * (HALF_UP), at the very end. An earlier formulation rounded each
+    * fraction to 34 significant digits (`MathContext.DECIMAL128`,
+    * mirroring the reference's decimal-context arithmetic); that leaves
+    * the sum a hair off any exact rounding boundary it should land on
+    * (observed: a fees sum whose true value was exactly ....6875,
+    * rounded down instead of up), so results depended on intermediate
+    * precision. Exact rationals keep accounting off floats AND make the
+    * fold bit-reproducible by any exact implementation.
+    */
+  final class Fold(currentQty: Int) {
+    private var remaining = math.abs(currentQty)
+    private var closeBuffer = 0
+    private val entry = new RationalAcc
+    private val fee = new RationalAcc
+    // price × qty is integer micro-units — no fractions; Long with
+    // overflow promotion like the accumulators
+    private var pxL = 0L
+    private var pxB: BigInt = null
+    private var totalQty = 0
+    private var count = 0
+
+    /** Position fully accounted — remaining fills only need counting. */
+    def done: Boolean = remaining == 0
+
+    def close(qty: Int): Unit = { count += 1; closeBuffer += qty }
+
+    def other(): Unit = count += 1
+
+    def open(qty: Int, credit: Boolean, valueU: BigInt, feeU: BigInt, priceU: BigInt): Unit = {
+      count += 1
+      val consumed = math.min(qty, closeBuffer)
+      closeBuffer -= consumed
+      val surviving = qty - consumed
+      val take = math.min(surviving, remaining)
+      if (take > 0) {
+        entry.fold(if (credit) valueU else -valueU, take, qty)
+        fee.fold(feeU, take, qty)
+        val px = priceU * take
+        if (pxB ne null) pxB += px
+        else if (px.isValidLong) {
+          try pxL = Math.addExact(pxL, px.longValue)
+          catch { case _: ArithmeticException => pxB = BigInt(pxL) + px }
+        } else pxB = BigInt(pxL) + px
+        totalQty += take
+        remaining -= take
+      }
+    }
+
+    /** Account `n` further (older) fills without inspecting them. */
+    def tail(n: Int): Unit = count += n
+
+    def finish(symbol: String): Option[LifoResult] =
+      if (remaining != 0) None
+      else {
+        val priceXQty = if (pxB ne null) pxB else BigInt(pxL)
+        val wp =
+          if (totalQty > 0) Some(BigDecimal(halfUp(priceXQty, BigInt(totalQty)), 6))
+          else None
+        Some(LifoResult(symbol, BigDecimal(entry.roundedMicros, 6), BigDecimal(fee.roundedMicros, 6), wp, count))
+      }
+  }
+
+  /** Streaming replay over a newest-first iterator: O(1) state, and —
+    * the scale property — EARLY EXIT once the position is fully
+    * accounted: the (often long) older tail of the history is then only
+    * counted. A pathological symbol with millions of fills costs a
+    * scan, not heap. (The distributed driver in [[entryCredits]] feeds
+    * the [[Fold]] from raw rows instead, so its tail never even builds
+    * `Txn` objects.)
     */
   def replayStream(symbol: String, sortedNewestFirst: Iterator[Txn], currentQty: Int): Option[LifoResult] = {
     val it = sortedNewestFirst
-    var count = 0
-    if (currentQty == 0) {
-      while (it.hasNext) { it.next(); count += 1 }
-      return Some(LifoResult(symbol, BigDecimal(0), BigDecimal(0), None, count))
-    }
-    var remaining = math.abs(currentQty)
-    var closeBuffer = 0
-    // entry credit and fees as exact rationals in micro-units
-    var enN = BigInt(0); var enD = BigInt(1)
-    var feeN = BigInt(0); var feeD = BigInt(1)
-    var priceXQty = BigInt(0)
-    var totalQty = 0
-    while (it.hasNext && remaining != 0) {
+    val f = new Fold(currentQty)
+    while (it.hasNext && !f.done) {
       val txn = it.next()
-      count += 1
-      val qty = txn.quantity
-      if (CloseActions.contains(txn.action)) {
-        closeBuffer += qty
-      } else if (OpenActions.contains(txn.action)) {
-        val consumed = math.min(qty, closeBuffer)
-        closeBuffer -= consumed
-        val surviving = qty - consumed
-        val take = math.min(surviving, remaining)
-        if (take > 0) {
-          val q = BigInt(qty)
-          val t = BigInt(take)
-          val sign = if (txn.valueEffect == "Credit") 1 else -1
-          enN = enN * q + micros(txn.value) * sign * t * enD
-          enD = enD * q
-          val g1 = enN.gcd(enD); if (g1 > 1) { enN /= g1; enD /= g1 }
-          feeN = feeN * q + micros((txn.netValue - txn.value).abs) * t * feeD
-          feeD = feeD * q
-          val g2 = feeN.gcd(feeD); if (g2 > 1) { feeN /= g2; feeD /= g2 }
-          priceXQty += micros(txn.price) * t
-          totalQty += take
-          remaining -= take
-        }
-      }
+      if (CloseActions.contains(txn.action)) f.close(txn.quantity)
+      else if (OpenActions.contains(txn.action))
+        f.open(txn.quantity, txn.valueEffect == "Credit", micros(txn.value), micros((txn.netValue - txn.value).abs), micros(txn.price))
+      else f.other()
     }
-    // early-exited: count the tail for transaction_count without
-    // retaining anything
-    while (it.hasNext) { it.next(); count += 1 }
-    if (remaining != 0) None
-    else {
-      val wp =
-        if (totalQty > 0) Some(BigDecimal(halfUp(priceXQty, BigInt(totalQty)), 6))
-        else None
-      Some(LifoResult(symbol, BigDecimal(halfUp(enN, enD), 6), BigDecimal(halfUp(feeN, feeD), 6), wp, count))
-    }
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    f.tail(n)
+    f.finish(symbol)
   }
 
   val outputSchema: StructType = StructType(Seq(
@@ -155,53 +240,61 @@ object Lifo {
     * returns None and skips the symbol).
     *
     * Shape: repartition by symbol, sort within partitions newest-first,
-    * stream each symbol's run through [[replay]] — the sort replaces the
+    * stream each symbol's run through a [[Fold]] — the sort replaces the
     * reference's in-memory `sorted(..., reverse=True)` and the engine
     * spills if a symbol's history is huge.
+    *
+    * The money columns cross the mapPartitions boundary as micro-unit
+    * Longs, converted in the codegen'd projection (cast to the 6-dp
+    * grid — Spark's decimal cast rounds HALF_UP, same as [[micros]] —
+    * then ×10⁶, exact): the fold sees only primitives, so a row costs
+    * zero BigDecimal allocations. The earlier Txn-per-row wiring
+    * allocated 4 decimals + a Txn for every fill INCLUDING the
+    * early-exited tail; at 600k fills under bench heap pressure that
+    * made a8_lifo GC-bound (driver round 4: 9.2 s vs 2.3 s warm).
     */
   def entryCredits(txns: DataFrame, positions: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 6)
+    def microsCol(c: org.apache.spark.sql.Column) =
+      (c.cast(dec) * lit(1000000L)).cast(LongType)
     val joined = txns
       .join(positions.select(col("symbol"), col("current_qty")), Seq("symbol"))
       .select(
-        col("symbol"),
-        col("executed_at_us").cast("long"),
-        col("action"),
-        col("price").cast("decimal(18,6)"),
-        col("value").cast("decimal(18,6)"),
-        col("value_effect"),
-        col("net_value").cast("decimal(18,6)"),
-        col("quantity").cast("int"),
-        col("current_qty").cast("int")
+        col("symbol"),                                                    // 0
+        col("executed_at_us").cast("long"),                               // 1 (sort key)
+        col("action").isin(CloseActions.toSeq: _*).as("is_close"),        // 2
+        col("action").isin(OpenActions.toSeq: _*).as("is_open"),          // 3
+        (col("value_effect") === "Credit").as("is_credit"),               // 4
+        microsCol(col("value")).as("value_u"),                            // 5
+        microsCol(abs(col("net_value").cast(dec) - col("value").cast(dec))).as("fee_u"), // 6
+        microsCol(col("price")).as("price_u"),                            // 7
+        col("quantity").cast("int").as("qty"),                            // 8
+        col("current_qty").cast("int")                                    // 9
       )
       .repartition(col("symbol"))
-      .sortWithinPartitions(col("symbol"), col("executed_at_us").desc, col("quantity").desc)
+      .sortWithinPartitions(col("symbol"), col("executed_at_us").desc, col("qty").desc)
     joined.mapPartitions { rows =>
       // Per-symbol runs stream straight from the sorted row iterator into
-      // replayStream — no history Vector: the replay early-exits once the
-      // position is accounted and the run's tail is only counted, so a
-      // symbol's heap cost is O(1) regardless of its fill count.
+      // a Fold — no history Vector, no Txn objects: once the position is
+      // accounted the run's tail is drained with a symbol compare only,
+      // so a symbol's cost is O(1) heap regardless of its fill count.
       val buf = rows.buffered
       val results = new Iterator[Option[Row]] {
         def hasNext: Boolean = buf.hasNext
         def next(): Option[Row] = {
           val sym = buf.head.getString(0)
-          val qty = buf.head.getInt(8)
-          val run: Iterator[Txn] = new Iterator[Txn] {
-            def hasNext: Boolean = buf.hasNext && buf.head.getString(0) == sym
-            def next(): Txn = {
-              val r = buf.next()
-              Txn(
-                r.getString(0), r.getLong(1), r.getString(2),
-                BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
-                r.getString(5), BigDecimal(r.getDecimal(6)), r.getInt(7)
-              )
-            }
+          val f = new Fold(buf.head.getInt(9))
+          while (buf.hasNext && buf.head.getString(0) == sym && !f.done) {
+            val r = buf.next()
+            if (r.getBoolean(2)) f.close(r.getInt(8))
+            else if (r.getBoolean(3))
+              f.open(r.getInt(8), r.getBoolean(4), BigInt(r.getLong(5)), BigInt(r.getLong(6)), BigInt(r.getLong(7)))
+            else f.other()
           }
-          val res = replayStream(sym, run, qty)
-          // replayStream exhausts the run on every path (tail counting);
-          // the grouping invariant depends on it
-          assert(!run.hasNext, s"replayStream left $sym's run unconsumed")
-          res.map { r =>
+          var n = 0
+          while (buf.hasNext && buf.head.getString(0) == sym) { buf.next(); n += 1 }
+          f.tail(n)
+          f.finish(sym).map { r =>
             Row(
               sym,
               r.entryCredit.setScale(6, BigDecimal.RoundingMode.HALF_UP).bigDecimal,
