@@ -101,21 +101,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Oracles.sql
 
+  /** Oracles whose SQL embeds data-dependent FITTED model state,
+    * exported as literals at dump time (the d6/n2 hyperplane-literal
+    * technique, extended to a model that is itself a function of the
+    * data): rendered against the live session + sfDir so the dumped
+    * oracle_sql.json carries runnable, fully-pinned SQL. The fit is
+    * deterministic (hash-ordered bounded sample, sequential driver-side
+    * arithmetic), so the query-side and dump-side fits yield identical
+    * binary64 centroids.
+    */
+  def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] =
+    Map("n3_ann_ivf" -> Oracles.n3IvfSql(Queries.n3FittedCentroids(spark, dir)))
+
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
     * semantics); the driver records a weaker rows-only check for these and
     * ScalaTest specs carry the correctness burden instead.
     */
   def oracleFree: Set[String] = Set(
-    // IVF centroid model state is Scala-side (k-means fitted on a
-    // bounded sample); correctness = recall vs the oracle-checked n1
-    // (SimilaritySpec) + the n3_cells oracle pinning the assignment
-    // machinery under the relational id-fallback centroid set.
-    "n3_ann_ivf",
     // batched binary decode is a mapPartitions kernel (the point is the
-    // non-SQL batch plumbing); correctness carried by MultimodalSpec.
+    // non-SQL batch plumbing); correctness carried by MultimodalSpec +
+    // the fixture-hash compare column inside the query itself.
     "m1_multimodal",
     // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
-    // carried by StrategiesSpec (reference canonical cases).
+    // carried by StrategiesSpec (reference canonical cases + ScalaCheck
+    // differential invariants).
     "s11_classify"
   )
 }
@@ -890,12 +899,19 @@ object Queries {
       .orderBy("query_id", "nbr_id")
   }
 
+  /** The n3 fitted model, shared VERBATIM between the query and its
+    * dump-time oracle rendering (QueryParams discipline): deterministic,
+    * so both fits produce identical binary64 centroids.
+    */
+  def n3FittedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    Similarity.kmeansCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 16)
+
   /** IVF-quantized ANN top-5 (16 cells, 6 probes) with a k-means model
     * fitted on a bounded deterministic sample (`kmeansCentroids`).
     */
   def n3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val model = n3FittedCentroids(spark, dir)
     Similarity
       .ivfTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, nCentroids = 16, nProbe = 6, centroidModel = Some(model))
       .orderBy("query_id", "nbr_id")
@@ -1632,6 +1648,52 @@ object Oracles {
        |  SELECT c.id_a, c.id_b,
        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
        |  FROM cand c JOIN filt sa ON sa.id = c.id_a JOIN filt sb ON sb.id = c.id_b)""".stripMargin
+  }
+
+  // N3 — the FULL IVF ANN pipeline, rendered at dump time with the
+  // FITTED k-means centroids exported as DOUBLE list literals
+  // (Double.toString is shortest-round-trip, so DuckDB parses back the
+  // identical binary64 — the d6/n2 hyperplane precedent). Stages mirror
+  // Similarity.ivfTopK exactly: nearest-centroid assignment per corpus
+  // vector (argmax tie-break (score DESC, cell DESC) = Spark's
+  // array_max over (score, cell) structs), each query (vec_id < 10)
+  // probes its 6 best cells (reverse(array_sort) = the same tie-break;
+  // a corpus vector lives in exactly one cell and probe cells are
+  // distinct, so the cell equi-join yields no duplicate candidates and
+  // needs no DISTINCT — same as the Spark join), exact cosine re-rank
+  // (the d5/n1 formula), top-5 per query with the (cos DESC, nbr_id)
+  // tie-break of the n1 oracle.
+  def n3IvfSql(centroids: Array[Array[Double]]): String = {
+    val centValues = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
+       |scored AS (
+       |  SELECT e.vec_id AS id, c.cell,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(generate_series(1, 64),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS query_id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored WHERE id < 10) t WHERE rn <= 6),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cand AS (
+       |  SELECT p.query_id, a.id AS nbr_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.id <> p.query_id),
+       |reranked AS (
+       |  SELECT c.query_id, c.nbr_id, ${cosSql("q.v", "n.v")} AS cos
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.nbr_id)
+       |SELECT query_id, nbr_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM reranked) t
+       |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin
   }
 
   // N3-cells — nearest-centroid assignment under the id-fallback

@@ -34,7 +34,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + the dump-time-rendered ones (fitted model state
+    // exported as literals — needs the live session + sfDir)
+    val json = (SparkEntry.oracleSql ++ SparkEntry.oracleSqlFitted(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
