@@ -118,10 +118,6 @@ object SparkEntry {
     * ScalaTest specs carry the correctness burden instead.
     */
   def oracleFree: Set[String] = Set(
-    // batched binary decode is a mapPartitions kernel (the point is the
-    // non-SQL batch plumbing); correctness carried by MultimodalSpec +
-    // the fixture-hash compare column inside the query itself.
-    "m1_multimodal",
     // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
     // carried by StrategiesSpec (reference canonical cases + ScalaCheck
     // differential invariants).
@@ -139,6 +135,9 @@ private[graft] object QueryParams {
   val X11Quota: Int = 20
   val X12SpanWidth: Int = 13
   val X12MaxDupFrac: Double = 0.3
+  // committed decode-expectation fixture (see graft.GenM1Fixture);
+  // absolute because the DuckDB oracle reads the same file
+  val M1FixturePath: String = "/root/repo/fixtures/m1_expected.parquet"
 }
 
 /** The concrete query programs, one per SURVEY §2 operator. */
@@ -929,18 +928,29 @@ object Queries {
       .orderBy("query_id", "nbr_id")
   }
 
-  /** Multimodal pipeline: pack → batched (stub) decode → rollup of the
-    * 16-bin byte-histogram features per synthetic format.
+  /** Multimodal pipeline: pack → batched REAL decode (jpeg/png pixels,
+    * wav PCM) → rollup per format, CHECKED row-by-row against the
+    * committed decode-expectation fixture (GenM1Fixture): `n_match`
+    * counts rows whose live-decoded feature vector and packed width
+    * equal the fixture's — so the DuckDB oracle, which recomputes the
+    * whole aggregate from the fixture alone (media decode is not
+    * SQL-expressible; the fixture is the hashable surface), hash-fails
+    * if any decode diverges (n_match < n_media, and avg_f0 moves).
     */
   def m1Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.packDocuments(Tables.documents(spark, dir))
+    val fixture = spark.read
+      .parquet(QueryParams.M1FixturePath)
+      .select($"doc_id", $"width".as("exp_width"), $"features".as("exp_features"))
     graft.multimodal.Multimodal
       .extractFeatures(media, "media")
+      .join(broadcast(fixture), $"media_id" === $"doc_id", "left")
       .groupBy($"meta.format".as("format"))
       .agg(
         count(lit(1)).as("n_media"),
         round(avg(element_at($"features", 1)), 6).as("avg_f0"),
-        round(avg($"meta.width"), 2).as("avg_width")
+        round(avg($"meta.width"), 2).as("avg_width"),
+        count(when($"features" <=> $"exp_features" && $"meta.width" <=> $"exp_width", 1)).as("n_match")
       )
       .orderBy("format")
   }
@@ -1727,6 +1737,21 @@ object Oracles {
     "d6_embed_lsh_pairs" -> d6PairsSql,
     "n2_ann_lsh" -> n2TopKSql,
     "n3_cells" -> n3CellsSql,
+    // M1 — media decode is not SQL-expressible, but it doesn't need to
+    // be: the committed decode-expectation fixture (GenM1Fixture; pure
+    // function of doc_id) is the hashable surface. The oracle recomputes
+    // the per-format aggregate from the fixture alone; the Spark query
+    // decodes LIVE and counts fixture matches, so any decode divergence
+    // breaks the hash (n_match drops below n_media, avg_f0 moves).
+    "m1_multimodal" ->
+      s"""SELECT f.format,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  round(avg(CAST(f.f0 AS DOUBLE)), 6) AS avg_f0,
+         |  round(avg(f.width), 2) AS avg_width,
+         |  CAST(count(*) AS BIGINT) AS n_match
+         |FROM read_parquet('${QueryParams.M1FixturePath}') f
+         |JOIN documents d ON d.doc_id = f.doc_id
+         |GROUP BY f.format ORDER BY f.format""".stripMargin,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
