@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope harness: measures how the heaviest queries grow when
+  * the data grows ×`factor` (default 10), the direct empirical evidence
+  * for "survives a scale-up" that a single-scale bench can't give.
+  * PlanLintSpec proves plan *shapes* (pushdown, no cartesian); this
+  * measures the *slope*.
+  *
+  * The ×N corpus is synthesized from sf0.1 as N id-shifted copies — but
+  * a copy must preserve the WORKLOAD, not just the bytes. Naive
+  * duplication turns every document into an exact-duplicate group of N,
+  * which inflates the pair-emitting dedup queries quadratically inside
+  * each group and measures a different problem. Each copy is therefore
+  * an isometry of the original with no cross-copy overlap:
+  *  - documents: every token gets a copy-specific suffix — shingle /
+  *    fingerprint / span structure WITHIN a copy is preserved exactly,
+  *    while no shingle collides across copies;
+  *  - embeddings: a per-copy deterministic coordinate sign-flip — an
+  *    orthogonal map, so within-copy cosines (and hence each copy's
+  *    near-dup pair set) are preserved bit-for-bit, while cross-copy
+  *    cosines scramble;
+  *  - events / lineitem: key shift (user, supplier) — ×N independent
+  *    per-key series of the original lengths.
+  * So output cardinality and per-key work scale ~linearly by
+  * construction, and the measured ratio isolates the ENGINE's scaling.
+  *
+  * Single rep per query per scale (the heavy queries are multi-second;
+  * raw times are published so noise is inspectable). Ratio bound:
+  * 1.5 × factor — super-linear growth beyond that flags a plan that
+  * would not survive 100×. The O(n²)-by-design d5 verifier is not in
+  * the heavy set. One JSON line on stdout, mirrored to SCALEBENCH.json.
+  */
+object ScaleBench {
+
+  /** The 8 heaviest queries of the round-5 bench (driver figures),
+    * spanning the distinct engine shapes: blocked exact Jaccard,
+    * stateful fold, LIFO replay, span aggregation, LSH banding,
+    * iterative components, anti-join filter, grid fill.
+    */
+  val Heavy: Seq[String] = Seq(
+    "d4_ngram_jaccard",
+    "g1_signal_engine",
+    "a8_lifo",
+    "x13_span_dedup",
+    "d6_embed_lsh_pairs",
+    "d8_components",
+    "d8b_dedup_filter",
+    "w6_forward_fill"
+  )
+
+  def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(out))
+
+    def copies(table: String)(mk: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      (1 until factor)
+        .map(k => mk(src, k))
+        .foldLeft(src)(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+
+    val docStride = spark.read.parquet(s"$base/documents.parquet").agg(max("doc_id")).as[Long].head() + 1
+    copies("documents") { (df, k) =>
+      df.withColumn("doc_id", $"doc_id" + lit(k * docStride))
+        .withColumn("text", array_join(transform(split($"text", " "), t => concat(t, lit(s"~$k"))), " "))
+        .withColumn("n_chars", length($"text"))
+    }
+
+    val vecStride = spark.read.parquet(s"$base/embeddings.parquet").agg(max("vec_id")).as[Long].head() + 1
+    copies("embeddings") { (df, k) =>
+      df.withColumn("vec_id", $"vec_id" + lit(k * vecStride))
+        .withColumn("embedding", transform($"embedding", (x, i) => when(pmod(hash(i, lit(k)), lit(2)) === 1, -x).otherwise(x)))
+    }
+
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val (evStride, userStride) =
+      (ev.agg(max("event_id")).as[Long].head() + 1, ev.agg(max("user_id")).as[Long].head() + 1)
+    copies("events") { (df, k) =>
+      df.withColumn("event_id", $"event_id" + lit(k * evStride))
+        .withColumn("user_id", $"user_id" + lit(k * userStride))
+    }
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val (okStride, skStride) =
+      (li.agg(max("l_orderkey")).as[Long].head() + 1, li.agg(max("l_suppkey")).as[Long].head() + 1)
+    copies("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(k * okStride))
+        .withColumn("l_suppkey", $"l_suppkey" + lit(k * skStride))
+    }
+
+    Files.writeString(Paths.get(s"$out/_DONE"), s"factor=$factor base=$base\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$factor")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    if (!Files.exists(Paths.get(s"$out/_DONE"))) synthesize(spark, base, out, factor)
+
+    // session + table warmup, same rationale as Bench
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    Seq(base, out).foreach { d =>
+      Seq("documents", "embeddings", "events", "lineitem").foreach { t =>
+        spark.read.parquet(s"$d/$t.parquet").write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val bound = 1.5 * factor
+
+    // d6's PINNED query config (bits=2 → 4 buckets/table) is a
+    // small-corpus oracle pin: candidate pairs grow Θ(n²/2^(bits+1)),
+    // so the harness flags it super-linear BY CONSTRUCTION — the first
+    // run measured 77× at ×10, exactly the quadratic the math predicts.
+    // The production regime the operator documents (strong-similarity
+    // near-dup, cos ≥ 0.9, bits 12–16) keeps bucket occupancy small;
+    // this twin measures THAT config on the same corpora to show the
+    // banding knob — not the operator — is what restores the slope.
+    def timeD6Rightsized(dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.similarity.Similarity
+        .lshNearDupPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.9, bits = 12, tables = 16)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Heavy.map { name =>
+      val t1 = time(name, base)
+      val tN = time(name, out)
+      val ratio = tN / t1
+      System.err.println(f"[scalebench] $name: $t1%.2f s -> $tN%.2f s at x$factor (ratio $ratio%.1f)")
+      (name, t1, tN, ratio)
+    } :+ {
+      val (t1, tN) = (timeD6Rightsized(base), timeD6Rightsized(out))
+      System.err.println(f"[scalebench] d6_rightsized: $t1%.2f s -> $tN%.2f s at x$factor (ratio ${tN / t1}%.1f)")
+      ("d6_rightsized_b12t16_cos0.9", t1, tN, tN / t1)
+    }
+    val superlinear = rows.collect { case (n, _, _, r) if r > bound => "\"" + n + "\"" }
+    val qjson = rows
+      .map { case (n, t1, tN, r) => f""""$n":{"base_sec":$t1%.3f,"scaled_sec":$tN%.3f,"ratio":$r%.2f}""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_slope","factor":$factor,"ratio_bound":$bound,""" +
+        s""""superlinear":${superlinear.mkString("[", ",", "]")},"queries":$qjson,""" +
+        """"notes":"sub-linear ratios are input-parallelism artifacts (base sf0.1 tables are single parquet files -> one scan partition; the scaled corpus parallelizes 32-way); d6 at its pinned small-corpus oracle config (bits=2) is quadratic by construction and flagged, its rightsized production twin is the scale path"}"""
+    println(json)
+    Files.writeString(Paths.get("SCALEBENCH.json"), json + "\n")
+    spark.stop()
+  }
+}
