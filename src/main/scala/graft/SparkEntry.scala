@@ -110,6 +110,12 @@ object SparkEntry {
     * arithmetic), so the query-side and dump-side fits yield identical
     * binary64 centroids.
     */
+  /** Names served by [[oracleSqlFitted]] rather than the static map —
+    * part of the oracle-coverage contract (RelationalSpec asserts every
+    * query is in exactly one of static / fitted / oracle-free).
+    */
+  val fittedOracleNames: Set[String] = Set("n3_ann_ivf")
+
   def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] =
     Map("n3_ann_ivf" -> Oracles.n3IvfSql(Queries.n3FittedCentroids(spark, dir)))
 

@@ -14,11 +14,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is explicitly oracle-free") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has an oracle (static or fitted) or is explicitly oracle-free") {
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.fittedOracleNames
     // Oracle-free queries get a weaker rows-only check from the driver;
     // keep this list tight and intentional.
     assert(missing.forall(SparkEntry.oracleFree.contains), s"missing oracles: $missing")
+    // and the three sets are disjoint — a name in two would let a stale
+    // static entry shadow the fitted rendering (or vice versa)
+    assert((SparkEntry.oracleSql.keySet & SparkEntry.fittedOracleNames).isEmpty)
+    assert((SparkEntry.oracleSql.keySet & SparkEntry.oracleFree).isEmpty)
+    assert((SparkEntry.fittedOracleNames & SparkEntry.oracleFree).isEmpty)
   }
 
   test("latestPerKey keeps exactly one row per key, the max-order one") {
