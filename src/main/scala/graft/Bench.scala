@@ -55,9 +55,12 @@ object Bench {
     // BEFORE the queries map: the driver archives a bounded TAIL of
     // stdout (round 4's artifact head-truncated 4 queries), so the
     // line must stay short and put the primary parse surface last.
+    // rounding via Double.toString, NOT %f: format strings follow the
+    // JVM default locale (decimal commas under e.g. de_DE would corrupt
+    // the JSON); Double.toString is locale-independent
     val repsJson = timed
       .collect { case (k, ts) if ts.nonEmpty && ts(ts.length / 2) >= 0.8 =>
-        s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+        s"\"" + k + "\":" + ts.map(t => (math.round(t * 1000) / 1000.0).toString).mkString("[", ",", "]")
       }
       .mkString("{", ",", "}")
     val failed = timed.collect { case (name, ts) if ts.isEmpty => "\"" + name + "\"" }

@@ -97,13 +97,20 @@ object ScaleBench {
     Files.writeString(Paths.get(s"$out/_DONE"), s"factor=$factor base=$base\n")
   }
 
+  // (sentinel content is matched verbatim by main's staleness check)
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$factor")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
-    if (!Files.exists(Paths.get(s"$out/_DONE"))) synthesize(spark, base, out, factor)
+    // the sentinel records (factor, base); a cached corpus from a
+    // different configuration must not silently serve this run's slopes
+    val stamp = s"factor=$factor base=$base\n"
+    val sentinel = Paths.get(s"$out/_DONE")
+    if (!Files.exists(sentinel) || Files.readString(sentinel) != stamp)
+      synthesize(spark, base, out, factor)
 
     // session + table warmup, same rationale as Bench
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -151,8 +158,11 @@ object ScaleBench {
       ("d6_rightsized_b12t16_cos0.9", t1, tN, tN / t1)
     }
     val superlinear = rows.collect { case (n, _, _, r) if r > bound => "\"" + n + "\"" }
+    // Double.toString, not %f: format strings are JVM-locale-dependent
+    // (decimal commas corrupt the JSON)
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     val qjson = rows
-      .map { case (n, t1, tN, r) => f""""$n":{"base_sec":$t1%.3f,"scaled_sec":$tN%.3f,"ratio":$r%.2f}""" }
+      .map { case (n, t1, tN, r) => s""""$n":{"base_sec":${r3(t1)},"scaled_sec":${r3(tN)},"ratio":${r3(r)}}""" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_slope","factor":$factor,"ratio_bound":$bound,""" +

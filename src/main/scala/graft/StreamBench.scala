@@ -78,11 +78,19 @@ object StreamBench {
       q.stop()
       val steady = times.drop(1).sorted // batch 0 absorbs stream/codegen/state-store init
       val rps = (steady.length.toLong * rowsPerBatch / steady.sum).toLong
-      val medianSec = steady(steady.length / 2)
+      // true median: mean of the middle pair when the steady count is
+      // even (it always is in the throughput regime) — the upper-middle
+      // shortcut overstated a skewed 4-element run by ~35%
+      val medianSec =
+        if (steady.length % 2 == 1) steady(steady.length / 2)
+        else (steady(steady.length / 2 - 1) + steady(steady.length / 2)) / 2
+      // Double.toString, not %f: format strings are JVM-locale-dependent
+      // (decimal commas corrupt the JSON)
+      def r4(x: Double): Double = math.round(x * 10000) / 10000.0
       System.err.println(
         f"[streambench] $name@$rowsPerBatch: ${times.map(t => f"$t%.2f").mkString(" ")} s/batch, $rps rows/s, median ${medianSec}%.3f s")
-      f"""{"rows_per_sec":$rps,"median_batch_sec":$medianSec%.4f,"batch_rows":$rowsPerBatch,""" +
-        s""""batch_sec":${times.map(t => f"$t%.4f").mkString("[", ",", "]")},"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+      s"""{"rows_per_sec":$rps,"median_batch_sec":${r4(medianSec)},"batch_rows":$rowsPerBatch,""" +
+        s""""batch_sec":${times.map(t => r4(t).toString).mkString("[", ",", "]")},"state_rows":$stateRows,"state_bytes":$stateBytes}"""
     }
 
     def engine(name: String, mk: Dataset[CandleIn] => Dataset[SignalOut]): String = {

@@ -102,22 +102,33 @@ object Lifo {
 
     private def promote(): Unit = { nB = BigInt(nL); dB = BigInt(dL) }
 
-    /** value := value + delta * t / q  (n := n*q + delta*t*d; d := d*q). */
-    def fold(delta: BigInt, t: Int, q: Int): Unit = {
+    /** value := value + delta * t / q  (n := n*q + delta*t*d; d := d*q).
+      * Long-only signature so the hot path never boxes; promotes itself
+      * on arithmetic overflow.
+      */
+    def fold(delta: Long, t: Int, q: Int): Unit = {
       if (!promoted) {
-        if (delta.isValidLong) {
-          try {
-            val dl = delta.longValue
-            val n2 = Math.addExact(Math.multiplyExact(nL, q), Math.multiplyExact(Math.multiplyExact(dl, t), dL))
-            val d2 = Math.multiplyExact(dL, q)
-            // MinValue would break gcdLong's abs; treat as overflow
-            if (n2 == Long.MinValue) throw new ArithmeticException("long overflow")
-            val g = gcdLong(n2, d2)
-            nL = n2 / g; dL = d2 / g
-            return
-          } catch { case _: ArithmeticException => promote() }
-        } else promote()
+        try {
+          val n2 = Math.addExact(Math.multiplyExact(nL, q), Math.multiplyExact(Math.multiplyExact(delta, t), dL))
+          val d2 = Math.multiplyExact(dL, q)
+          // MinValue would break gcdLong's abs; treat as overflow
+          if (n2 == Long.MinValue) throw new ArithmeticException("long overflow")
+          val g = gcdLong(n2, d2)
+          nL = n2 / g; dL = d2 / g
+          return
+        } catch { case _: ArithmeticException => promote() }
       }
+      foldPromoted(BigInt(delta), t, q)
+    }
+
+    /** BigInt-delta variant for the Txn-object API, whose micros may
+      * exceed Long range for extreme (test-constructed) amounts.
+      */
+    def foldBig(delta: BigInt, t: Int, q: Int): Unit =
+      if (!promoted && delta.isValidLong) fold(delta.longValue, t, q)
+      else { if (!promoted) promote(); foldPromoted(delta, t, q) }
+
+    private def foldPromoted(delta: BigInt, t: Int, q: Int): Unit = {
       nB = nB * BigInt(q) + delta * BigInt(t) * dB
       dB = dB * BigInt(q)
       val g = nB.gcd(dB)
@@ -167,7 +178,10 @@ object Lifo {
 
     def other(): Unit = count += 1
 
-    def open(qty: Int, credit: Boolean, valueU: BigInt, feeU: BigInt, priceU: BigInt): Unit = {
+    /** Long-only money parameters — the row driver's path, allocation-
+      * free until an accumulator genuinely overflows 64 bits.
+      */
+    def open(qty: Int, credit: Boolean, valueU: Long, feeU: Long, priceU: Long): Unit = {
       count += 1
       val consumed = math.min(qty, closeBuffer)
       closeBuffer -= consumed
@@ -176,16 +190,36 @@ object Lifo {
       if (take > 0) {
         entry.fold(if (credit) valueU else -valueU, take, qty)
         fee.fold(feeU, take, qty)
-        val px = priceU * take
-        if (pxB ne null) pxB += px
-        else if (px.isValidLong) {
-          try pxL = Math.addExact(pxL, px.longValue)
-          catch { case _: ArithmeticException => pxB = BigInt(pxL) + px }
-        } else pxB = BigInt(pxL) + px
+        if (pxB ne null) pxB += BigInt(priceU) * take
+        else
+          try pxL = Math.addExact(pxL, Math.multiplyExact(priceU, take))
+          catch { case _: ArithmeticException => pxB = BigInt(pxL) + BigInt(priceU) * take }
         totalQty += take
         remaining -= take
       }
     }
+
+    /** BigInt variant for the Txn-object API (extreme test amounts). */
+    def openBig(qty: Int, credit: Boolean, valueU: BigInt, feeU: BigInt, priceU: BigInt): Unit =
+      if (valueU.isValidLong && feeU.isValidLong && priceU.isValidLong &&
+        // -Long.MinValue overflows; route the edge through the big path
+        valueU.longValue != Long.MinValue)
+        open(qty, credit, valueU.longValue, feeU.longValue, priceU.longValue)
+      else {
+        count += 1
+        val consumed = math.min(qty, closeBuffer)
+        closeBuffer -= consumed
+        val surviving = qty - consumed
+        val take = math.min(surviving, remaining)
+        if (take > 0) {
+          entry.foldBig(if (credit) valueU else -valueU, take, qty)
+          fee.foldBig(feeU, take, qty)
+          val px = priceU * take
+          if (pxB ne null) pxB += px else pxB = BigInt(pxL) + px
+          totalQty += take
+          remaining -= take
+        }
+      }
 
     /** Account `n` further (older) fills without inspecting them. */
     def tail(n: Int): Unit = count += n
@@ -216,7 +250,7 @@ object Lifo {
       val txn = it.next()
       if (CloseActions.contains(txn.action)) f.close(txn.quantity)
       else if (OpenActions.contains(txn.action))
-        f.open(txn.quantity, txn.valueEffect == "Credit", micros(txn.value), micros((txn.netValue - txn.value).abs), micros(txn.price))
+        f.openBig(txn.quantity, txn.valueEffect == "Credit", micros(txn.value), micros((txn.netValue - txn.value).abs), micros(txn.price))
       else f.other()
     }
     var n = 0
@@ -262,9 +296,12 @@ object Lifo {
       .select(
         col("symbol"),                                                    // 0
         col("executed_at_us").cast("long"),                               // 1 (sort key)
-        col("action").isin(CloseActions.toSeq: _*).as("is_close"),        // 2
-        col("action").isin(OpenActions.toSeq: _*).as("is_open"),          // 3
-        (col("value_effect") === "Credit").as("is_credit"),               // 4
+        // coalesce: NULL action/value_effect must classify as
+        // other/Debit (the Txn path's Set.contains(null) behavior),
+        // not NPE in getBoolean
+        coalesce(col("action").isin(CloseActions.toSeq: _*), lit(false)).as("is_close"),  // 2
+        coalesce(col("action").isin(OpenActions.toSeq: _*), lit(false)).as("is_open"),    // 3
+        coalesce(col("value_effect") === "Credit", lit(false)).as("is_credit"),           // 4
         microsCol(col("value")).as("value_u"),                            // 5
         microsCol(abs(col("net_value").cast(dec) - col("value").cast(dec))).as("fee_u"), // 6
         microsCol(col("price")).as("price_u"),                            // 7
@@ -288,7 +325,7 @@ object Lifo {
             val r = buf.next()
             if (r.getBoolean(2)) f.close(r.getInt(8))
             else if (r.getBoolean(3))
-              f.open(r.getInt(8), r.getBoolean(4), BigInt(r.getLong(5)), BigInt(r.getLong(6)), BigInt(r.getLong(7)))
+              f.open(r.getInt(8), r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7))
             else f.other()
           }
           var n = 0

@@ -25,6 +25,10 @@ class RelationalSpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet & SparkEntry.fittedOracleNames).isEmpty)
     assert((SparkEntry.oracleSql.keySet & SparkEntry.oracleFree).isEmpty)
     assert((SparkEntry.fittedOracleNames & SparkEntry.oracleFree).isEmpty)
+    // and the declared fitted names are exactly what the dump renders —
+    // a name in the set without a rendered entry would pass coverage
+    // here while Verify silently dumps no oracle for it
+    assert(SparkEntry.oracleSqlFitted(spark, sf0001).keySet == SparkEntry.fittedOracleNames)
   }
 
   test("latestPerKey keeps exactly one row per key, the max-order one") {
