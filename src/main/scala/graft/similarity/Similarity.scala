@@ -127,6 +127,40 @@ object Similarity {
       .map(_.getInt(0))
       .getOrElse(1)
 
+  /** Analytic sign-LSH sizing — the ScaleBench d6 finding
+    * operationalized: bucket count must GROW with the corpus or the
+    * within-bucket candidate join grows Θ(n²/2^bits) (measured 28–77×
+    * at ×10 data under the fixed small-corpus config). Picks the
+    * smallest `bits` whose expected bucket occupancy n/2^bits stays ≤
+    * `targetBucket` (candidates per table ≈ n·occupancy/2), then the
+    * table count that reaches `targetRecall` for pairs at cosine ≥
+    * `threshold`: recall = 1 − (1 − p^bits)^tables with
+    * p = 1 − acos(threshold)/π.
+    *
+    * The returned table count is itself a diagnostic: at a weak
+    * threshold (e.g. 0.4, p ≈ 0.63) the per-table hit rate p^bits
+    * collapses as bits grow and `tables` explodes into the hundreds —
+    * the analytic way of saying sign-LSH cannot prune where there is no
+    * similarity gap. At a genuine near-dup threshold (0.9 → p ≈ 0.86)
+    * the numbers stay practical: n=20k → (bits=9, tables=9),
+    * recall ≈ 0.92.
+    */
+  def lshConfigFor(
+      n: Long,
+      threshold: Double,
+      targetBucket: Int = 64,
+      targetRecall: Double = 0.9
+  ): (Int, Int) = {
+    require(n > 0 && targetBucket > 0, s"need positive corpus/bucket, got n=$n targetBucket=$targetBucket")
+    require(threshold > -1.0 && threshold < 1.0, s"cosine threshold must be in (-1, 1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall must be in (0, 1), got $targetRecall")
+    val bits = math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBits = math.pow(p, bits)
+    val tables = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBits)).toInt)
+    (bits, tables)
+  }
+
   /** Scale-safe embedding near-dup PAIRS via banded sign-LSH — the
     * embedding analog of [[graft.dedup.Dedup.minhashLshPairs]] and the
     * 100 TB path that replaces [[cosineNearDupPairs]] (the exact O(n²)
@@ -145,7 +179,9 @@ object Similarity {
     * candidates no matter the banding (no similarity gap to exploit). A
     * production near-dup pass at cosine ≥0.9 (p≈0.9) should use bits
     * 12–16 / tables 8–16: bucket occupancy shrinks by 2^bits, which is
-    * what keeps the within-bucket pair join sub-quadratic at scale.
+    * what keeps the within-bucket pair join sub-quadratic at scale —
+    * or compute the pair analytically from (n, threshold, recall) with
+    * [[lshConfigFor]].
     */
   /** The seeded hyperplane family for a banded sign-LSH table set —
     * factored out so the DuckDB oracle can embed the SAME plane values

@@ -156,4 +156,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = (planted & found).size.toDouble / planted.size
     assert(recall >= 0.95, s"planted recall $recall")
   }
+
+  test("lshConfigFor: occupancy bound, analytic recall guarantee, weak-threshold diagnostic") {
+    def analyticRecall(bits: Int, tables: Int, threshold: Double): Double = {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    }
+    // pinned production case from the scaladoc
+    assert(Similarity.lshConfigFor(20000, 0.9) == (9, 9))
+    // bound + guarantee over a (n, threshold) grid in the strong regime
+    for {
+      n <- Seq(1000L, 20000L, 1000000L, 100000000L)
+      th <- Seq(0.7, 0.8, 0.9, 0.95)
+    } {
+      val (bits, tables) = Similarity.lshConfigFor(n, th)
+      assert(n.toDouble / (1L << bits) <= 64.0 || bits >= 62, s"occupancy bound broken at n=$n th=$th")
+      assert(analyticRecall(bits, tables, th) >= 0.9, s"recall guarantee broken at n=$n th=$th")
+      // bits monotone in n (same threshold, doubled corpus never shrinks bits)
+      assert(Similarity.lshConfigFor(n * 2, th)._1 >= bits)
+    }
+    // weak threshold: the table count explodes — the analytic signal
+    // that sign-LSH cannot prune where there is no similarity gap
+    assert(Similarity.lshConfigFor(20000, 0.4)._2 > 100)
+  }
 }
