@@ -114,6 +114,22 @@ class LifoSpec extends SparkSpec {
     assert(out.head.getInt(4) == n + 1) // transaction_count still counts the tail
   }
 
+  test("NULL action/value_effect rows classify as other/Debit, never NPE (row driver == Txn path)") {
+    import spark.implicits._
+    val txns = Seq(
+      ("A", 4L, "Sell to Open", 1.0, 300.0, "Credit", 300.0, 3),
+      ("A", 3L, null, 1.0, 999.0, "Credit", 999.0, 9), // null action -> 'other': counted, never netted
+      ("A", 2L, "Buy to Open", 1.0, 200.0, null, 200.0, 2), // null effect -> Debit sign
+      ("A", 1L, "Sell to Open", 1.0, 400.0, "Credit", 400.0, 4)
+    ).toDF("symbol", "executed_at_us", "action", "price", "value", "value_effect", "net_value", "quantity")
+    val pos = Seq(("A", 5)).toDF("symbol", "current_qty")
+    val out = Lifo.entryCredits(txns, pos).collect()
+    assert(out.length == 1)
+    // 3 @ Credit 300 + 2 @ Debit 200 = +300 - 200 = 100
+    assert(out.head.getDecimal(1).doubleValue() == 100.0)
+    assert(out.head.getInt(4) == 4) // the null-action row still counts
+  }
+
   test("replayStream on a pre-sorted iterator equals replay on the same data") {
     val ts = Seq(
       txn(3, "Sell to Open", 3, BigDecimal(300)),
