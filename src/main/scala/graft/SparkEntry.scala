@@ -123,12 +123,9 @@ object SparkEntry {
     * semantics); the driver records a weaker rows-only check for these and
     * ScalaTest specs carry the correctness burden instead.
     */
-  def oracleFree: Set[String] = Set(
-    // greedy combinatorial pattern matching (SURVEY §2.11) — correctness
-    // carried by StrategiesSpec (reference canonical cases + ScalaCheck
-    // differential invariants).
-    "s11_classify"
-  )
+  def oracleFree: Set[String] = Set.empty
+  // (s11_classify, the last member, was fixture-pinned in round 6 — the
+  // m1 decode-expectation technique applied to the greedy classifier.)
 }
 
 /** Parameters shared VERBATIM between a query and its oracle SQL —
@@ -141,9 +138,18 @@ private[graft] object QueryParams {
   val X11Quota: Int = 20
   val X12SpanWidth: Int = 13
   val X12MaxDupFrac: Double = 0.3
-  // committed decode-expectation fixture (see graft.GenM1Fixture);
-  // absolute because the DuckDB oracle reads the same file
-  val M1FixturePath: String = "/root/repo/fixtures/m1_expected.parquet"
+  // Committed expectation fixtures (see graft.GenM1Fixture /
+  // graft.GenS11Fixture). The directory is env/sysprop-overridable for
+  // checkouts not at /root/repo; the resolved value must be ABSOLUTE
+  // because the dumped oracle SQL embeds it verbatim and the driver's
+  // DuckDB runs with an unknown working directory.
+  private val FixturesDir: String =
+    sys.env
+      .get("SPARK_GRAFT_FIXTURES_DIR")
+      .orElse(sys.props.get("graft.fixtures.dir"))
+      .getOrElse("/root/repo/fixtures")
+  val M1FixturePath: String = s"$FixturesDir/m1_expected.parquet"
+  val S11FixturePath: String = s"$FixturesDir/s11_expected.parquet"
 }
 
 /** The concrete query programs, one per SURVEY §2 operator. */
@@ -1035,14 +1041,31 @@ object Queries {
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
-  /** §2.11 — greedy strategy classification over synthetic option legs
-    * derived deterministically from part (underlying per brand).
+  /** §2.11 legs synthesis, shared VERBATIM with [[GenS11Fixture]] so the
+    * fixture generator and the live query cannot drift (the same
+    * coupling discipline as Multimodal.packDocuments for m1).
+    *
+    * underlying = blocks of 10 consecutive partkeys: group size stays
+    * portfolio-shaped (~10 legs) at every scale factor — the greedy
+    * matcher's combinations(n, 4) must never see data-volume-sized n.
+    * partkeys are 0-based and contiguous at every sf, so every block is
+    * COMPLETE and a group's content is scale-invariant: sf0.01's groups
+    * are a strict subset of sf0.1's, which is what lets one committed
+    * sf0.1 fixture serve every scale (the oracle scale-filters by
+    * joining part, exactly like m1's join on documents).
+    *
+    * Every derived field is a function of p_partkey / p_retailprice
+    * ONLY: those are scale-invariant in the corpus, whereas p_size is
+    * drawn independently per scale factor (sf0.01's partkey 0 has
+    * p_size 11, sf0.1's has 1) — a p_size-derived leg field would make
+    * the same underlying classify differently per sf and invalidate the
+    * single committed fixture (caught by the cross-scale verify probe).
+    * Within a block of 10, k mod 2 (sign) and k mod 5 (option type) are
+    * independent by CRT, and the absolute-key mod-7 equity slot and
+    * div-3 expiration shift per block, so matcher variety is preserved.
     */
-  def s11Classify(spark: SparkSession, dir: String): DataFrame = {
-    // underlying = blocks of 10 consecutive partkeys: group size stays
-    // portfolio-shaped (~10 legs) at every scale factor — the greedy
-    // matcher's combinations(n, 4) must never see data-volume-sized n
-    val legs = Tables
+  def s11Legs(spark: SparkSession, dir: String): DataFrame = {
+    Tables
       .part(spark, dir)
       .select(
         concat(lit("L"), $"p_partkey").as("symbol"),
@@ -1051,16 +1074,67 @@ object Queries {
         (when(pmod($"p_partkey", lit(2)) === 0, 1.0).otherwise(-1.0) *
           (pmod($"p_partkey", lit(3)) + 1)).as("signed_quantity"),
         when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("string"))
-          .otherwise(when(pmod($"p_size", lit(2)) === 0, "C").otherwise("P")).as("option_type"),
+          .otherwise(when(pmod($"p_partkey", lit(5)) < 2, "C").otherwise("P")).as("option_type"),
+        // strike ladder: the block's retailprice base plus a mod-4 rung
+        // (0/5/10/15) — without the rungs a block's strikes collapse to
+        // ~one value (retailprice spans 1.0 per block) and the
+        // same-expiry different-strike matchers (verticals, condors,
+        // butterflies) never fire
         when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("decimal(12,3)"))
-          .otherwise(round($"p_retailprice", 0).cast("decimal(12,3)")).as("strike"),
+          .otherwise((round($"p_retailprice", 0) + pmod($"p_partkey", lit(4)) * 5).cast("decimal(12,3)")).as("strike"),
         when(pmod($"p_partkey", lit(7)) === 0, lit(null).cast("date"))
-          .otherwise(date_add(lit(java.sql.Date.valueOf("2026-03-20")), (pmod($"p_size", lit(3)) * 28).cast("int"))).as("expiration")
+          .otherwise(
+            date_add(
+              lit(java.sql.Date.valueOf("2026-03-20")),
+              (pmod(expr("p_partkey div 3"), lit(3)) * 28).cast("int")
+            )
+          ).as("expiration")
+      )
+  }
+
+  /** §2.11 — greedy strategy classification, CHECKED instance-by-instance
+    * against the committed classification-expectation fixture
+    * (GenS11Fixture): each live strategy instance is identified by its
+    * exact leg set (sorted leg_symbols — greedy matching consumes every
+    * leg exactly once, so leg sets are disjoint and the key is unique
+    * within an underlying) and compared on (strategy_type, n_legs,
+    * net_qty). `n_match` counts instances whose live classification
+    * equals the fixture's — so the DuckDB oracle, which recomputes the
+    * whole aggregate from the fixture alone (greedy combinatorial
+    * matching is not SQL-expressible; the fixture is the hashable
+    * surface), hash-fails if any classification diverges (n_match < n,
+    * or the group keys/counts shift). Determinism of the classify output
+    * under shuffle — the property that makes a committed fixture valid —
+    * is proven by StrategyClassifierPropSpec's shuffled-row-order test;
+    * independence from the fixture is carried by the reference canonical
+    * cases + ScalaCheck invariants in StrategiesSpec.
+    */
+  def s11Classify(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.read
+      .parquet(QueryParams.S11FixturePath)
+      .select(
+        $"underlying".as("f_underlying"),
+        $"legs_key".as("f_legs_key"),
+        $"strategy_type".as("exp_type"),
+        $"n_legs".as("exp_n_legs"),
+        $"net_qty".as("exp_net_qty")
       )
     graft.strategies.Strategies
-      .classify(spark, legs)
+      .classify(spark, s11Legs(spark, dir))
+      .withColumn("legs_key", concat_ws(",", array_sort($"leg_symbols")))
+      .join(
+        broadcast(fixture),
+        $"underlying" === $"f_underlying" && $"legs_key" === $"f_legs_key",
+        "left"
+      )
       .groupBy($"underlying", $"strategy_type")
-      .agg(count(lit(1)).as("n"), sum($"n_legs").as("total_legs"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_legs").as("total_legs"),
+        count(
+          when($"strategy_type" <=> $"exp_type" && $"n_legs" <=> $"exp_n_legs" && $"net_qty" <=> $"exp_net_qty", 1)
+        ).as("n_match")
+      )
       .orderBy("underlying", "strategy_type")
   }
 
@@ -1758,6 +1832,28 @@ object Oracles {
          |FROM read_parquet('${QueryParams.M1FixturePath}') f
          |JOIN documents d ON d.doc_id = f.doc_id
          |GROUP BY f.format ORDER BY f.format""".stripMargin,
+    // S11 — greedy combinatorial strategy matching is not SQL-expressible,
+    // but (like m1) it doesn't need to be: classification is a pure
+    // deterministic function of the legs table (StrategyClassifierPropSpec
+    // proves shuffle-invariance), so the committed expectation fixture
+    // (GenS11Fixture, generated at sf0.1 whose underlying groups are a
+    // strict superset of every smaller sf's — partkey blocks of 10 are
+    // complete at every scale) is the hashable surface. The oracle
+    // recomputes the per-(underlying, strategy_type) aggregate from the
+    // fixture alone, scale-filtered by joining part (m1's documents-join
+    // trick); the Spark query classifies LIVE and counts per-instance
+    // fixture matches, so any divergence breaks the hash (n_match < n,
+    // or shifted group keys/counts).
+    "s11_classify" ->
+      s"""SELECT f.underlying, f.strategy_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(f.n_legs) AS BIGINT) AS total_legs,
+         |  CAST(count(*) AS BIGINT) AS n_match
+         |FROM read_parquet('${QueryParams.S11FixturePath}') f
+         |JOIN (SELECT DISTINCT 'U' || CAST(p_partkey // 10 AS VARCHAR) AS underlying FROM part) p
+         |  ON p.underlying = f.underlying
+         |GROUP BY f.underlying, f.strategy_type
+         |ORDER BY f.underlying, f.strategy_type""".stripMargin,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
