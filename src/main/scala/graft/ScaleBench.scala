@@ -40,7 +40,10 @@ object ScaleBench {
   /** The 8 heaviest queries of the round-5 bench (driver figures),
     * spanning the distinct engine shapes: blocked exact Jaccard,
     * stateful fold, LIFO replay, span aggregation, LSH banding,
-    * iterative components, anti-join filter, grid fill.
+    * iterative components, anti-join filter, grid fill — plus
+    * s11_classify (greedy combinatorial matching over per-underlying
+    * groups: group SIZE is scale-invariant by construction, so the
+    * flatMapGroups work should scale with the number of groups, ~flat).
     */
   val Heavy: Seq[String] = Seq(
     "d4_ngram_jaccard",
@@ -50,7 +53,8 @@ object ScaleBench {
     "d6_embed_lsh_pairs",
     "d8_components",
     "d8b_dedup_filter",
-    "w6_forward_fill"
+    "w6_forward_fill",
+    "s11_classify"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
@@ -94,8 +98,27 @@ object ScaleBench {
         .withColumn("l_suppkey", $"l_suppkey" + lit(k * skStride))
     }
 
-    Files.writeString(Paths.get(s"$out/_DONE"), s"factor=$factor base=$base\n")
+    // part: partkey shift by a multiple of 10 keeps s11's 10-key
+    // underlying blocks intact, so each copy contributes stride/10 new
+    // groups of the ORIGINAL group sizes (retailprice is untouched —
+    // each copy classifies identically to the base; the fixture join
+    // simply finds no rows for shifted underlyings, which costs nothing)
+    val pkMax = spark.read.parquet(s"$base/part.parquet").agg(max("p_partkey")).as[Long].head()
+    val pkStride = ((pkMax + 1 + 9) / 10) * 10
+    copies("part") { (df, k) =>
+      df.withColumn("p_partkey", $"p_partkey" + lit(k * pkStride))
+    }
+
+    Files.writeString(Paths.get(s"$out/_DONE"), stamp(factor, base))
   }
+
+  /** Sentinel content: includes the synthesized TABLE SET so adding a
+    * table to the synthesis (round 6: part, for s11) invalidates a
+    * cached corpus from before the addition instead of serving a corpus
+    * missing the new file.
+    */
+  def stamp(factor: Int, base: String): String =
+    s"factor=$factor base=$base tables=documents,embeddings,events,lineitem,part\n"
 
   // (sentinel content is matched verbatim by main's staleness check)
 
@@ -105,17 +128,16 @@ object ScaleBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$factor")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
-    // the sentinel records (factor, base); a cached corpus from a
-    // different configuration must not silently serve this run's slopes
-    val stamp = s"factor=$factor base=$base\n"
+    // the sentinel records (factor, base, table set); a cached corpus
+    // from a different configuration must not silently serve this run
     val sentinel = Paths.get(s"$out/_DONE")
-    if (!Files.exists(sentinel) || Files.readString(sentinel) != stamp)
+    if (!Files.exists(sentinel) || Files.readString(sentinel) != stamp(factor, base))
       synthesize(spark, base, out, factor)
 
     // session + table warmup, same rationale as Bench
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     Seq(base, out).foreach { d =>
-      Seq("documents", "embeddings", "events", "lineitem").foreach { t =>
+      Seq("documents", "embeddings", "events", "lineitem", "part").foreach { t =>
         spark.read.parquet(s"$d/$t.parquet").write.format("noop").mode("overwrite").save()
       }
     }
@@ -132,16 +154,17 @@ object ScaleBench {
     // small-corpus oracle pin: candidate pairs grow Θ(n²/2^(bits+1)),
     // so the harness flags it super-linear BY CONSTRUCTION — the first
     // run measured 77× at ×10, exactly the quadratic the math predicts.
-    // The production regime the operator documents (strong-similarity
-    // near-dup, cos ≥ 0.9, bits 12–16) keeps bucket occupancy small;
-    // this twin measures THAT config on the same corpora to show the
-    // banding knob — not the operator — is what restores the slope.
-    def timeD6Rightsized(dir: String): Double = {
+    // This twin measures the operator's DEFAULT path on the same corpora
+    // at the production near-dup threshold (cos ≥ 0.9, no knobs passed):
+    // lshConfigFor derives (bits, tables) from the live corpus count, so
+    // the measurement is of what a caller actually gets — the derived
+    // config grows bits with n, which is what restores the slope.
+    def timeD6Default(dir: String): Double = {
       val t0 = System.nanoTime()
       graft.similarity.Similarity
         .lshNearDupPairs(
           spark.read.parquet(s"$dir/embeddings.parquet"),
-          "vec_id", "embedding", threshold = 0.9, bits = 12, tables = 16)
+          "vec_id", "embedding", threshold = 0.9)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -153,9 +176,9 @@ object ScaleBench {
       System.err.println(f"[scalebench] $name: $t1%.2f s -> $tN%.2f s at x$factor (ratio $ratio%.1f)")
       (name, t1, tN, ratio)
     } :+ {
-      val (t1, tN) = (timeD6Rightsized(base), timeD6Rightsized(out))
-      System.err.println(f"[scalebench] d6_rightsized: $t1%.2f s -> $tN%.2f s at x$factor (ratio ${tN / t1}%.1f)")
-      ("d6_rightsized_b12t16_cos0.9", t1, tN, tN / t1)
+      val (t1, tN) = (timeD6Default(base), timeD6Default(out))
+      System.err.println(f"[scalebench] d6_default: $t1%.2f s -> $tN%.2f s at x$factor (ratio ${tN / t1}%.1f)")
+      ("d6_default_path_cos0.9", t1, tN, tN / t1)
     }
     val superlinear = rows.collect { case (n, _, _, r) if r > bound => "\"" + n + "\"" }
     // Double.toString, not %f: format strings are JVM-locale-dependent
@@ -167,7 +190,7 @@ object ScaleBench {
     val json =
       s"""{"metric":"scale_slope","factor":$factor,"ratio_bound":$bound,""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},"queries":$qjson,""" +
-        """"notes":"sub-linear ratios are input-parallelism artifacts (base sf0.1 tables are single parquet files -> one scan partition; the scaled corpus parallelizes 32-way); d6 at its pinned small-corpus oracle config (bits=2) is quadratic by construction and flagged, its rightsized production twin is the scale path"}"""
+        """"notes":"sub-linear ratios are input-parallelism artifacts (base sf0.1 tables are single parquet files -> one scan partition; the scaled corpus parallelizes 32-way); d6 at its pinned small-corpus oracle config (bits=2) is quadratic by construction and flagged, the d6_default_path twin measures the operator's no-knob default (lshConfigFor-derived bits/tables at cos 0.9), which is the scale path a caller actually gets"}"""
     println(json)
     Files.writeString(Paths.get("SCALEBENCH.json"), json + "\n")
     spark.stop()

@@ -856,7 +856,12 @@ object Queries {
     */
   def d6EmbedLshPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity
-      .lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      // EXPLICIT pin (bits=2, tables=8): the d6_buckets oracle bakes this
+      // config's hyperplanes as SQL literals, so it must not float with
+      // the corpus. The operator's default path now derives a scale-safe
+      // config from (count, threshold) via lshConfigFor — the quadratic
+      // small-config can only happen by a pin like this one.
+      .lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4, bits = 2, tables = 8)
       .orderBy("id_a", "id_b")
 
   /** The d6 BLOCKING step alone — seeded sign-LSH bucket assignment at

@@ -259,11 +259,18 @@ object Lifo {
     f.finish(symbol)
   }
 
+  // Money outputs carry (24,6): inputs are (18,6)-bounded by contract,
+  // but a single fill's |net − value| fee difference legitimately
+  // reaches 2×10^12 (precision 19) and the fold SUMS fees/credits over
+  // a symbol's fills — the wider lattice gives the sums headroom
+  // instead of an ANSI overflow at the output cast. Exactness is
+  // preserved end-to-end by the rational accumulator; the a8 compare
+  // surface casts to double regardless.
   val outputSchema: StructType = StructType(Seq(
     StructField("symbol", StringType),
-    StructField("entry_credit", DecimalType(18, 6)),
-    StructField("fees", DecimalType(18, 6)),
-    StructField("weighted_price", DecimalType(18, 6), nullable = true),
+    StructField("entry_credit", DecimalType(24, 6)),
+    StructField("fees", DecimalType(24, 6)),
+    StructField("weighted_price", DecimalType(24, 6), nullable = true),
     StructField("transaction_count", IntegerType)
   ))
 
@@ -291,6 +298,13 @@ object Lifo {
     val dec = DecimalType(18, 6)
     def microsCol(c: org.apache.spark.sql.Column) =
       (c.cast(dec) * lit(1000000L)).cast(LongType)
+    // the (net_value − value) difference of two (18,6)-bounded inputs
+    // needs precision 19: re-casting it through dec(18,6) would overflow
+    // to NULL (non-ANSI) for a legitimate |net − value| ≥ 10^12 and then
+    // NPE in the executor's getLong. (19,6) holds the exact difference,
+    // and its micros stay < 2×10^18 < Long.MaxValue.
+    def microsColWide(c: org.apache.spark.sql.Column) =
+      (c.cast(DecimalType(19, 6)) * lit(1000000L)).cast(LongType)
     val joined = txns
       .join(positions.select(col("symbol"), col("current_qty")), Seq("symbol"))
       .select(
@@ -303,7 +317,7 @@ object Lifo {
         coalesce(col("action").isin(OpenActions.toSeq: _*), lit(false)).as("is_open"),    // 3
         coalesce(col("value_effect") === "Credit", lit(false)).as("is_credit"),           // 4
         microsCol(col("value")).as("value_u"),                            // 5
-        microsCol(abs(col("net_value").cast(dec) - col("value").cast(dec))).as("fee_u"), // 6
+        microsColWide(abs(col("net_value").cast(dec) - col("value").cast(dec))).as("fee_u"), // 6
         microsCol(col("price")).as("price_u"),                            // 7
         col("quantity").cast("int").as("qty"),                            // 8
         col("current_qty").cast("int")                                    // 9

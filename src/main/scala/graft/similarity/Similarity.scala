@@ -144,12 +144,22 @@ object Similarity {
     * similarity gap. At a genuine near-dup threshold (0.9 → p ≈ 0.86)
     * the numbers stay practical: n=20k → (bits=9, tables=9),
     * recall ≈ 0.92.
+    *
+    * `maxTables` turns the no-similarity-gap condition into a LOUD
+    * failure instead of an absurd plan: when the analytic table count
+    * exceeds it (or p^bits underflows entirely, which previously
+    * saturated to Int.MaxValue), the require names the regime and tells
+    * the caller to pin explicit knobs. 4096 sits well above every
+    * legitimate strong-regime config (n=10^8 at threshold 0.7 needs
+    * ~1.1k tables) and well below the weak-regime explosion (n=10^8 at
+    * 0.4 wants ~36k).
     */
   def lshConfigFor(
       n: Long,
       threshold: Double,
       targetBucket: Int = 64,
-      targetRecall: Double = 0.9
+      targetRecall: Double = 0.9,
+      maxTables: Int = 4096
   ): (Int, Int) = {
     require(n > 0 && targetBucket > 0, s"need positive corpus/bucket, got n=$n targetBucket=$targetBucket")
     require(threshold > -1.0 && threshold < 1.0, s"cosine threshold must be in (-1, 1), got $threshold")
@@ -157,8 +167,14 @@ object Similarity {
     val bits = math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBits = math.pow(p, bits)
-    val tables = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBits)).toInt)
-    (bits, tables)
+    val tablesD = math.max(1.0, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBits)))
+    require(
+      java.lang.Double.isFinite(tablesD) && tablesD <= maxTables,
+      f"sign-LSH cannot prune at threshold $threshold for n=$n: per-table hit rate p^bits = $pBits%.3g " +
+        f"needs ${tablesD}%.3g tables to reach recall $targetRecall (cap $maxTables) — there is no " +
+        "similarity gap to exploit at this threshold; use the exact verifier or pin explicit (bits, tables)"
+    )
+    (bits, tablesD.toInt)
   }
 
   /** Scale-safe embedding near-dup PAIRS via banded sign-LSH — the
@@ -173,15 +189,19 @@ object Similarity {
     * cosine verify ≥ `threshold` after re-acquiring vectors by id.
     *
     * Tuning: a pair at angle θ collides in one table with prob
-    * p^bits, p = 1 − θ/π; recall = 1 − (1 − p^bits)^tables. Defaults
-    * (bits=2, tables=8) give ≥98.7% recall at cosine 0.4 — the weak-
-    * similarity regime of the test corpus, where near-all-pairs are
-    * candidates no matter the banding (no similarity gap to exploit). A
-    * production near-dup pass at cosine ≥0.9 (p≈0.9) should use bits
-    * 12–16 / tables 8–16: bucket occupancy shrinks by 2^bits, which is
-    * what keeps the within-bucket pair join sub-quadratic at scale —
-    * or compute the pair analytically from (n, threshold, recall) with
-    * [[lshConfigFor]].
+    * p^bits, p = 1 − θ/π; recall = 1 − (1 − p^bits)^tables. BY DEFAULT
+    * (bits/tables not passed, i.e. ≤ 0) the config is derived from the
+    * corpus count and the threshold via [[lshConfigFor]] — occupancy
+    * stays bounded as the corpus grows, so the measured-quadratic
+    * small-config (ScaleBench's 28× d6 finding) can only happen by
+    * explicit pin, which is exactly what the hash-pinned oracle queries
+    * do (their hyperplane literals are baked for a fixed config). The
+    * derivation costs one count() over the corpus — at parquet scale a
+    * metadata-cheap job, negligible against the pair join it sizes. A
+    * production near-dup pass at cosine ≥0.9 (p≈0.9) derives to bits
+    * 10–16 / tables ~6–16 depending on n: bucket occupancy shrinks by
+    * 2^bits, which is what keeps the within-bucket pair join
+    * sub-quadratic at scale.
     */
   /** The seeded hyperplane family for a banded sign-LSH table set —
     * factored out so the DuckDB oracle can embed the SAME plane values
@@ -190,6 +210,25 @@ object Similarity {
     */
   def tablePlanes(bits: Int, tables: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
     Array.tabulate(tables)(t => hyperplanes(bits, dim, seed = seed + 1000L * t))
+
+  /** Resolve an operator's (bits, tables): the caller's explicit pin
+    * when BOTH are positive, else the [[lshConfigFor]] derivation from
+    * the live corpus count — mixing one explicit knob with one derived
+    * is rejected (the two only make sense as a pair; a half-pin would
+    * silently run a config nobody chose).
+    */
+  private def derivedConfig(
+      df: DataFrame,
+      threshold: Double,
+      bits: Int,
+      tables: Int,
+      targetRecall: Double
+  ): (Int, Int) =
+    if (bits > 0 && tables > 0) (bits, tables)
+    else {
+      require(bits <= 0 && tables <= 0, s"pass both bits and tables, or neither (got bits=$bits tables=$tables)")
+      lshConfigFor(math.max(1L, df.count()), threshold, targetRecall = targetRecall)
+    }
 
   /** The blocking step of [[lshNearDupPairs]] on its own: the slim
     * (tbl, bucket, id) bucket-assignment relation. Deterministic given
@@ -221,15 +260,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 2,
-      tables: Int = 8,
-      seed: Long = 42L
+      bits: Int = 0,
+      tables: Int = 0,
+      seed: Long = 42L,
+      targetRecall: Double = 0.98
   ): DataFrame = {
+    // default path: derive the scale-safe config analytically. The 0.98
+    // analytic recall target holds at EXACTLY the threshold; pairs above
+    // it collide strictly more often, so measured recall sits higher
+    // (the spec's 0.95 bar rides this path).
+    val (bitsR, tablesR) = derivedConfig(df, threshold, bits, tables, targetRecall)
     val dim = inferDim(df, vecCol)
     val v = df
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val slim = bucketAssignments(df, idCol, vecCol, bits, tables, seed, dim)
+    val slim = bucketAssignments(df, idCol, vecCol, bitsR, tablesR, seed, dim)
     val a = slim.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val b = slim.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val candidates = a
@@ -462,7 +507,13 @@ object Similarity {
     * query in ANY table; candidates are exactly re-ranked by cosine.
     *
     * Recall ≈ 1 − (1 − p^bits)^tables where p = 1 − θ/π per bit — tune
-    * (bits, tables) to the corpus's similarity regime. Candidates arrive
+    * (bits, tables) to the corpus's similarity regime, or let the
+    * DEFAULT path derive them from the corpus count via [[lshConfigFor]]
+    * (bits/tables not passed): top-k has no threshold, so the sizing
+    * anchors on `expectedCos`, the similarity level at which the
+    * analytic recall target is honored — neighbors nearer than that are
+    * found strictly more often, farther ones less (lower `expectedCos`
+    * buys wider recall with more tables). Candidates arrive
     * via an equi-join on (table, bucket) — shuffle-free here because the
     * query side broadcasts; at 100 TB the corpus would be written
     * bucket-partitioned so each probe is a pruned scan, and duplicate
@@ -475,15 +526,17 @@ object Similarity {
       vecCol: String,
       queries: DataFrame,
       k: Int,
-      bits: Int = 4,
-      tables: Int = 6,
-      seed: Long = 42L
+      bits: Int = 0,
+      tables: Int = 0,
+      seed: Long = 42L,
+      expectedCos: Double = 0.8
   ): DataFrame = {
+    val (bitsR, tablesR) = derivedConfig(corpus, expectedCos, bits, tables, targetRecall = 0.95)
     val dim = inferDim(corpus, vecCol)
     // single-definition plane family (shared with bucketAssignments and
     // the n2 oracle's SQL literals) — an inline re-derivation here would
     // silently desynchronize the query from its oracle on any edit
-    val planes = tablePlanes(bits, tables, dim, seed)
+    val planes = tablePlanes(bitsR, tablesR, dim, seed)
     def buckets(vec: Column): Column =
       array(planes.zipWithIndex.map { case (ps, t) =>
         struct(lit(t).as("tbl"), signBucket(vec, ps).as("bucket"))

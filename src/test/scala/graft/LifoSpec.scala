@@ -130,6 +130,22 @@ class LifoSpec extends SparkSpec {
     assert(out.head.getInt(4) == 4) // the null-action row still counts
   }
 
+  test("fee intermediate survives |net - value| >= 10^12 (the decimal(19,6) difference)") {
+    import spark.implicits._
+    // two legitimate (18,6)-bounded inputs whose DIFFERENCE needs
+    // precision 19: value 9e11, net −9e11 → fee 1.8e12. Re-casting the
+    // difference through dec(18,6) overflowed it to NULL (non-ANSI) and
+    // NPE'd in getLong on the executor; the wide micros path keeps it
+    // exact (1.8e18 micros < Long.MaxValue).
+    val txns = Seq(
+      ("W", 1L, "Sell to Open", 1.0, 9.0e11, "Credit", -9.0e11, 5)
+    ).toDF("symbol", "executed_at_us", "action", "price", "value", "value_effect", "net_value", "quantity")
+    val pos = Seq(("W", 5)).toDF("symbol", "current_qty")
+    val out = Lifo.entryCredits(txns, pos).collect()
+    assert(out.length == 1)
+    assert(out.head.getDecimal(2).doubleValue() == 1.8e12) // fees column, exact
+  }
+
   test("replayStream on a pre-sorted iterator equals replay on the same data") {
     val ts = Seq(
       txn(3, "Sell to Open", 3, BigDecimal(300)),

@@ -123,7 +123,10 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall — quantization noise should cost little at top-5")
   }
 
-  test("lshNearDupPairs recall >= 95% of the exact d5 pairs (real embeddings)") {
+  test("lshNearDupPairs recall >= 95% of the exact d5 pairs (real embeddings, DEFAULT path)") {
+    // no bits/tables passed: this rides the lshConfigFor-derived default
+    // — the config a caller actually gets — so the recall bar certifies
+    // the default sizing, not a hand-tuned pin
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity
       .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
@@ -178,5 +181,37 @@ class SimilaritySpec extends SparkSpec {
     // weak threshold: the table count explodes — the analytic signal
     // that sign-LSH cannot prune where there is no similarity gap
     assert(Similarity.lshConfigFor(20000, 0.4)._2 > 100)
+    // ...and past the cap the condition fails LOUDLY instead of
+    // returning a saturated Int.MaxValue table count (which a caller
+    // feeding the result into lshNearDupPairs would turn into an absurd
+    // plan): n=10^8 at threshold 0.4 wants ~36k tables
+    val e = intercept[IllegalArgumentException](Similarity.lshConfigFor(100000000L, 0.4))
+    assert(e.getMessage.contains("similarity gap"))
+    // p^bits full underflow (the Int.MaxValue saturation case) also dies
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshConfigFor(1000000000000L, 0.05)
+    }.getMessage.contains("similarity gap"))
+  }
+
+  test("default-path config: operators derive lshConfigFor's exact (bits, tables); half-pins rejected") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val (b, t) = Similarity.lshConfigFor(n, 0.9, targetRecall = 0.98)
+    // derivation is referentially transparent: the default path emits
+    // bit-identical pairs to an explicit pin at the derived config
+    val viaDefault = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val viaExplicit = Similarity
+      .lshNearDupPairs(emb, "vec_id", "embedding", 0.9, bits = b, tables = t)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(viaDefault == viaExplicit)
+    // occupancy bound at the derived config — the property that keeps
+    // the within-bucket join sub-quadratic as n grows
+    assert(n.toDouble / (1L << b) <= 64.0)
+    // one explicit knob without the other is a config nobody chose
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, bits = 12)
+    }.getMessage.contains("both"))
   }
 }
