@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Relational
 
@@ -497,6 +497,97 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
     Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
+
+  /** Materialize the IVF index [[ivfTopK]] describes for 100 TB: the
+    * corpus written PARTITIONED BY its nearest-centroid cell, with the
+    * centroid model as an underscore-prefixed sidecar inside the same
+    * root (partition discovery ignores `_`-prefixed paths, so the index
+    * root stays a single self-describing artifact). A probe then reads
+    * only its cells' directories — see [[ivfTopKIndexed]].
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      centroidModel: Option[Array[Array[Double]]] = None
+  ): Unit = {
+    val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
+    corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq
+      .map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_centroids")
+  }
+
+  /** The index's centroid model, read back from the sidecar — bounded
+    * model state (nCentroids × dim doubles), same class of collect as
+    * [[resolveCentroids]]'s fallback.
+    */
+  def readIvfCentroids(spark: SparkSession, path: String): Array[(Int, Array[Double])] =
+    spark.read
+      .parquet(s"$path/_centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+  /** IVF top-k against a [[writeIvfIndex]] artifact — the partition-
+    * pruned form of [[ivfTopK]]: the distinct probed cells (a bounded
+    * model-state collect, ≤ |queries| × nProbe ints — ANN probes a
+    * bounded query set by construction) are rendered as an `isin`
+    * LITERAL into the scan filter, so Catalyst prunes the non-probed
+    * cell directories at PLANNING time and the job never lists, opens,
+    * or decodes them. At 1000 executors over 100 TB this is the
+    * difference between a full-corpus scan per probe batch and reading
+    * nProbe/nCentroids of the data; IvfIndexSpec pins both the pruning
+    * (selectedPartitions < nCentroids) and result-equality with the
+    * unindexed [[ivfTopK]] under the same model.
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn(
+        "cell",
+        explode(
+          slice(
+            transform(reverse(array_sort(cellScoresCol(col("q_vec"), centroids))), s => s.getField("cell")),
+            1,
+            nProbe
+          )
+        )
+      )
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val indexed = spark.read.parquet(path).filter(col("cell").isin(probedCells.toSeq: _*))
+    val scored = indexed
+      .select(col("id").as("nbr_id"), col("v").as("nbr_vec"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    graft.ops.Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
   }
