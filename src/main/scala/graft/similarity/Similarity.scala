@@ -654,4 +654,97 @@ object Similarity {
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
   }
+
+  /** Materialize the bucket-partitioned LSH index [[lshTopK]] describes
+    * for 100 TB: each table's bucketed copy of the corpus written
+    * PARTITIONED BY (tbl, bucket), with the (bits, tables, seed, dim)
+    * config as an in-root `_config` sidecar — the hyperplane family is a
+    * pure function of the config ([[tablePlanes]]), so the sidecar fully
+    * reconstructs the model at probe time. Storage is ×`tables` (the
+    * classic multi-table LSH trade: each table IS an index); where that
+    * is too dear, the slim variant — partition only (tbl, bucket, id)
+    * and re-acquire vectors from an id-bucketed base corpus
+    * ([[graft.io.Bucketing]]) — trades the replication for one
+    * co-located join per probe batch.
+    */
+  def writeLshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      bits: Int = 0,
+      tables: Int = 0,
+      seed: Long = 42L,
+      expectedCos: Double = 0.8
+  ): Unit = {
+    val (bitsR, tablesR) = derivedConfig(corpus, expectedCos, bits, tables, targetRecall = 0.95)
+    val dim = inferDim(corpus, vecCol)
+    val v = corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    bucketAssignments(corpus, idCol, vecCol, bitsR, tablesR, seed, dim)
+      .join(v, Seq("id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("tbl", "bucket")
+      .parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((bitsR, tablesR, seed, dim))
+      .toDF("bits", "tables", "seed", "dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_config")
+  }
+
+  /** Sign-LSH top-k against a [[writeLshIndex]] artifact — the
+    * partition-pruned form of [[lshTopK]]: queries bucket through the
+    * sidecar-reconstructed plane family, and the probed (tbl, bucket)
+    * set (bounded: ≤ |queries| × tables pairs) becomes a literal
+    * disjunction over the partition columns, so only the probed bucket
+    * directories are listed and decoded. Semantics are pinned identical
+    * to the unindexed operator by LshIndexSpec.
+    */
+  def lshTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val cfg = spark.read.parquet(s"$path/_config").collect().head
+    val (bits, tables, seed, dim) = (cfg.getInt(0), cfg.getInt(1), cfg.getLong(2), cfg.getInt(3))
+    val planes = tablePlanes(bits, tables, dim, seed)
+    def buckets(vec: Column): Column =
+      array(planes.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("tbl"), signBucket(vec, ps).as("bucket"))
+      }: _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), explode(buckets(col("q_vec"))).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // bounded model-state collect (≤ |queries| × tables pairs) rendered
+    // as partition-column literals — planning-time pruning, like
+    // ivfTopKIndexed's isin
+    val probed = q.select("tbl", "bucket").distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(probed.nonEmpty, "no probe buckets — empty query set?")
+    val pruneP = probed
+      .map { case (t, b) => col("tbl") === t && col("bucket") === b }
+      .reduce(_ || _)
+    val candidates = spark.read
+      .parquet(path)
+      .filter(pruneP)
+      .select(col("id").as("nbr_id"), col("v").as("nbr_vec"), col("nrm").as("nbr_norm"), col("tbl"), col("bucket"))
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+    val scored = candidates
+      .withColumn("cos", cosinePre(col("q_vec"), col("nbr_vec"), col("q_norm"), col("nbr_norm")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
 }
