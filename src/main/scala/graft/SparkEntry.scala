@@ -58,6 +58,8 @@ object SparkEntry {
     "d8_components"      -> (Queries.d8Components _),
     "x11_eval_sample"    -> (Queries.x11EvalSample _),
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
+    "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
+    "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -150,6 +152,14 @@ private[graft] object QueryParams {
       .getOrElse("/root/repo/fixtures")
   val M1FixturePath: String = s"$FixturesDir/m1_expected.parquet"
   val S11FixturePath: String = s"$FixturesDir/s11_expected.parquet"
+
+  /** Scratch root for queries that materialize an index as part of
+    * their flow (d9/d9b): keyed by the sf dir so verify (sf0.01) and
+    * bench (sf0.1) runs in one JVM can't serve each other's artifacts;
+    * writes are Overwrite so reps are self-cleaning.
+    */
+  def indexScratch(name: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_index/${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
 }
 
 /** The concrete query programs, one per SURVEY §2 operator. */
@@ -804,6 +814,41 @@ object Queries {
     )
     Dedup
       .keepersOnly(docs, "doc_id", clusters)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** d9 — incremental near-dup dedup against the materialized MinHash
+    * index ([[graft.dedup.Dedup.writeMinhashIndex]]): corpus =
+    * documents with doc_id % 3 != 0 (indexed), increment batch =
+    * doc_id % 3 == 0; result = every near-dup pair the increment
+    * introduces (batch×corpus via the index plus batch-internal) —
+    * semantically the d2 pair list restricted to pairs touching the
+    * batch, which is exactly what the oracle recomputes. The index
+    * build is INSIDE the query on purpose: the bench measures the real
+    * end-to-end increment flow (build + probe), and correctness only
+    * sees the output surface.
+    */
+  def d9IncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = QueryParams.indexScratch("d9_minhash", dir)
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", path, n = 3, k = 16, bands = 8)
+    Dedup
+      .incrementalLshPairs(spark, path, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d9b — incremental EXACT dedup: batch rows (doc_id % 3 == 0) whose
+    * normalized-text fingerprint the indexed corpus (doc_id % 3 != 0)
+    * has never seen. Null-safe: a NULL-text batch row is non-novel
+    * because the corpus contains NULL-text docs.
+    */
+  def d9bNovelFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = QueryParams.indexScratch("d9b_fingerprints", dir)
+    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 3 =!= 0), "text", path)
+    Dedup
+      .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
       .orderBy("doc_id")
   }
@@ -2462,6 +2507,26 @@ object Oracles {
     "d2_minhash_lsh" ->
       s"""WITH $d2PairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    // D9 — the incremental-index result is BY CONSTRUCTION the full
+    // pair list restricted to pairs touching the increment (doc_id%3=0)
+    // — the oracle states that contract directly over the same CTEs.
+    "d9_incremental_minhash" ->
+      s"""WITH $d2PairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.3 AND (id_a % 3 = 0 OR id_b % 3 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // D9b — incremental exact-novelty; IS NOT DISTINCT FROM mirrors the
+    // Spark <=> anti-join (NULL text is non-novel vs a corpus NULL).
+    "d9b_novel_filter" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents)
+        |SELECT b.doc_id, b.source FROM fp b
+        |WHERE b.doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp c
+        |                  WHERE c.doc_id % 3 <> 0 AND c.f IS NOT DISTINCT FROM b.f)
+        |ORDER BY doc_id""".stripMargin,
     // D8b — the deduplicated corpus: documents minus non-keeper cluster
     // members, derived from the same recursive closure.
     "d8b_dedup_filter" ->

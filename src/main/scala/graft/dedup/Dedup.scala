@@ -420,4 +420,148 @@ object Dedup {
       Seq(idCol),
       "left_anti"
     )
+
+  // --- Incremental dedup: the materialized MinHash index -------------
+  //
+  // A 100 TB training corpus is not deduplicated once — it GROWS
+  // (daily crawl increments), and re-running the full self-join per
+  // increment re-pays the dominant costs: re-scanning/shingling the
+  // entire text corpus and re-shuffling its banded rows. The index
+  // materializes exactly the two intermediates [[minhashLshPairs]]
+  // computes per run — the slim banded rows and the sorted shingle-hash
+  // sketches — so an increment costs one columnar scan of slim index
+  // rows plus work proportional to the BATCH, never a corpus re-scan of
+  // text and never a corpus-side shuffle (the batch side broadcasts).
+  // Same materialize-the-promise move as `Similarity.writeIvfIndex` /
+  // `writeLshIndex`.
+
+  /** Persist the MinHash-LSH dedup index for `df` under `path`:
+    * `path/bands` = (id, band_key, band) partitioned by band (slim rows
+    * — the text itself never enters the index), `path/sketches` =
+    * (id, shh) sorted shingle hashes for exact-Jaccard verification,
+    * `path/_config` = (n, k, bands) sidecar — the xor-seed family is a
+    * pure function of k ([[xorSeeds]]), so the sidecar fully determines
+    * the signature scheme and probes can never mix configs.
+    *
+    * Storage note: `sketches` is the bulk (it scales with distinct
+    * shingles, i.e. with the text); it is touched only to verify
+    * candidates, and the candidate-id join prunes it via AQE/broadcast
+    * on the (small) candidate list.
+    */
+  def writeMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 8
+  ): Unit = {
+    val (hashed, banded) = bandedSignatures(df, idCol, textCol, n, k, bands)
+    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    hashed.write.mode("overwrite").parquet(s"$path/sketches")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands").coalesce(1).write.mode("overwrite").parquet(s"$path/_config")
+  }
+
+  /** (n, k, bands) recorded by [[writeMinhashIndex]]. */
+  def readMinhashConfig(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/_config").select("n", "k", "bands").collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Near-dup pairs an increment introduces against an indexed corpus:
+    * every (id_a < id_b, jaccard ≥ threshold) pair with AT LEAST ONE
+    * side in `batch` — batch×corpus pairs via the index plus
+    * batch-internal pairs — under the index's recorded (n, k, bands).
+    * Equals `minhashLshPairs(corpus ∪ batch)` restricted to pairs
+    * touching the batch (IncrementalDedupSpec pins the equivalence),
+    * because banding is per-document and the index stores the corpus
+    * side of exactly the joins the batch formulation runs.
+    *
+    * Scale shape: the batch's banded rows BROADCAST into the index
+    * scan, so the corpus side never shuffles; the verify stage unions
+    * the corpus sketch table with the batch's freshly computed sketches
+    * and touches only candidate ids. Caller contract: ids are unique
+    * across corpus ∪ batch (re-submitting an indexed id yields the
+    * degenerate self-pair, which the id_a < id_b filter drops).
+    */
+  def incrementalLshPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val (n, k, bands) = readMinhashConfig(spark, path)
+    val (hashedB, bandedB) = bandedSignatures(batch, idCol, textCol, n, k, bands)
+    val corpusBanded = spark.read.parquet(s"$path/bands").select("band", "band_key", "id")
+    val cross = corpusBanded
+      .withColumnRenamed("id", "id_x")
+      .join(broadcast(bandedB.select(col("band"), col("band_key"), col("id").as("id_y"))), Seq("band", "band_key"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"), greatest(col("id_x"), col("id_y")).as("id_b"))
+    val intra = bandedB
+      .select(col("band"), col("band_key"), col("id").as("id_a"))
+      .join(bandedB.select(col("band"), col("band_key"), col("id").as("id_b")), Seq("band", "band_key"))
+      .select("id_a", "id_b")
+    val candidates = cross
+      .unionByName(intra)
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sketches = spark.read.parquet(s"$path/sketches").select("id", "shh").unionByName(hashedB)
+    verifyPairs(candidates, sketches, sketches, threshold)
+  }
+
+  /** Fold an increment into the index (after the caller has dropped the
+    * batch rows it rejects): dynamic-partition append of the batch's
+    * banded rows plus its sketches, under the index's own config.
+    */
+  def appendToMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    val (n, k, bands) = readMinhashConfig(spark, path)
+    val (hashed, banded) = bandedSignatures(batch, idCol, textCol, n, k, bands)
+    banded.write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    hashed.write.mode("append").parquet(s"$path/sketches")
+  }
+
+  /** Persist the exact-dedup fingerprint set (id dropped — novelty only
+    * needs the distinct fingerprints; NULL text fingerprints to NULL and
+    * is kept, so a NULL-text increment row is correctly non-novel
+    * against a corpus that has ever seen one).
+    */
+  def writeFingerprintIndex(df: DataFrame, textCol: String, path: String): Unit =
+    df.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .dropDuplicates("fingerprint")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Batch rows whose normalized-text fingerprint the indexed corpus has
+    * never seen — the incremental form of [[exactDuplicates]]'s filter.
+    * Null-safe anti-join (`<=>`, matching [[exactDuplicates]] and the
+    * DuckDB `IS NOT DISTINCT FROM` oracle). One shuffle of slim
+    * (fingerprint) rows on each side; at 100 TB the index side is still
+    * just distinct fingerprints (16 bytes/doc), and a bloom-filter
+    * pre-pass over the batch would cut the shuffle further.
+    */
+  def novelOnly(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    val indexed = spark.read.parquet(path)
+    batch.join(
+      indexed,
+      TextOps.fingerprint(batch(textCol)) <=> indexed("fingerprint"),
+      "left_anti"
+    )
+  }
 }
