@@ -543,6 +543,20 @@ object Dedup {
       .mode("overwrite")
       .parquet(path)
 
+  /** Fold an increment's fingerprints into the index. The caller owns
+    * distinctness across increments (rows already gated by [[novelOnly]]
+    * are novel by definition); duplicates would not break [[novelOnly]]
+    * (an anti-join is insensitive to right-side multiplicity), only
+    * waste index bytes.
+    */
+  def appendToFingerprintIndex(batch: DataFrame, textCol: String, path: String): Unit =
+    batch
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .dropDuplicates("fingerprint")
+      .write
+      .mode("append")
+      .parquet(path)
+
   /** Batch rows whose normalized-text fingerprint the indexed corpus has
     * never seen — the incremental form of [[exactDuplicates]]'s filter.
     * Null-safe anti-join (`<=>`, matching [[exactDuplicates]] and the

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+
+/** Continuous corpus ingest with dedup at the door: each micro-batch is
+  * gated against the materialized dedup indexes
+  * ([[graft.dedup.Dedup.writeMinhashIndex]] /
+  * [[graft.dedup.Dedup.writeFingerprintIndex]]) before anything lands in
+  * the corpus — the streaming form of the d9/d9b incremental operators.
+  *
+  * Why `foreachBatch` and not `mapGroupsWithState`: the dedup state IS
+  * the corpus (every fingerprint and sketch ever accepted). Streaming
+  * state stores hold per-key state sized for a state backend; a 100 TB
+  * corpus index lives in the lake, and the per-batch joins against it
+  * are exactly the batch operators — `foreachBatch` lets the batch and
+  * streaming paths share one implementation and one set of oracles,
+  * with the checkpoint giving exactly-once batch replay (a replayed
+  * batch re-runs the same gate against the same indexes; the accept
+  * decision is deterministic, and re-appending an already-appended
+  * batch is the one non-idempotent step — see [[ingestBatch]]'s note).
+  *
+  * Per-batch gate, in order:
+  *   1. within-batch EXACT dedup: one keeper (min id) per normalized
+  *      fingerprint — two identical texts in one batch must not both
+  *      pass the novelty check;
+  *   2. exact novelty vs the fingerprint index ([[Dedup.novelOnly]]);
+  *   3. near-dup gate vs the MinHash index + within the batch:
+  *      connected components over [[Dedup.incrementalLshPairs]]; a
+  *      batch doc drops iff its cluster contains an already-indexed doc
+  *      (the corpus member is the keeper by seniority) or it is not its
+  *      cluster's minimum-id batch doc;
+  *   4. append survivors to the corpus sink and BOTH indexes.
+  */
+object DedupIngest {
+
+  /** Within-batch exact dedup: the minimum-id row per normalized-text
+    * fingerprint (null-safe — all NULL texts form one group).
+    */
+  def exactKeeperPerFingerprint(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = batch.withColumn("__fp", graft.text.TextOps.fingerprint(col(textCol)))
+    val keepers = withFp
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    withFp.join(keepers, Seq(idCol), "left_semi").drop("__fp")
+  }
+
+  /** The rows of `batch` the gate accepts against the indexes at
+    * `root` (pure — no writes). Deterministic in the batch CONTENT
+    * (order-independent: every keeper rule is a min over ids).
+    */
+  def accepted(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val exact = exactKeeperPerFingerprint(batch, idCol, textCol)
+    val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol)
+    val pairs = Dedup.incrementalLshPairs(spark, s"$root/minhash", novel, idCol, textCol, threshold)
+    // cluster resolution over the pair graph; corpus members (ids not
+    // in the batch) anchor their cluster — seniority wins
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val flagged = comps
+      .join(novel.select(col(idCol).as("id"), lit(true).as("in_batch")), Seq("id"), "left")
+      .withColumn("in_batch", coalesce(col("in_batch"), lit(false)))
+    val perCluster = flagged
+      .groupBy("component")
+      .agg(
+        max(when(!col("in_batch"), lit(1)).otherwise(lit(0))).as("has_indexed"),
+        min(when(col("in_batch"), col("id"))).as("min_batch_id")
+      )
+    val drops = flagged
+      .filter(col("in_batch"))
+      .join(perCluster, Seq("component"))
+      .filter(col("has_indexed") === 1 || col("id") =!= col("min_batch_id"))
+      .select(col("id").as(idCol))
+    novel.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Run the gate and fold the survivors into the corpus sink and both
+    * indexes. The accepted set is `localCheckpoint`ed first — an EAGER
+    * materialization that severs lineage from the index scans, because
+    * the gate reads exactly the files it is about to append to and a
+    * lazily recomputed plan (cache eviction, task retry) would observe
+    * its own output.
+    *
+    * Exactly-once note: the gate itself is idempotent (a replayed
+    * batch's rows are non-novel after their own append), so a replay
+    * after a crash between the two index appends re-drops the batch
+    * cleanly; only a crash strictly between corpus append and
+    * fingerprint append can duplicate corpus rows, the standard
+    * foreachBatch at-least-once caveat — a transactional sink (e.g. a
+    * table format with batchId-keyed commits) closes it.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      root: String,
+      corpusOut: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3
+  ): Unit = {
+    val keep = accepted(spark, root, batch, idCol, textCol, threshold).localCheckpoint()
+    if (!keep.isEmpty) {
+      keep.write.mode("append").parquet(corpusOut)
+      Dedup.appendToMinhashIndex(spark, s"$root/minhash", keep, idCol, textCol)
+      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints")
+    }
+  }
+
+  /** Initialize the index root from a (possibly empty) seed corpus. */
+  def initIndexes(
+      seed: DataFrame,
+      idCol: String,
+      textCol: String,
+      root: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 8
+  ): Unit = {
+    Dedup.writeMinhashIndex(seed, idCol, textCol, s"$root/minhash", n, k, bands)
+    Dedup.writeFingerprintIndex(seed, textCol, s"$root/fingerprints")
+  }
+
+  /** The streaming entry: gate every micro-batch of `source` through
+    * [[ingestBatch]]. `source` must carry `idCol` and `textCol`.
+    */
+  def start(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      root: String,
+      corpusOut: String,
+      checkpoint: String,
+      threshold: Double = 0.3
+  ): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch.sparkSession, root, corpusOut, batch, idCol, textCol, threshold)
+      }
+      .start()
+}
