@@ -43,7 +43,10 @@ object ScaleBench {
     * iterative components, anti-join filter, grid fill — plus
     * s11_classify (greedy combinatorial matching over per-underlying
     * groups: group SIZE is scale-invariant by construction, so the
-    * flatMapGroups work should scale with the number of groups, ~flat).
+    * flatMapGroups work should scale with the number of groups, ~flat)
+    * and d9_incremental_minhash (the full index build + probe flow;
+    * both corpus and increment scale with the table, so linear means
+    * the banded broadcast join and sketch-verify stay candidate-bounded).
     */
   val Heavy: Seq[String] = Seq(
     "d4_ngram_jaccard",
@@ -54,7 +57,8 @@ object ScaleBench {
     "d8_components",
     "d8b_dedup_filter",
     "w6_forward_fill",
-    "s11_classify"
+    "s11_classify",
+    "d9_incremental_minhash"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
@@ -69,7 +73,11 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
 
-    val docStride = spark.read.parquet(s"$base/documents.parquet").agg(max("doc_id")).as[Long].head() + 1
+    // stride rounded to a multiple of 3 so d9's doc_id % 3 corpus/batch
+    // split keeps the SAME proportions in every copy (the pkStride/s11
+    // precedent) — each copy contributes the base's split structure
+    val docStride =
+      ((spark.read.parquet(s"$base/documents.parquet").agg(max("doc_id")).as[Long].head() + 1 + 2) / 3) * 3
     copies("documents") { (df, k) =>
       df.withColumn("doc_id", $"doc_id" + lit(k * docStride))
         .withColumn("text", array_join(transform(split($"text", " "), t => concat(t, lit(s"~$k"))), " "))
@@ -118,7 +126,7 @@ object ScaleBench {
     * missing the new file.
     */
   def stamp(factor: Int, base: String): String =
-    s"factor=$factor base=$base tables=documents,embeddings,events,lineitem,part\n"
+    s"factor=$factor base=$base tables=documents,embeddings,events,lineitem,part docstride=mult3\n"
 
   // (sentinel content is matched verbatim by main's staleness check)
 

@@ -747,4 +747,63 @@ object Similarity {
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "cos")
   }
+
+  // --- Index appends: the embedding corpus grows too -----------------
+  //
+  // Same motivation as `Dedup.appendToMinhashIndex`: an increment must
+  // not re-pay the full index build. Both appends assign ONLY the batch
+  // under the index's own recorded model (the centroid sidecar / the
+  // plane family reconstructed from `_config`), so an appended index is
+  // bit-identical to one rebuilt from scratch with the same model — the
+  // append can never drift the assignment scheme, and the specs pin
+  // indexed-after-append ≡ unindexed-over-the-union.
+
+  /** Dynamic-partition append of `batch` into a [[writeIvfIndex]]
+    * artifact: cells assigned under the INDEX's centroid sidecar (never
+    * refit — a refit would strand existing rows in stale cells).
+    * Centroid drift under heavy growth is real but a rebuild decision,
+    * not an append decision; the model is in the sidecar, so a periodic
+    * refit-and-rewrite is a plain [[writeIvfIndex]] call.
+    */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val centroids = readIvfCentroids(spark, path)
+    batch
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .write
+      .mode("append")
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
+  /** Dynamic-partition append of `batch` into a [[writeLshIndex]]
+    * artifact: buckets assigned under the plane family reconstructed
+    * from the `_config` sidecar (bits, tables, seed, dim are the whole
+    * model — the append is deterministic and config-drift-proof).
+    */
+  def appendToLshIndex(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val cfg = spark.read.parquet(s"$path/_config").collect().head
+    val (bits, tables, seed, dim) = (cfg.getInt(0), cfg.getInt(1), cfg.getLong(2), cfg.getInt(3))
+    val v = batch
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    bucketAssignments(batch, idCol, vecCol, bits, tables, seed, dim)
+      .join(v, Seq("id"))
+      .write
+      .mode("append")
+      .partitionBy("tbl", "bucket")
+      .parquet(path)
+  }
 }

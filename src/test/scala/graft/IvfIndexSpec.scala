@@ -64,4 +64,27 @@ class IvfIndexSpec extends SparkSpec {
       case ((c1, v1), (c2, v2)) => c1 == c2 && v1.toSeq == v2.toSeq
     })
   }
+
+  test("appendToIvfIndex: probe after append equals unindexed ivfTopK over the union under the frozen model") {
+    val emb = Tables.embeddings(spark, sf001)
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    // model fitted on the FIRST half only — the append must assign the
+    // second half under this frozen sidecar, not refit
+    val model = Similarity.kmeansCentroids(half1, "vec_id", "embedding", k = 16)
+    val path = Files.createTempDirectory("ivfappend").toString + "/index"
+    Similarity.writeIvfIndex(half1, "vec_id", "embedding", path, nCentroids = 16, centroidModel = Some(model))
+    Similarity.appendToIvfIndex(spark, path, half2, "vec_id", "embedding")
+
+    val queries = emb.filter($"vec_id" < 3)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    val direct = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", queries, 5, nCentroids = 16, nProbe = 2, centroidModel = Some(model))
+    assert(
+      indexed.orderBy("query_id", "nbr_id").collect().toSeq ==
+        direct.orderBy("query_id", "nbr_id").collect().toSeq
+    )
+    // appended rows actually participate: some neighbor must be odd-id
+    assert(indexed.filter($"nbr_id" % 2 === 1).count() > 0)
+  }
 }

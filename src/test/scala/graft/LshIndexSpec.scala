@@ -53,4 +53,24 @@ class LshIndexSpec extends SparkSpec {
       assert(selected <= 9, s"expected <= 9 probed partitions, scan selected $selected")
     }
   }
+
+  test("appendToLshIndex: probe after append equals unindexed lshTopK over the union at the index's config") {
+    val emb = Tables.embeddings(spark, sf001)
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    val path = Files.createTempDirectory("lshappend").toString + "/index"
+    // explicit (bits, tables) pin: the union-side lshTopK below must run
+    // the IDENTICAL config — a derived config would size from half1
+    Similarity.writeLshIndex(half1, "vec_id", "embedding", path, bits = 4, tables = 3)
+    Similarity.appendToLshIndex(spark, path, half2, "vec_id", "embedding")
+
+    val queries = emb.filter($"vec_id" < 3)
+    val indexed = Similarity.lshTopKIndexed(spark, path, queries, "vec_id", "embedding", k = 5)
+    val direct = Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5, bits = 4, tables = 3)
+    assert(
+      indexed.orderBy("query_id", "nbr_id").collect().toSeq ==
+        direct.orderBy("query_id", "nbr_id").collect().toSeq
+    )
+    assert(indexed.filter($"nbr_id" % 2 === 1).count() > 0)
+  }
 }
