@@ -60,6 +60,7 @@ object SparkEntry {
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
     "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
+    "d10_semdedup"       -> (Queries.d10Semdedup _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -116,10 +117,16 @@ object SparkEntry {
     * part of the oracle-coverage contract (RelationalSpec asserts every
     * query is in exactly one of static / fitted / oracle-free).
     */
-  val fittedOracleNames: Set[String] = Set("n3_ann_ivf")
+  val fittedOracleNames: Set[String] = Set("n3_ann_ivf", "d10_semdedup")
 
-  def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] =
-    Map("n3_ann_ivf" -> Oracles.n3IvfSql(Queries.n3FittedCentroids(spark, dir)))
+  def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] = {
+    // d10 shares n3's fit (same corpus, same k) — render once.
+    val cents = Queries.n3FittedCentroids(spark, dir)
+    Map(
+      "n3_ann_ivf" -> Oracles.n3IvfSql(cents),
+      "d10_semdedup" -> Oracles.d10SemdedupSql(cents)
+    )
+  }
 
   /** Queries intentionally without a DuckDB oracle (non-SQL-expressible
     * semantics); the driver records a weaker rows-only check for these and
@@ -140,6 +147,9 @@ private[graft] object QueryParams {
   val X11Quota: Int = 20
   val X12SpanWidth: Int = 13
   val X12MaxDupFrac: Double = 0.3
+  // d10 shares d5/d6's cosine regime: 0.4 is where this synthetic
+  // corpus has planted near-dups.
+  val D10Cos: Double = 0.4
   // Committed expectation fixtures (see graft.GenM1Fixture /
   // graft.GenS11Fixture). The directory is env/sysprop-overridable for
   // checkouts not at /root/repo; the resolved value must be ABSOLUTE
@@ -851,6 +861,24 @@ object Queries {
       .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
       .orderBy("doc_id")
+  }
+
+  /** d10 — SemDeDup semantic near-dup pairs: k-means cells (the SAME
+    * fitted model as n3 — one fit, two consumers) bound the exact
+    * cosine pair search to within-cell. End-to-end fitted oracle: the
+    * dump-time centroid literals reproduce cell assignment in DuckDB,
+    * the pair join + cosine are pure relational algebra over them.
+    */
+  def d10Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .semDedupPairs(
+        emb, "vec_id", "embedding",
+        threshold = QueryParams.D10Cos,
+        nClusters = 16,
+        centroidModel = Some(n3FittedCentroids(spark, dir))
+      )
+      .orderBy("id_a", "id_b")
   }
 
   /** 60-bit SimHash near-dup pairs (hamming ≤ 20 over synthetic docs —
@@ -1834,6 +1862,40 @@ object Oracles {
        |SELECT query_id, nbr_id, cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rn FROM reranked) t
        |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin
+  }
+
+  /** D10 — SemDeDup over the fitted-centroid literals: the n3 assigned
+    * CTE (identical argmax + tie-break) feeds a within-cell self-join;
+    * cosine is the d5 formula. Exact restriction semantics — the oracle
+    * computes the SAME within-cell pair set, so recall-vs-d5 is a
+    * property of the operator, not a hash hazard.
+    */
+  def d10SemdedupSql(centroids: Array[Array[Double]]): String = {
+    val centValues = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
+       |scored AS (
+       |  SELECT e.vec_id AS id, c.cell,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(generate_series(1, 64),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, CAST(a.cell AS INTEGER) AS cell,
+       |    ${cosSql("ea.v", "eb.v")} AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id)
+       |SELECT id_a, id_b, cell, cos FROM p
+       |WHERE cos >= ${QueryParams.D10Cos}
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // N3-cells — nearest-centroid assignment under the id-fallback

@@ -89,6 +89,71 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540, public method): k-means-cluster the embedding
+    * space with the IVF coarse quantizer, then search for pairs ONLY
+    * within each cluster. This is the published answer to exact cosine
+    * dedup's O(n²): clustering bounds the candidate set to
+    * O(Σ|cell|²) ≈ O(n²/k), and because the candidate join is an
+    * equi-join on `cell`, each cell's pairs build shuffle-local. At
+    * 100 TB the corpus is written partitioned by cell
+    * ([[writeIvfIndex]] — SemDeDup shares IVF's blocking step
+    * verbatim) and pair generation becomes partition-local with zero
+    * cross-cell traffic.
+    *
+    * Cell assignment is scan-local codegen (centroid literals, argmax
+    * over dot products — [[cellAssignments]]); emitted cosines are
+    * exact, so vs [[cosineNearDupPairs]] the only approximation is
+    * MISSED cross-cell pairs (recall), never a false positive.
+    * Pass a fitted [[kmeansCentroids]] model for real recall; the
+    * id-fallback seeds keep the operator pure-relational for oracles.
+    * Returns (id_a, id_b, cell, cos), id_a < id_b.
+    */
+  def semDedupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16,
+      centroidModel: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val centroids = resolveCentroids(corpus, idCol, vecCol, nClusters, centroidModel)
+    val assigned = corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .withColumn("nrm", norm(col("v")))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cell", "cos")
+  }
+
+  /** The retention filter over [[semDedupPairs]]: keep the LOWEST id of
+    * every near-duplicate pair (drop ids that appear as `id_b`) — the
+    * deterministic per-pair policy, same keep-lowest convention as the
+    * MinHash path. For group-accurate retention over transitive
+    * duplicate chains, feed the pairs through
+    * [[graft.dedup.Dedup.connectedComponents]] instead and keep each
+    * component's minimum. The anti-join ships only the slim dropped-id
+    * list — document payloads never shuffle.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16,
+      centroidModel: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val drops = semDedupPairs(corpus, idCol, vecCol, threshold, nClusters, centroidModel)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes × `dim`
     * components in [-1, 1), derived from a splitmix64-style counter hash
     * of (seed, plane, component). Pure Scala, reproducible everywhere.

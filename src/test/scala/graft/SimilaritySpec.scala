@@ -214,4 +214,54 @@ class SimilaritySpec extends SparkSpec {
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.9, bits = 12)
     }.getMessage.contains("both"))
   }
+
+  test("semDedupPairs: exact precision (subset of the O(n²) verifier), real recall, honest cell blocking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val exact = Similarity
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4, nClusters = 16, centroidModel = Some(model))
+    val semPairs = sem.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // never a false positive: clustering only RESTRICTS the candidate set
+    assert(semPairs.subsetOf(exact), s"${(semPairs -- exact).size} pairs not in the exact verifier")
+    // this corpus's planted near-dups sit in the 0.4–0.6 cosine band
+    // (zero pairs above 0.6) — weakly-similar pairs straddle cell
+    // boundaries, so k=16 recall is genuinely modest here; assert the
+    // floor honestly rather than inventing a threshold the data lacks
+    val recall = semPairs.size.toDouble / exact.size
+    assert(recall >= 0.2, s"semdedup recall $recall vs exact ${exact.size}")
+    val cells = sem.select("cell").distinct().count()
+    assert(cells >= 2, "all pairs landed in one cell — blocking is doing nothing")
+    // the recall/cost knob: coarser clustering (bigger cells) must
+    // recover pairs that k=16 splits — and at k=1 the operator IS the
+    // exact verifier (one cell = all pairs), the degenerate upper bound
+    val semK4 = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4, nClusters = 4,
+        centroidModel = Some(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semK4.subsetOf(exact))
+    assert(semK4.size >= semPairs.size, s"k=4 recall ${semK4.size} below k=16 ${semPairs.size}")
+    val semK1 = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4, nClusters = 1,
+        centroidModel = Some(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 1)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semK1 == exact, "k=1 must degenerate to the exact O(n²) verifier")
+  }
+
+  test("semDedup retention: drops exactly the id_b side of confirmed pairs, payload columns intact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val dropped = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4, nClusters = 16, centroidModel = Some(model))
+      .select("id_b").as[Long].collect().toSet
+    val kept = Similarity
+      .semDedup(emb, "vec_id", "embedding", 0.4, nClusters = 16, centroidModel = Some(model))
+    assert(kept.columns.toSeq == emb.columns.toSeq) // filter, not a projection
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(keptIds == allIds -- dropped)
+    assert(dropped.nonEmpty && keptIds.nonEmpty)
+  }
 }
