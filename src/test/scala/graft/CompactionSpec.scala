@@ -79,4 +79,70 @@ class CompactionSpec extends SparkSpec {
     assert(probe() == before)
     assert(before.nonEmpty)
   }
+
+  test("zvalue: interleaves bits, rejects configs wider than a long") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L)).toDF("x", "y")
+    // 2 bits per column over [0,3]: rank == value, so z is the textbook
+    // 4x4 Morton table — x in even bit positions, y in odd
+    val z = df
+      .select($"x", $"y", Compaction.zvalue(Seq($"x", $"y"), Seq((0.0, 3.0), (0.0, 3.0)), 2).as("z"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (x, y, zz) => (x, y) -> zz }
+      .toMap
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)
+    assert(z((0L, 1L)) == 2L)
+    assert(z((3L, 3L)) == 15L)
+    assert(intercept[IllegalArgumentException] {
+      Compaction.zvalue(Seq($"x", $"y"), Seq((0.0, 1.0), (0.0, 1.0)), 32)
+    }.getMessage.contains("63"))
+  }
+
+  test("clustered compaction: same rows, narrow per-file spans on BOTH cluster columns") {
+    // two independent uniform columns: a hash-scattered write gives every
+    // file the full min..max span of both, the worst case for footer
+    // statistics — nothing prunes
+    val n = 40000
+    val df = spark
+      .range(n)
+      .select(
+        (col("id") % 200).as("x"),
+        ((col("id") * 7919) % 200).as("y"),
+        col("id").as("payload")
+      )
+    val dir = Files.createTempDirectory("zcompact").toString + "/t"
+    df.repartition(48).write.parquet(dir)
+
+    // per-file average span of a column, in [0,1] of the global range:
+    // ~1.0 = useless stats, small = a selective filter skips most files
+    def avgSpan(c: String): Double = {
+      val spans = spark.read
+        .parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .select("span")
+        .as[Double]
+        .collect()
+      spans.sum / spans.length / 199.0
+    }
+    assert(avgSpan("x") > 0.9 && avgSpan("y") > 0.9, "precondition: scattered layout has full-range files")
+    val before = df.as[(Long, Long, Long)].collect().sorted.toSeq
+
+    // ~16 files: a contiguous Morton segment of 1/k of the curve covers
+    // ~sqrt(1/k) of EACH dimension, so spans only sharpen with file count
+    val (bytes, _) = Compaction.dataStats(spark, dir)
+    Compaction.compactClustered(spark, dir, Seq("x", "y"), targetFileBytes = math.max(1L, bytes / 16))
+
+    val after = spark.read.parquet(dir).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(after == before, "clustered rewrite must preserve the exact multiset of rows")
+    val (_, files) = Compaction.dataStats(spark, dir)
+    assert(files >= 12, s"need a multi-file layout to claim clustering ($files)")
+    // the Z-curve property: BOTH columns' per-file spans narrow at once
+    // (a plain sort on x would leave y's span at ~1.0); sqrt(1/16)=0.25
+    // ideal, boundary-straddling segments land somewhat above it
+    val (sx, sy) = (avgSpan("x"), avgSpan("y"))
+    assert(sx <= 0.5, s"x span $sx did not narrow")
+    assert(sy <= 0.5, s"y span $sy did not narrow")
+  }
 }
