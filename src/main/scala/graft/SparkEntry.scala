@@ -61,6 +61,7 @@ object SparkEntry {
     "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
     "d10_semdedup"       -> (Queries.d10Semdedup _),
+    "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -860,6 +861,24 @@ object Queries {
     Dedup
       .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** d11 — leakage-safe train/val/test split: the x9 hash rule applied
+    * to the near-dup GROUP key (d8's components) instead of the doc id,
+    * so a near-copy of a training document can never land in eval.
+    * Singletons keep their x9 assignment bit-for-bit.
+    */
+  def d11SafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps
+      .assignSplitLeakageSafe(
+        docs.select($"doc_id", $"source"),
+        "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3),
+        seed = 7L
+      )
+      .select("doc_id", "source", "group_key", "split")
       .orderBy("doc_id")
   }
 
@@ -2624,6 +2643,33 @@ object Oracles {
          |SELECT c.id, c.component, s.cluster_size
          |FROM comp c JOIN csize s USING (component)
          |ORDER BY c.component, c.id""".stripMargin,
+    // D11 — the d8 component machinery verbatim, its labels COALESCEd
+    // with the doc's own id into a group key, then the x9 threshold
+    // rule on that key: the oracle literally states "x9 over group
+    // keys", which is the operator's whole contract.
+    "d11_safe_split" ->
+      s"""WITH RECURSIVE $d2PairsCtes,
+         |thresholded AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.3),
+         |nodes AS (SELECT id_a AS id FROM thresholded UNION SELECT id_b FROM thresholded),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM thresholded
+         |          UNION SELECT id_b, id_a FROM thresholded),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, source, group_key,
+         |  CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+         |       WHEN u < CAST(0.9 AS DOUBLE) THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT *,
+         |        CAST(('0x' || substr(md5('7:' || CAST(group_key AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+         |          / CAST(4503599627370496 AS DOUBLE) AS u
+         |      FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup
         .xorSeeds(16)

@@ -222,6 +222,42 @@ object TextOps {
     )
   }
 
+  /** Leakage-safe (group-aware) train/val/test split: every document in
+    * a near-duplicate CLUSTER rides the same side. A per-document hash
+    * split ([[assignSplit]]) silently leaks — a near-copy of a training
+    * document lands in test with probability 1−trainFrac, and eval
+    * scores inflate by exactly the duplication rate. The fix is to hash
+    * the duplicate-GROUP key, not the document key: pairs →
+    * [[graft.dedup.Dedup.connectedComponents]] → group key =
+    * coalesce(component, own id) → the [[assignSplit]] threshold rule
+    * on that key. Singleton documents (the overwhelming majority) keep
+    * their own id as key, so their assignment is IDENTICAL to the
+    * per-document split — adopting the safe split reshuffles only the
+    * clustered minority.
+    *
+    * 100 TB shape: the component list covers only documents that appear
+    * in some pair (slim), the join ships (id, component) longs, and the
+    * hash rule stays scan-local — the only shuffles are the ones the
+    * component computation already paid.
+    */
+  def assignSplitLeakageSafe(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      pairs: org.apache.spark.sql.DataFrame,
+      seed: Long,
+      trainFrac: Double = 0.8,
+      validationFrac: Double = 0.1
+  ): org.apache.spark.sql.DataFrame = {
+    val comp = graft.dedup.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("component"))
+    val keyed = df
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    assignSplit(keyed, "group_key", seed, trainFrac, validationFrac)
+  }
+
   /** Exact sequential packing (the rule real sequence-packing pipelines
     * use): walk each shard's documents in order, close the current bin
     * and open a new one whenever the next document would overflow the

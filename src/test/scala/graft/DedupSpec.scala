@@ -320,6 +320,38 @@ class DedupSpec extends SparkSpec {
     assert(small.forall { case (id, sp) => bigMap.get(id).forall(_ == sp) })
   }
 
+  test("assignSplitLeakageSafe: no near-dup pair straddles a split; singletons keep their x9 assignment") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf001)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
+    val safe = TextOps
+      .assignSplitLeakageSafe(docs.select($"doc_id", $"source"), "doc_id", pairs, seed = 7L)
+    val splitOf = safe.select("doc_id", "split").as[(Long, String)].collect().toMap
+    // THE contract: both sides of every near-dup pair land on the same
+    // side — eval can never score against a near-copy of a train doc
+    val ps = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles ${splitOf(a)}/${splitOf(b)}")
+    }
+    // exhaustive: every doc is assigned exactly once
+    assert(splitOf.size == docs.count())
+    // singleton docs (not in any pair) keep the per-doc x9 assignment
+    // bit-for-bit — adopting the safe split only reshuffles the
+    // clustered minority
+    val paired = ps.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val x9 = TextOps
+      .assignSplit(docs.select($"doc_id"), "doc_id", seed = 7L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    splitOf.foreach { case (id, sp) =>
+      if (!paired.contains(id)) assert(x9(id) == sp, s"singleton $id moved: x9=${x9(id)} safe=$sp")
+    }
+    // and the clustered minority is genuinely regrouped: at least one
+    // doc's assignment differs from its per-doc x9 value (otherwise the
+    // test corpus exercised nothing)
+    assert(splitOf.exists { case (id, sp) => x9(id) != sp })
+  }
+
   test("sampleStratified: exact quotas, seeded determinism, partitioning-independent") {
     import graft.text.TextOps
     import graft.io.Tables
