@@ -177,6 +177,21 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // d10's default path (no knobs): semDedupConfigFor derives k from
+    // the live corpus count, so occupancy stays bounded and the
+    // within-cell pair search is linear-in-n — the same
+    // default-vs-pinned story as d6 (the d10 QUERY pins k=16 for its
+    // cross-scale fitted oracle; that pin is Θ(n²/k) by construction)
+    def timeD10Default(dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.similarity.Similarity
+        .semDedupPairs(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.4)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val rows = Heavy.map { name =>
       val t1 = time(name, base)
       val tN = time(name, out)
@@ -187,6 +202,10 @@ object ScaleBench {
       val (t1, tN) = (timeD6Default(base), timeD6Default(out))
       System.err.println(f"[scalebench] d6_default: $t1%.2f s -> $tN%.2f s at x$factor (ratio ${tN / t1}%.1f)")
       ("d6_default_path_cos0.9", t1, tN, tN / t1)
+    } :+ {
+      val (t1, tN) = (timeD10Default(base), timeD10Default(out))
+      System.err.println(f"[scalebench] d10_default: $t1%.2f s -> $tN%.2f s at x$factor (ratio ${tN / t1}%.1f)")
+      ("d10_default_path_cos0.4", t1, tN, tN / t1)
     }
     val superlinear = rows.collect { case (n, _, _, r) if r > bound => "\"" + n + "\"" }
     // Double.toString, not %f: format strings are JVM-locale-dependent

@@ -62,6 +62,7 @@ object SparkEntry {
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
     "d10_semdedup"       -> (Queries.d10Semdedup _),
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
+    "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -118,14 +119,15 @@ object SparkEntry {
     * part of the oracle-coverage contract (RelationalSpec asserts every
     * query is in exactly one of static / fitted / oracle-free).
     */
-  val fittedOracleNames: Set[String] = Set("n3_ann_ivf", "d10_semdedup")
+  val fittedOracleNames: Set[String] = Set("n3_ann_ivf", "d10_semdedup", "d12_sem_decontaminate")
 
   def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] = {
-    // d10 shares n3's fit (same corpus, same k) — render once.
+    // d10/d12 share n3's fit (same corpus, same k) — render once.
     val cents = Queries.n3FittedCentroids(spark, dir)
     Map(
       "n3_ann_ivf" -> Oracles.n3IvfSql(cents),
-      "d10_semdedup" -> Oracles.d10SemdedupSql(cents)
+      "d10_semdedup" -> Oracles.d10SemdedupSql(cents),
+      "d12_sem_decontaminate" -> Oracles.d12SemDecontaminateSql(cents)
     )
   }
 
@@ -880,6 +882,26 @@ object Queries {
       )
       .select("doc_id", "source", "group_key", "split")
       .orderBy("doc_id")
+  }
+
+  /** d12 — SEMANTIC test-set decontamination: bipartite SemDeDup
+    * between a corpus/benchmark split of `embeddings` (every 5th vec is
+    * the "benchmark", d7's split convention) — the paraphrase leak that
+    * text-Jaccard d7 cannot see. Same fitted model and k=16 pin as
+    * d10/n3; benchmark side broadcasts.
+    */
+  def d12SemDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .crossSemDedupPairs(
+        emb.filter(pmod($"vec_id", lit(5)) =!= 0),
+        emb.filter(pmod($"vec_id", lit(5)) === 0),
+        "vec_id", "embedding",
+        threshold = QueryParams.D10Cos,
+        nClusters = 16,
+        centroidModel = Some(n3FittedCentroids(spark, dir))
+      )
+      .orderBy("corpus_id", "bench_id")
   }
 
   /** d10 — SemDeDup semantic near-dup pairs: k-means cells (the SAME
@@ -1915,6 +1937,39 @@ object Oracles {
        |SELECT id_a, id_b, cell, cos FROM p
        |WHERE cos >= ${QueryParams.D10Cos}
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** D12 — bipartite d10: the same assigned CTE, corpus side
+    * (vec_id % 5 ≠ 0) joined to benchmark side (vec_id % 5 = 0) on
+    * cell, exact cosine ≥ threshold.
+    */
+  def d12SemDecontaminateSql(centroids: Array[Array[Double]]): String = {
+    val centValues = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
+       |scored AS (
+       |  SELECT e.vec_id AS id, c.cell,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(generate_series(1, 64),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.id AS corpus_id, b.id AS bench_id, CAST(a.cell AS INTEGER) AS cell,
+       |    ${cosSql("ea.v", "eb.v")} AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+       |  JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id
+       |  WHERE a.id % 5 <> 0 AND b.id % 5 = 0)
+       |SELECT corpus_id, bench_id, cell, cos FROM p
+       |WHERE cos >= ${QueryParams.D10Cos}
+       |ORDER BY corpus_id, bench_id""".stripMargin
   }
 
   // N3-cells — nearest-centroid assignment under the id-fallback

@@ -109,18 +109,44 @@ object Similarity {
     * id-fallback seeds keep the operator pure-relational for oracles.
     * Returns (id_a, id_b, cell, cos), id_a < id_b.
     */
+  /** Cluster-count derivation for [[semDedupPairs]]'s DEFAULT path:
+    * cells of bounded occupancy `targetCell` keep the within-cell pair
+    * search at O(n · targetCell) TOTAL — linear in n — instead of the
+    * O(n²/k) a pinned small k degrades to as the corpus grows (the
+    * same scale trap [[lshConfigFor]] closes for sign-LSH, caught by
+    * the same ScaleBench harness). k is capped at `maxK` because the
+    * driver-side fit samples 2048 vectors ([[kmeansCentroids]]) — past
+    * maxK·targetCell documents, occupancy grows linearly again and the
+    * honest 100 TB recipe is hierarchical: these cells as the coarse
+    * level, then [[lshNearDupPairs]] (auto-sized) WITHIN each cell.
+    */
+  def semDedupConfigFor(n: Long, targetCell: Int = 128, maxK: Int = 512): Int = {
+    require(n > 0 && targetCell > 0 && maxK > 0, s"need positive n/targetCell/maxK, got $n/$targetCell/$maxK")
+    math.max(1L, math.min((n + targetCell - 1) / targetCell, maxK.toLong)).toInt
+  }
+
   def semDedupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       centroidModel: Option[Array[Array[Double]]] = None
   ): DataFrame = {
-    val centroids = resolveCentroids(corpus, idCol, vecCol, nClusters, centroidModel)
+    // default path: derive k from the live corpus count and FIT the
+    // model — the operator a caller gets without knobs is the
+    // scale-safe one; a quadratic small-k config now takes an explicit
+    // pin (as the oracle query legitimately does)
+    val (k, model) =
+      if (nClusters > 0) (nClusters, centroidModel)
+      else {
+        val kk = semDedupConfigFor(math.max(1L, corpus.count()))
+        (kk, Some(centroidModel.getOrElse(kmeansCentroids(corpus, idCol, vecCol, kk))))
+      }
+    val centroids = resolveCentroids(corpus, idCol, vecCol, k, model)
     val assigned = corpus
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
       .withColumn("nrm", norm(col("v")))
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
@@ -129,6 +155,44 @@ object Similarity {
       .withColumn("cos", cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cell", "cos")
+  }
+
+  /** Bipartite [[semDedupPairs]] — SEMANTIC test-set decontamination:
+    * benchmark items whose embedding is near-duplicate of a corpus
+    * document. The text-Jaccard form ([[graft.dedup.Dedup.crossLshPairs]])
+    * catches verbatim and near-verbatim leaks; this form catches the
+    * PARAPHRASED leak — same meaning, different tokens — that no
+    * shingle overlap can see. Both sides are assigned to the corpus's
+    * k-means cells scan-locally; the benchmark side (tiny by
+    * construction) broadcasts into a cell equi-join, so the corpus is
+    * scanned once and never shuffles. Returns
+    * (corpus_id, bench_id, cell, cos).
+    */
+  def crossSemDedupPairs(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 0,
+      centroidModel: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val (k, model) =
+      if (nClusters > 0) (nClusters, centroidModel)
+      else {
+        val kk = semDedupConfigFor(math.max(1L, corpus.count()))
+        (kk, Some(centroidModel.getOrElse(kmeansCentroids(corpus, idCol, vecCol, kk))))
+      }
+    val centroids = resolveCentroids(corpus, idCol, vecCol, k, model)
+    def assign(df: DataFrame, idAs: String, vAs: String, nAs: String) = df
+      .select(col(idCol).as(idAs), toDoubleArr(col(vecCol)).as(vAs))
+      .withColumn("cell", nearestCellCol(col(vAs), centroids))
+      .withColumn(nAs, norm(col(vAs)))
+    assign(corpus, "corpus_id", "v_c", "n_c")
+      .join(broadcast(assign(bench, "bench_id", "v_b", "n_b")), Seq("cell"))
+      .withColumn("cos", cosinePre(col("v_c"), col("v_b"), col("n_c"), col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("corpus_id", "bench_id", "cell", "cos")
   }
 
   /** The retention filter over [[semDedupPairs]]: keep the LOWEST id of
@@ -145,7 +209,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nClusters: Int = 16,
+      nClusters: Int = 0,
       centroidModel: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     val drops = semDedupPairs(corpus, idCol, vecCol, threshold, nClusters, centroidModel)
@@ -511,6 +575,21 @@ object Similarity {
       struct(dot(vec, array(cvec.map(lit): _*)).as("score"), lit(cid).as("cell"))
     }: _*)
 
+  /** Nearest-cell ASSIGNMENT via the native fused argmax
+    * ([[graft.expressions.NearestCell]]) — bit-identical to
+    * `array_max(cellScoresCol(...)).cell` but O(k·d) per row in one
+    * compiled loop instead of an O(k·d)-node expression tree (which
+    * falls out of codegen and runs interpreted at the auto-derived k —
+    * measured 16.8 s vs sub-second for n=20k, k=157). The struct form
+    * stays for PROBE sides that need the full sorted score list.
+    */
+  private def nearestCellCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    centroids.zipWithIndex.foreach { case ((cid, _), i) =>
+      require(cid == i, s"non-ordinal centroid id $cid at index $i")
+    }
+    graft.expressions.NearestCell.column(vec, centroids.map(_._2))(org.apache.spark.sql.SparkSession.active)
+  }
+
   /** The IVF BLOCKING step on its own: nearest-centroid cell per corpus
     * vector. With the id-fallback centroid set this is deterministic
     * pure-relational and hash-pinnable; [[ivfTopK]] runs the same
@@ -526,7 +605,7 @@ object Similarity {
     val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
     corpus
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
       .select("id", "cell")
   }
 
@@ -544,7 +623,7 @@ object Similarity {
     def cellScores(vec: Column): Column = cellScoresCol(vec, centroids)
     val assignedCorpus = corpus
       .select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
-      .withColumn("cell", array_max(cellScores(col("nbr_vec"))).getField("cell"))
+      .withColumn("cell", nearestCellCol(col("nbr_vec"), centroids))
     val probes = queries
       .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
       .withColumn(
@@ -584,7 +663,7 @@ object Similarity {
     val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
     corpus
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
       .write
       .mode("overwrite")
       .partitionBy("cell")
@@ -840,7 +919,7 @@ object Similarity {
     val centroids = readIvfCentroids(spark, path)
     batch
       .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", array_max(cellScoresCol(col("v"), centroids)).getField("cell"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
       .write
       .mode("append")
       .partitionBy("cell")

@@ -250,6 +250,60 @@ class SimilaritySpec extends SparkSpec {
     assert(semK1 == exact, "k=1 must degenerate to the exact O(n²) verifier")
   }
 
+  test("semDedup default path: derives k from the corpus, bit-identical to an explicit pin at the derived config") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val k = Similarity.semDedupConfigFor(n)
+    // occupancy bound while under the cap — the property that keeps the
+    // within-cell search linear-in-n as the corpus grows
+    assert(n.toDouble / k <= 128.0)
+    val viaDefault = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val viaExplicit = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", 0.4, nClusters = k,
+        centroidModel = Some(Similarity.kmeansCentroids(emb, "vec_id", "embedding", k)))
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(viaDefault == viaExplicit)
+    // the cap: past maxK*targetCell docs the derivation saturates
+    assert(Similarity.semDedupConfigFor(10_000_000L) == 512)
+    assert(Similarity.semDedupConfigFor(1L) == 1)
+  }
+
+  test("NearestCell native: matches the struct-argmax formulation, larger cell wins ties, null contract") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.expressions.NearestCell
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 7)
+    // declarative twin built inline (the pre-native formulation)
+    val structScores = array(model.zipWithIndex.map { case (cvec, i) =>
+      struct(
+        Similarity.dot(Similarity.toDoubleArr($"embedding"), array(cvec.map(lit): _*)).as("score"),
+        lit(i).as("cell")
+      )
+    }: _*)
+    val both = emb
+      .select(
+        $"vec_id",
+        NearestCell.column(Similarity.toDoubleArr($"embedding"), model).as("native"),
+        array_max(structScores).getField("cell").as("declarative")
+      )
+    assert(both.filter($"native" =!= $"declarative").isEmpty, "native and declarative assignments diverge")
+    // tie-break: two IDENTICAL centroids -> the larger cell id wins,
+    // exactly the lexicographic struct max (and the oracle's
+    // ORDER BY score DESC, cell DESC)
+    val dup = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val tied = Seq(Seq(2.0, 0.1)).toDF("v")
+      .select(NearestCell.column($"v", dup).as("cell")).as[Int].head()
+    assert(tied == 1)
+    // null contract: dimension mismatch and null element both -> null
+    val bad = Seq((1L, Seq(Option(1.0), Option(2.0), Option(3.0))), (2L, Seq(Option(1.0), None)))
+      .toDF("id", "v")
+      .select($"id", NearestCell.column($"v", dup).as("cell"))
+      .collect()
+    assert(bad.forall(_.isNullAt(1)))
+  }
+
   test("semDedup retention: drops exactly the id_b side of confirmed pairs, payload columns intact") {
     val emb = Tables.embeddings(spark, sf0001)
     val model = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
