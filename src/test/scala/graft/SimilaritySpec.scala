@@ -270,6 +270,55 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semDedupConfigFor(1L) == 1)
   }
 
+  test("PQ: deterministic fit, codes in range, ADC recall substantial, augmented argmax == L2 argmin") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m1 = Similarity.pqSubCentroids(emb, "vec_id", "embedding")
+    val m2 = Similarity.pqSubCentroids(emb, "vec_id", "embedding")
+    assert(m1.flatten.flatten.toSeq == m2.flatten.flatten.toSeq) // hash-ordered sample → stable fit
+    assert(m1.length == 8 && m1.forall(_.length == 16) && m1.flatten.forall(_.length == 8))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", m1)
+      .select($"id", $"code").as[(Long, Seq[Int])].collect()
+    assert(codes.forall { case (_, c) => c.length == 8 && c.forall(x => x >= 0 && x < 16) })
+    // augmented-dot argmax ≡ direct L2 argmin, checked exhaustively on a
+    // handful of rows (the algebra: ‖x−c‖² = ‖x‖² − 2(x·c − ½‖c‖²))
+    val byId = codes.toMap
+    val raw = emb.filter($"vec_id" < 5)
+      .select($"vec_id", Similarity.toDoubleArr($"embedding")).as[(Long, Seq[Double])].collect()
+    raw.foreach { case (id, v) =>
+      (0 until 8).foreach { s =>
+        val sub = v.slice(s * 8, (s + 1) * 8)
+        val want = (0 until 16).minBy { c =>
+          val d2 = sub.zip(m1(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, -c) // ties → larger index
+        }
+        assert(byId(id)(s) == want, s"id=$id s=$s")
+      }
+    }
+    // recall, honestly: this corpus is near-isotropic unit vectors in
+    // dim 64 — distance concentration is PQ's worst case by
+    // construction (probed: plain ADC top-5 ≈ 0.16 at m=8/ks=16 and
+    // only 0.34 even at ks=128; real embeddings have low intrinsic
+    // dimension and fare far better). Assert the plain-ADC floor, and
+    // that the standard two-stage deployment (ADC shortlist → exact
+    // re-rank) recovers most of the gap at 10% of full-vector reads.
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val pqr = Similarity
+      .pqTopK(emb, "vec_id", "embedding", queries, 5, m1)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert((brute & pqr).size.toDouble / brute.size >= 0.1, "plain-ADC floor")
+    val rr = Similarity
+      .pqTopKReranked(emb, "vec_id", "embedding", queries, 5, m1, shortlist = 50)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val rrRecall = (brute & rr).size.toDouble / brute.size
+    assert(rrRecall >= 0.5, s"re-ranked recall $rrRecall")
+    // the re-rank can only IMPROVE on plain ADC (exact scores over a
+    // superset-quality shortlist)
+    assert(rrRecall >= (brute & pqr).size.toDouble / brute.size)
+  }
+
   test("NearestCell native: matches the struct-argmax formulation, larger cell wins ties, null contract") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.expressions.NearestCell
