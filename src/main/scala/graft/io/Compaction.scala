@@ -201,4 +201,10 @@ object Compaction {
   /** Compact a [[graft.similarity.Similarity.writeLshIndex]] artifact. */
   def compactLshIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
     compact(spark, path, Seq("tbl", "bucket"), filesPerPartition = filesPerPartition)
+
+  /** Compact a [[graft.similarity.Similarity.writeIvfPqIndex]] artifact
+    * (both `_centroids` and `_codebook` sidecars ride the swap).
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
+    compact(spark, path, Seq("cell"), filesPerPartition = filesPerPartition)
 }

@@ -568,6 +568,27 @@ object Similarity {
     df.select(col(idCol).as("id"), array(codes: _*).as("code"))
   }
 
+  /** ADC approximate squared distance of a query vector to a coded
+    * candidate: Σ_s ‖q_s − cent(s, code_s)‖², sub-centroids looked up
+    * from the constant-folded codebook literal (sliced back out of the
+    * SAME augmented arrays the oracle renders — one model, two
+    * readers), folded left from 0.0 exactly like the oracle's
+    * `list_prepend(0.0, …)` `list_reduce`.
+    */
+  private def pqAdistCol(qv: Column, code: Column, model: Array[Array[Array[Double]]]): Column = {
+    val aug = pqAugmented(model)
+    val m = model.length
+    val sub = model.head.head.length
+    def centLit(s: Int): Column =
+      array(aug(s).map(c => array(c.take(sub).map(lit): _*)): _*)
+    val dists = (0 until m).map { s =>
+      val qs = slice(qv, s * sub + 1, sub)
+      val cs = element_at(centLit(s), element_at(code, s + 1) + 1)
+      (dot(qs, qs) - lit(2.0) * dot(qs, cs)) + dot(cs, cs)
+    }
+    (lit(0.0) +: dists).reduce(_ + _)
+  }
+
   /** PQ ANN top-k by asymmetric distance (ADC): the corpus is scanned
     * as CODES ONLY (the memory-bound 100 TB regime PQ exists for);
     * each query computes its approximate distance to a candidate as
@@ -586,26 +607,11 @@ object Similarity {
       k: Int,
       model: Array[Array[Array[Double]]]
   ): DataFrame = {
-    val aug = pqAugmented(model)
-    val m = model.length
-    val sub = model.head.head.length
     val enc = pqEncode(corpus, idCol, vecCol, model).select(col("id").as("nbr_id"), col("code"))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("qv"))
-    // per-subspace codebook literal (ks × sub), sliced back out of the
-    // SAME augmented arrays the oracle renders — one model, two readers
-    def centLit(s: Int): Column =
-      array(aug(s).map(c => array(c.take(sub).map(lit): _*)): _*)
-    val dists = (0 until m).map { s =>
-      val qs = slice(col("qv"), s * sub + 1, sub)
-      val cs = element_at(centLit(s), element_at(col("code"), s + 1) + 1)
-      (dot(qs, qs) - lit(2.0) * dot(qs, cs)) + dot(cs, cs)
-    }
-    // left fold from 0.0 — associates exactly like the oracle's
-    // list_prepend(0.0, …) list_reduce
-    val adist = (lit(0.0) +: dists).reduce(_ + _)
     val scored = enc
       .join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("adist", adist)
+      .withColumn("adist", pqAdistCol(col("qv"), col("code"), model))
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("adist").asc, col("nbr_id").asc), k)
       .select("query_id", "nbr_id", "adist")
@@ -1101,6 +1107,141 @@ object Similarity {
       .mode("append")
       .partitionBy("cell")
       .parquet(path)
+  }
+
+  /** IVF-PQ index — the composition that IS large-scale ANN serving
+    * (the IVFADC layout of Jégou et al. 2011, FAISS's workhorse), as a
+    * lake artifact: the cell-partitioned corpus of [[writeIvfIndex]]
+    * with PQ codes stored ALONGSIDE the full vectors, plus two frozen
+    * sidecars (`_centroids` coarse model, `_codebook` raw PQ model). A
+    * probe then stacks all three prunings:
+    * planning-time PARTITION pruning (only nProbe cells' directories),
+    * COLUMN pruning for the ADC stage (codes read, full vectors not),
+    * and ROW pruning for the re-rank (only the ADC shortlist's vectors
+    * are ever scored exactly). At 100 TB: read nProbe/nCentroids of
+    * the directories × ~8 B/row for stage one, then shortlist×queries
+    * full vectors — nothing else.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ks: Int = 16,
+      centroidModel: Option[Array[Array[Double]]] = None,
+      pqModel: Option[Array[Array[Array[Double]]]] = None
+  ): Unit = {
+    val centroids = resolveCentroids(corpus, idCol, vecCol, nCentroids, centroidModel)
+    val pq = pqModel.getOrElse(pqSubCentroids(corpus, idCol, vecCol, m, ks))
+    val aug = pqAugmented(pq)
+    val sub = pq.head.head.length
+    implicit val spark: SparkSession = corpus.sparkSession
+    import spark.implicits._
+    val codes = (0 until pq.length).map { s =>
+      graft.expressions.NearestCell.column(
+        concat(slice(col("v"), s * sub + 1, sub), array(lit(1.0))),
+        aug(s)
+      )
+    }
+    corpus
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("code", array(codes: _*))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+    centroids.toSeq
+      .map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cell", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_centroids")
+    // RAW sub-centroids in the sidecar; augmentation is recomputed on
+    // read (pure deterministic double arithmetic → identical bias)
+    (for { s <- pq.indices; c <- pq(s).indices } yield (s, c, pq(s)(c).toSeq))
+      .toDF("s", "c", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/_codebook")
+  }
+
+  /** The PQ codebook read back from the `_codebook` sidecar — bounded
+    * model state (m × ks × d/m doubles).
+    */
+  def readPqCodebook(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read
+      .parquet(s"$path/_codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ks = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Double]](m, ks)
+    rows.foreach { case (s, c, v) => out(s)(c) = v }
+    require(out.forall(_.forall(_ != null)), "codebook sidecar has holes")
+    out
+  }
+
+  /** Two-stage probe of a [[writeIvfPqIndex]] artifact: partition-pruned
+    * cells → ADC over codes only → exact cosine re-rank of the
+    * shortlist. At nProbe = nCentroids and shortlist ≥ corpus size this
+    * degenerates to exactly [[pqTopKReranked]] under the same model —
+    * the spec's equality pin.
+    */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 50
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val centroids = readIvfCentroids(spark, path)
+    val pq = readPqCodebook(spark, path)
+    val probes = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn(
+        "cell",
+        explode(
+          slice(
+            transform(reverse(array_sort(cellScoresCol(col("q_vec"), centroids))), s => s.getField("cell")),
+            1,
+            nProbe
+          )
+        )
+      )
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    def pruned = spark.read.parquet(path).filter(col("cell").isin(probedCells.toSeq: _*))
+    // stage 1 (ADC): codes only — column pruning keeps `v` unread
+    val scored = pruned
+      .select(col("id").as("nbr_id"), col("code"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("adist", pqAdistCol(col("q_vec"), col("code"), pq))
+    val cand = Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("adist").asc, col("nbr_id").asc), shortlist)
+      .select("query_id", "nbr_id")
+    // stage 2 (re-rank): only the shortlist's full vectors are scored
+    val vecs = pruned
+      .select(col("id").as("nbr_id"), col("v").as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val qv = queries
+      .select(col(idCol).as("query_id"), toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val exact = cand
+      .join(vecs, Seq("nbr_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosinePre(col("q_vec"), col("nbr_vec"), col("q_norm"), col("nbr_norm")))
+    Relational
+      .topKPerGroup(exact, Seq("query_id"), Seq(col("cos").desc, col("nbr_id").asc), k)
+      .select("query_id", "nbr_id", "cos")
   }
 
   /** Dynamic-partition append of `batch` into a [[writeLshIndex]]

@@ -87,4 +87,56 @@ class IvfIndexSpec extends SparkSpec {
     // appended rows actually participate: some neighbor must be odd-id
     assert(indexed.filter($"nbr_id" % 2 === 1).count() > 0)
   }
+
+  test("IVF-PQ index: full-probe degenerates to flat PQ re-rank; probe stacks partition + column pruning") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count().toInt
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val pq = Similarity.pqSubCentroids(emb, "vec_id", "embedding")
+    val path = Files.createTempDirectory("ivfpq").toString + "/index"
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", path,
+      nCentroids = 16, centroidModel = Some(coarse), pqModel = Some(pq))
+
+    // sidecar codebook round-trips bit-for-bit
+    val back = Similarity.readPqCodebook(spark, path)
+    assert(back.flatten.flatten.toSeq == pq.flatten.flatten.toSeq)
+
+    val queries = emb.filter($"vec_id" < 3)
+    // (1) the equality pin: probe ALL cells with an uncapped shortlist →
+    // exactly the flat two-stage operator under the same model (the
+    // index layout is an optimization, not a semantics change)
+    val full = Similarity
+      .ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding", k = 5, nProbe = 16, shortlist = n)
+      .orderBy("query_id", "nbr_id").collect().toSeq
+    val flat = Similarity
+      .pqTopKReranked(emb, "vec_id", "embedding", queries, 5, pq, shortlist = n)
+      .orderBy("query_id", "nbr_id").collect().toSeq
+    assert(full == flat)
+
+    // (2) a REAL probe: partition pruning on the ADC scan, and the ADC
+    // stage's scan reads codes without the full vectors (column pruning)
+    val probed = Similarity
+      .ivfPqTopKIndexed(spark, path, queries, "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 20)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      (p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other                    => other
+      }).collectWithSubqueries { case f: FileSourceScanExec => f }
+    val idxScans = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("ivfpq"))
+    assert(idxScans.nonEmpty)
+    idxScans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "").contains("cell"))
+      assert(s.selectedPartitions.partitionCount <= 6,
+        s"expected <= 3 queries x 2 probes partitions, got ${s.selectedPartitions.partitionCount}")
+    }
+    val adcScans = idxScans.filter(!_.schema.fieldNames.contains("v"))
+    assert(adcScans.nonEmpty, "no codes-only scan found — ADC stage is reading full vectors")
+    assert(adcScans.exists(_.schema.fieldNames.contains("code")))
+
+    // (3) and it still finds real neighbors
+    assert(probed.count() > 0)
+    val ids = probed.select("nbr_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < n))
+  }
 }
