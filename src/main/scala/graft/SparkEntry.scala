@@ -63,6 +63,7 @@ object SparkEntry {
     "d10_semdedup"       -> (Queries.d10Semdedup _),
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
+    "x15_token_budget_mix" -> (Queries.x15TokenBudgetMix _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -158,6 +159,11 @@ private[graft] object QueryParams {
   // d10 shares d5/d6's cosine regime: 0.4 is where this synthetic
   // corpus has planted near-dups.
   val D10Cos: Double = 0.4
+  // x15: a FIXED total token budget — binds at every sf (admits ~1/3 of
+  // sf0.01's docs, ~3% of sf0.1's), so the cap is exercised wherever
+  // the driver checks
+  val X15Budget: Long = 10000L
+  val X15Seed: Long = 7L
   // Committed expectation fixtures (see graft.GenM1Fixture /
   // graft.GenS11Fixture). The directory is env/sysprop-overridable for
   // checkouts not at /root/repo; the resolved value must be ABSOLUTE
@@ -868,6 +874,30 @@ object Queries {
     Dedup
       .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** x15 — token-budget mixture sampling: domain weights derived from
+    * the source NAME (digits % 3 + 1 — relationally expressible so the
+    * oracle recomputes them), integer-exact budget split over a fixed
+    * total, strict seeded-hash admission. The distinct-domain collect
+    * is bounded model state (the kmeans-precedent class).
+    */
+  def x15TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+    val domains = base.select("source").distinct().collect().map(_.getString(0))
+    val weights = domains
+      .map(d => d -> ("""\d+""".r.findFirstIn(d).getOrElse("0").toLong % 3 + 1))
+      .toMap
+    TextOps
+      .sampleTokenBudget(
+        base, "doc_id", "source", "n_tokens",
+        TextOps.mixtureBudgets(weights, QueryParams.X15Budget),
+        seed = QueryParams.X15Seed
+      )
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
   }
 
@@ -2811,6 +2841,32 @@ object Oracles {
          |          / CAST(4503599627370496 AS DOUBLE) AS u
          |      FROM keyed)
          |ORDER BY doc_id""".stripMargin,
+    // X15 — the whole mixture policy restated relationally: weights
+    // from the source name, integer floor-division budget split (//),
+    // seeded-md5 admission order, strict prefix-sum cap. NULL token
+    // counts cost 0 (COALESCE) but stay NULL in the output, same as
+    // the engine.
+    "x15_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT DISTINCT source,
+         |        (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 3) + 1 AS wt
+         |      FROM t),
+         |tot AS (SELECT sum(wt) AS wsum FROM w),
+         |b AS (SELECT source, CAST((wt * ${QueryParams.X15Budget}) // wsum AS BIGINT) AS budget FROM w, tot),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(coalesce(n_tokens, 0)) OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5('${QueryParams.X15Seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT c.doc_id, c.source, c.n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens
+         |FROM c JOIN b ON b.source = c.source
+         |WHERE c.cum <= b.budget
+         |ORDER BY c.doc_id""".stripMargin,
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup
         .xorSeeds(16)

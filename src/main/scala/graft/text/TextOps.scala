@@ -222,6 +222,56 @@ object TextOps {
     )
   }
 
+  /** Token-budget mixture sampling — the data-MIXING op a pretraining
+    * pipeline runs to hit target domain proportions: each domain gets a
+    * token budget; its documents are admitted in seeded-hash order (the
+    * x9/x11 determinism discipline — stable under reruns, corpus
+    * growth, and engine swaps) while the running token prefix sum stays
+    * within the budget. Admission is STRICT (a document enters only if
+    * the sum including it fits), so budgets are hard caps and the
+    * output is a pure function of (corpus, budgets, seed). Domains
+    * absent from `budgets` are dropped; NULL token counts admit as 0
+    * cost but keep their NULL in the output.
+    *
+    * 100 TB shape: one shuffle on the domain key; the window's prefix
+    * sum is a streaming pass per domain partition. Skewed mega-domains
+    * would sort within their partition — at that scale pre-bucket the
+    * table by domain so the sort is a merge of sorted runs.
+    */
+  def sampleTokenBudget(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "need non-negative budgets")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) { case (acc, (d, b)) =>
+      when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(coalesce(col(tokensCol), lit(0L))).over(w))
+      .withColumn("__budget", budgetCol)
+      .filter(col("cum_tokens") <= col("__budget"))
+      .drop("__budget")
+  }
+
+  /** Integer-exact per-domain budgets from mixture WEIGHTS: budget_d =
+    * ⌊w_d · total / Σw⌋ in long arithmetic — no float division, so an
+    * oracle recomputing the split relationally lands on identical
+    * numbers.
+    */
+  def mixtureBudgets(weights: Map[String, Long], totalBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) && totalBudget >= 0, "need non-negative weights/budget")
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights sum to zero")
+    weights.map { case (d, w) => d -> w * totalBudget / wsum }
+  }
+
   /** Leakage-safe (group-aware) train/val/test split: every document in
     * a near-duplicate CLUSTER rides the same side. A per-document hash
     * split ([[assignSplit]]) silently leaks — a near-copy of a training

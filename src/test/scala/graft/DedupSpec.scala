@@ -352,6 +352,42 @@ class DedupSpec extends SparkSpec {
     assert(splitOf.exists { case (id, sp) => x9(id) != sp })
   }
 
+  test("sampleTokenBudget: hard per-domain caps, prefix-closed admission, unbudgeted domains dropped") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf001)
+    val base = docs.select($"doc_id", $"source", TextOps.tokenCount($"text").cast("long").as("n_tokens"))
+    val budgets = Map("src0" -> 300L, "src1" -> 120L, "src2" -> 0L)
+    val out = TextOps.sampleTokenBudget(base, "doc_id", "source", "n_tokens", budgets, seed = 7L)
+    val rows = out.select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Option[Long], Long)].collect()
+    // (1) only budgeted domains appear, and zero-budget admits nothing
+    assert(rows.map(_._2).toSet.subsetOf(Set("src0", "src1")))
+    // (2) the cap is HARD: per-domain admitted token sums fit the budget
+    val sums = rows.groupBy(_._2).view.mapValues(_.map(_._3.getOrElse(0L)).sum).toMap
+    sums.foreach { case (d, s) => assert(s <= budgets(d), s"$d admitted $s > ${budgets(d)}") }
+    assert(rows.nonEmpty && sums.values.exists(_ > 0))
+    // (3) admission is the PREFIX of the seeded-hash rank: recompute the
+    // rank driver-side and check the admitted set is exactly the prefix
+    // whose running sum fits
+    val all = base.as[(Long, String, Option[Long])].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    budgets.filter(_._2 > 0).keys.foreach { d =>
+      val ranked = all.filter(_._2 == d).sortBy { case (id, _, _) => (md5hex(s"7:$id"), id) }
+      var cum = 0L
+      val want = ranked.takeWhile { case (_, _, t) => cum += t.getOrElse(0L); cum <= budgets(d) }.map(_._1).toSet
+      val got = rows.filter(_._2 == d).map(_._1).toSet
+      assert(got == want, s"$d: admitted ${got.size}, expected prefix ${want.size}")
+    }
+    // (4) partitioning-independent
+    val re = TextOps.sampleTokenBudget(base.repartition(17), "doc_id", "source", "n_tokens", budgets, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == rows.map(_._1).toSet)
+    // (5) the integer budget split is exact and conservative
+    val b = TextOps.mixtureBudgets(Map("a" -> 1L, "b" -> 2L), 100L)
+    assert(b == Map("a" -> 33L, "b" -> 66L))
+  }
+
   test("sampleStratified: exact quotas, seeded determinism, partitioning-independent") {
     import graft.text.TextOps
     import graft.io.Tables
