@@ -34,15 +34,16 @@ class PlanLintSpec extends SparkSpec {
     *   - p7_nearest_key: non-equi nearest-expiration probe against a
     *     broadcast DISTINCT target set (tiny by construction — P7
     *     semantics guarantee few distinct targets).
-    *   - n1_ann_brute / n4_ann_quantized: explicit `broadcast(queries)`
-    *     with a non-equi self-exclusion predicate — the ANN query set is
-    *     bounded by design ("broadcast queries, one corpus scan"); the
-    *     corpus side streams.
+    *   - n1_ann_brute / n4_ann_quantized / n5_ann_pq: explicit
+    *     `broadcast(queries)` with a non-equi self-exclusion predicate —
+    *     the ANN query set is bounded by design ("broadcast queries, one
+    *     corpus scan"); the corpus side streams (n5's streams CODES,
+    *     ~8 B/row — the whole point).
     *   - x10_corpus_freq: a ONE-ROW broadcast cross join attaching the
     *     corpus token total to the per-doc aggregates.
     */
   private val bnljAllowed: Set[String] =
-    Set("d5_embed_neardup", "p7_nearest_key", "n1_ann_brute", "n4_ann_quantized", "x10_corpus_freq")
+    Set("d5_embed_neardup", "p7_nearest_key", "n1_ann_brute", "n4_ann_quantized", "n5_ann_pq", "x10_corpus_freq")
 
   /** Queries whose defining behavior is a scan-level predicate: each
     * must show at least one parquet scan with non-empty PushedFilters.
