@@ -64,6 +64,7 @@ object SparkEntry {
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
     "x15_token_budget_mix" -> (Queries.x15TokenBudgetMix _),
+    "x17_exact_decontaminate" -> (Queries.x17ExactDecontaminate _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -733,6 +734,26 @@ object Queries {
         seed = QueryParams.X11Seed
       )
       .orderBy("source", "doc_id")
+
+  /** x17 — exact 13-gram decontamination (the GPT-3 App. C literal-
+    * leakage rule; see [[graft.text.TextOps.exactNgramDecontaminate]]).
+    * Same mod-5 corpus/benchmark split as d7 so the two decontamination
+    * rules — near-dup LSH there, literal n-gram overlap here — describe
+    * the same leakage surface, and the same window width as x12/x13 so
+    * all three n-gram rules share one blocking unit.
+    */
+  def x17ExactDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps
+      .exactNgramDecontaminate(
+        docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+        docs.filter(pmod($"doc_id", lit(5)) === 0),
+        "doc_id",
+        "text",
+        n = QueryParams.X12SpanWidth
+      )
+      .orderBy("doc_id")
+  }
 
   /** x12 — duplicate-span coverage (the Gopher/RefinedWeb dup-n-gram
     * repetition rule at token granularity; see
@@ -2867,6 +2888,33 @@ object Oracles {
          |FROM c JOIN b ON b.source = c.source
          |WHERE c.cum <= b.budget
          |ORDER BY c.doc_id""".stripMargin,
+    // x17 — integer counts plus ONE final double division (hit_frac):
+    // bit-identical on both engines. Window CTE mirrors x13's.
+    "x17_exact_decontaminate" -> {
+      val n = QueryParams.X12SpanWidth
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |spans AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= $n
+         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
+         |      ELSE []::VARCHAR[] END AS ws
+         |  FROM base),
+         |bench AS (SELECT DISTINCT unnest(ws) AS span FROM spans WHERE doc_id % 5 = 0),
+         |occ AS (SELECT doc_id, unnest(ws) AS span FROM spans WHERE doc_id % 5 <> 0),
+         |hits AS (
+         |  SELECT o.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_hit_spans,
+         |    CAST(count(DISTINCT o.span) AS BIGINT) AS n_grams_hit
+         |  FROM occ o JOIN bench USING (span) GROUP BY o.doc_id),
+         |stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_spans FROM spans WHERE doc_id % 5 <> 0)
+         |SELECT s.doc_id, s.n_spans, h.n_hit_spans, h.n_grams_hit,
+         |  CAST(h.n_hit_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) AS hit_frac
+         |FROM stats s JOIN hits h USING (doc_id)
+         |WHERE h.n_hit_spans >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup
         .xorSeeds(16)

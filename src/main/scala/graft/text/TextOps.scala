@@ -750,4 +750,68 @@ object TextOps {
         (col("oov_count").cast("double") / col("n_tokens").cast("double")).as("oov_frac")
       )
   }
+
+  /** Exact n-gram decontamination — the GPT-3/PaLM eval-leakage rule
+    * (Brown et al. 2020 App. C; Chowdhery et al. 2022 App. D): flag
+    * every training document that shares at least `minHits` exact
+    * `n`-token windows with a benchmark/eval set. The complement of
+    * [[graft.dedup.Dedup.crossLshPairs]] (d7): LSH catches NEAR
+    * duplicates of whole documents; this catches literal leakage of any
+    * single n-gram (a quoted test question inside an otherwise novel
+    * page), which near-dup similarity never reaches.
+    *
+    * Output: one row per CONTAMINATED training document —
+    * (id, n_spans, n_hit_spans, n_grams_hit, hit_frac): total window
+    * count, windows matching the benchmark set, DISTINCT benchmark
+    * grams matched, and the contaminated-window fraction. Removal is
+    * composition (anti-join on the flagged ids, the d8b shape).
+    *
+    * Scale shape — the asymmetry is the whole design: eval sets are
+    * MBs, the corpus is the 100 TB side. Benchmark windows dedup to a
+    * slim one-column distinct (tiny shuffle on the small side only) and
+    * BROADCAST; corpus windows are scan-local ([[spanFingerprints]],
+    * never materialized off the scan) and probe the broadcast hash
+    * relation in place, so corpus text neither shuffles nor leaves the
+    * scan stage. Only HIT rows (vanishingly rare by construction) reach
+    * the per-doc aggregate, and both aggregates are combiner-friendly.
+    * One pass over the corpus, zero corpus-side shuffle beyond the
+    * near-empty hit stream.
+    */
+  def exactNgramDecontaminate(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2 tokens, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val benchGrams = bench
+      .filter(col(textCol).isNotNull)
+      .select(explode(spanFingerprints(tokens(col(textCol)), n)).as("span"))
+      .distinct()
+    val base = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), spanFingerprints(tokens(col(textCol)), n).as("spans"))
+    val hits = base
+      .select(col(idCol), explode(col("spans")).as("span"))
+      .join(broadcast(benchGrams), Seq("span"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_hit_spans"),
+        count_distinct(col("span")).as("n_grams_hit")
+      )
+      .filter(col("n_hit_spans") >= minHits)
+    base
+      .select(col(idCol), size(col("spans")).cast("long").as("n_spans"))
+      .join(hits, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_hit_spans"),
+        col("n_grams_hit"),
+        (col("n_hit_spans").cast("double") / col("n_spans").cast("double")).as("hit_frac")
+      )
+  }
 }

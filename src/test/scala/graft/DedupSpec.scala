@@ -427,6 +427,36 @@ class DedupSpec extends SparkSpec {
     assert(mixed == Set(wSrc))
   }
 
+  test("exactNgramDecontaminate flags literal n-gram leakage, counts hits vs distinct grams") {
+    import graft.text.TextOps
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta epsilon quoted verbatim here"),
+      (2L, "no overlap with the benchmark content at all in this document"),
+      (3L, "alpha beta gamma appears alpha beta gamma twice in this one")
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .exactNgramDecontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // doc 2 shares no trigram with the benchmark → absent
+    assert(out.keySet == Set(1L, 3L))
+    // doc 1: 11 tokens → 9 windows; 3 distinct benchmark trigrams leak once each
+    assert(out(1L) == ((1L, 9L, 3L, 3L, 3.0 / 9.0)))
+    // doc 3: "alpha beta gamma" quoted TWICE → 2 hit windows but 1 distinct gram
+    assert(out(3L) == ((3L, 9L, 2L, 1L, 2.0 / 9.0)))
+    // minHits raises the reporting bar: only doc 1 reaches 3 hits
+    val strict = TextOps
+      .exactNgramDecontaminate(corpus, bench, "doc_id", "text", n = 3, minHits = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(1L))
+    // a benchmark shorter than n contributes nothing (and nothing NPEs)
+    val shortBench = Seq((200L, "just two")).toDF("doc_id", "text")
+    assert(TextOps.exactNgramDecontaminate(corpus, shortBench, "doc_id", "text", n = 3).count() == 0L)
+  }
+
   test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",
