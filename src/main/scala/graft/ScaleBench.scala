@@ -58,7 +58,13 @@ object ScaleBench {
     "d8b_dedup_filter",
     "w6_forward_fill",
     "s11_classify",
-    "d9_incremental_minhash"
+    "d9_incremental_minhash",
+    // x17: both corpus and benchmark sides scale with the table; the
+    // per-copy token suffix prevents cross-copy window collisions, so
+    // the broadcast benchmark-gram set grows ×factor while the corpus
+    // probe stays scan-local — linear means the broadcast build is not
+    // the bottleneck and no hit explosion sneaks in
+    "x17_exact_decontaminate"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
