@@ -11,10 +11,13 @@ import org.apache.spark.sql.SparkSession
   *   - `spark.sql.session.timeZone=UTC` — the reference stores naive-UTC
   *     timestamps (see reference `charting/server.py:36-60`); all oracle
   *     comparisons assume UTC.
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the driver's
-  *     `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS),
-  *     which Spark 4.1 otherwise rejects with [PARQUET_TYPE_ILLEGAL].
-  *     With the flag, `ts` reads as BIGINT epoch-nanoseconds.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — earlier testdata
+  *     generations stored `events.ts` as parquet INT64 TIMESTAMP(NANOS),
+  *     which Spark 4.1 otherwise rejects with [PARQUET_TYPE_ILLEGAL];
+  *     with the flag such files read as BIGINT epoch-nanoseconds. The
+  *     round-6 regeneration switched to TIMESTAMP(MICROS) (flag then a
+  *     no-op); [[graft.io.Tables.events]] schema-dispatches on whichever
+  *     encoding it finds, so keeping the flag covers both generations.
   *
   * Shuffle partitions are sized for local[N] (match cores, not the 200
   * default); on a real cluster this would be driven by AQE +

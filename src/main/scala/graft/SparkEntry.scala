@@ -8,6 +8,7 @@ import graft.indicators.Indicators
 import graft.io.Tables
 import graft.ops.Relational
 import graft.similarity.Similarity
+import graft.streaming.DedupIngest
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -60,6 +61,7 @@ object SparkEntry {
     "d8b_dedup_filter"   -> (Queries.d8bDedupFilter _),
     "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
+    "d13_ingest_corpus"  -> (Queries.d13IngestCorpus _),
     "d10_semdedup"       -> (Queries.d10Semdedup _),
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
@@ -896,6 +898,34 @@ object Queries {
       .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
       .orderBy("doc_id")
+  }
+
+  /** d13 — the streaming dedup-ingest END-STATE: seed the corpus + both
+    * indexes with the doc_id%3==1 documents, then gate the %3==2 and
+    * %3==0 batches through [[graft.streaming.DedupIngest.ingestBatch]]
+    * IN THAT ORDER (the exact frames DedupIngestSpec feeds the
+    * `foreachBatch` stream — spec-pinned stream ≡ sequential), and
+    * return the final corpus. The DuckDB oracle recomputes the same
+    * sequential gate: per batch, within-batch exact keeper → exact
+    * novelty vs accepted fingerprints → near-dup components over the
+    * pair graph restricted to (batch ∪ accepted) touching the batch,
+    * corpus anchors win, min batch id keeps. Scratch is deleted up
+    * front: corpus/index APPENDS are the one non-idempotent step, so
+    * each run (and each bench rep) must start from nothing.
+    */
+  def d13IngestCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val root = QueryParams.indexScratch("d13_ingest", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    val seed = docs.filter(col("doc_id") % 3 === 1)
+    val corpusOut = s"$root/corpus"
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$root/idx")
+    seed.write.mode("overwrite").parquet(corpusOut)
+    DedupIngest.ingestBatch(spark, s"$root/idx", corpusOut, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$root/idx", corpusOut, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    spark.read.parquet(corpusOut).select("doc_id", "source").orderBy("doc_id")
   }
 
   /** x15 — token-budget mixture sampling: domain weights derived from
@@ -2800,6 +2830,75 @@ object Oracles {
         |  AND NOT EXISTS (SELECT 1 FROM fp c
         |                  WHERE c.doc_id % 3 <> 0 AND c.f IS NOT DISTINCT FROM b.f)
         |ORDER BY doc_id""".stripMargin,
+    // D13 — the sequential ingest gate restated batch by batch: seed =
+    // doc_id%3=1 (indexed ungated), then each gated batch (%3=2, then
+    // %3=0) is within-batch exact-keepered, fingerprint-novelty-checked
+    // against everything accepted so far, and cluster-resolved over the
+    // SAME global pair CTEs restricted to (batch ∪ accepted) pairs
+    // touching the batch — a corpus anchor in the cluster drops the
+    // whole batch side, else the min batch id keeps. Two unrolled
+    // recursive closures = the two ingestBatch calls.
+    "d13_ingest_corpus" ->
+      s"""WITH RECURSIVE $d2PairsCtes,
+         |p AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |fpd AS (SELECT doc_id, source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM documents),
+         |seed AS (SELECT doc_id, source, f FROM fpd WHERE doc_id % 3 = 1),
+         |e2 AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT b.*, min(doc_id) OVER (PARTITION BY f) AS kid
+         |    FROM (SELECT * FROM fpd WHERE doc_id % 3 = 2) b)
+         |  WHERE doc_id = kid),
+         |n2 AS (SELECT e.* FROM e2 e
+         |  WHERE NOT EXISTS (SELECT 1 FROM seed s WHERE s.f IS NOT DISTINCT FROM e.f)),
+         |u2 AS (SELECT doc_id FROM n2 UNION SELECT doc_id FROM seed),
+         |ed2 AS (SELECT src, dst FROM sym
+         |  WHERE (src IN (SELECT doc_id FROM n2) OR dst IN (SELECT doc_id FROM n2))
+         |    AND src IN (SELECT doc_id FROM u2) AND dst IN (SELECT doc_id FROM u2)),
+         |r2(id, r) AS (
+         |  SELECT doc_id, doc_id FROM u2
+         |  UNION
+         |  SELECT e.dst, r2.r FROM ed2 e JOIN r2 ON r2.id = e.src),
+         |c2 AS (SELECT id, min(r) AS component FROM r2 GROUP BY id),
+         |g2 AS (SELECT component,
+         |    max(CASE WHEN id NOT IN (SELECT doc_id FROM n2) THEN 1 ELSE 0 END) AS has_indexed,
+         |    min(CASE WHEN id IN (SELECT doc_id FROM n2) THEN id END) AS min_batch
+         |  FROM c2 GROUP BY component),
+         |acc2 AS (
+         |  SELECT n.doc_id, n.source, n.f FROM n2 n
+         |  JOIN c2 ON c2.id = n.doc_id
+         |  JOIN g2 ON g2.component = c2.component
+         |  WHERE g2.has_indexed = 0 AND n.doc_id = g2.min_batch),
+         |e0 AS (
+         |  SELECT doc_id, source, f FROM (
+         |    SELECT b.*, min(doc_id) OVER (PARTITION BY f) AS kid
+         |    FROM (SELECT * FROM fpd WHERE doc_id % 3 = 0) b)
+         |  WHERE doc_id = kid),
+         |af AS (SELECT f FROM seed UNION ALL SELECT f FROM acc2),
+         |n0 AS (SELECT e.* FROM e0 e
+         |  WHERE NOT EXISTS (SELECT 1 FROM af s WHERE s.f IS NOT DISTINCT FROM e.f)),
+         |u0 AS (SELECT doc_id FROM n0 UNION SELECT doc_id FROM seed UNION SELECT doc_id FROM acc2),
+         |ed0 AS (SELECT src, dst FROM sym
+         |  WHERE (src IN (SELECT doc_id FROM n0) OR dst IN (SELECT doc_id FROM n0))
+         |    AND src IN (SELECT doc_id FROM u0) AND dst IN (SELECT doc_id FROM u0)),
+         |r0(id, r) AS (
+         |  SELECT doc_id, doc_id FROM u0
+         |  UNION
+         |  SELECT e.dst, r0.r FROM ed0 e JOIN r0 ON r0.id = e.src),
+         |c0 AS (SELECT id, min(r) AS component FROM r0 GROUP BY id),
+         |g0 AS (SELECT component,
+         |    max(CASE WHEN id NOT IN (SELECT doc_id FROM n0) THEN 1 ELSE 0 END) AS has_indexed,
+         |    min(CASE WHEN id IN (SELECT doc_id FROM n0) THEN id END) AS min_batch
+         |  FROM c0 GROUP BY component),
+         |acc0 AS (
+         |  SELECT n.doc_id, n.source FROM n0 n
+         |  JOIN c0 ON c0.id = n.doc_id
+         |  JOIN g0 ON g0.component = c0.component
+         |  WHERE g0.has_indexed = 0 AND n.doc_id = g0.min_batch)
+         |SELECT doc_id, source FROM seed
+         |UNION ALL SELECT doc_id, source FROM acc2
+         |UNION ALL SELECT doc_id, source FROM acc0
+         |ORDER BY doc_id""".stripMargin,
     // D8b — the deduplicated corpus: documents minus non-keeper cluster
     // members, derived from the same recursive closure.
     "d8b_dedup_filter" ->

@@ -345,12 +345,23 @@ object Dedup {
     * constant across rounds. Deterministic: min is order-free.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    // symmetric edge list; duplicates are harmless under min-aggregation,
-    // so no distinct (one less shuffle on the persisted base)
-    val edges = pairs
+    // materialize the slim pair projection ONCE before the symmetric
+    // union: union branches share no common-subexpression elimination,
+    // so without this the whole upstream pair pipeline (for d11: the
+    // full shingle→minhash→band→join LSH cascade) would execute TWICE —
+    // and a cache-evicted persist could re-run it mid-iteration.
+    // localCheckpoint also cuts the upstream lineage out of every
+    // round's plan.
+    val base = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .persist()
+      .localCheckpoint()
+    // symmetric edge list; duplicates are harmless under min-aggregation,
+    // so no distinct. Derived per-use from the checkpointed base (a
+    // cached-block read + projection) rather than persisted separately:
+    // persisting the union would hold BOTH orientations in storage — 2×
+    // the blocks for no saved compute.
+    val edges = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
     // round 0 folded into init: label = min(id, min neighbor) — every
     // node appears as src of the symmetric list.
     // localCheckpoint (NOT persist): each round's self-join doubles the
@@ -400,7 +411,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    base.unpersist()
     require(done, s"connectedComponents did not converge in $maxIter pointer-jumping rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels
