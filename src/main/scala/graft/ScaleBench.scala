@@ -64,7 +64,13 @@ object ScaleBench {
     // the broadcast benchmark-gram set grows ×factor while the corpus
     // probe stays scan-local — linear means the broadcast build is not
     // the bottleneck and no hit explosion sneaks in
-    "x17_exact_decontaminate"
+    "x17_exact_decontaminate",
+    // b1: the as-of-join + stateful backtest slice over events — the
+    // user-key shift gives ×factor independent per-key series, so the
+    // sort-within-partitions fold should scale with the number of keys
+    // (added round 7 after the events reader restoration, so the slope
+    // is measured against the regenerated TIMESTAMP_MICROS testdata)
+    "b1_backtest"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {

@@ -13,6 +13,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // A failing query must be a VISIBLE red row, never a silently absent
+    // one: round 6 lost 20 queries to a testdata-schema break and the
+    // correctness artifact simply omitted them, reading as "59/59 green".
+    // Failures are collected into failed.json next to oracle_sql.json
+    // (name → first exception line) so any consumer of the dump dir can
+    // see exactly which queries never produced a result.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -20,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
       }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +47,12 @@ object Verify {
     val json = (SparkEntry.oracleSql ++ SparkEntry.oracleSqlFitted(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(
+      Paths.get(s"$outDir/failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }
