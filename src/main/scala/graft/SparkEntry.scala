@@ -72,6 +72,7 @@ object SparkEntry {
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
+    "x5_redact_pii"      -> (Queries.x5RedactPii _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
     "d2_minhash_lsh"     -> (Queries.d2MinhashLsh _),
     "d3_simhash"         -> (Queries.d3Simhash _),
@@ -814,6 +815,30 @@ object Queries {
     Tables
       .documents(spark, dir)
       .select($"doc_id", graft.text.TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** x5 — PII/URL redaction (the standard pre-training scrub). The
+    * synthetic corpus carries no natural PII, so the query plants a
+    * deterministic email + URL + long digit run per document (derived
+    * from doc_id — relationally expressible, so the oracle plants the
+    * identical text) and redacts; the hash compare then proves all
+    * three regex rules produce identical output across engines,
+    * including the URL rule's trailing-punctuation carve-out.
+    */
+  def x5RedactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        TextOps.redactPii(
+          concat(
+            $"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com or (https://site"), $"doc_id".cast("string"),
+            lit(".example.org/path). acct 1234567"), $"doc_id".cast("string")
+          )
+        ).as("clean_text")
+      )
       .orderBy("doc_id")
 
   /** Exact dedup by content hash. The test corpus has no natural exact
@@ -2798,6 +2823,24 @@ object Oracles {
     "x4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // X5 — the same planted-PII construction and the same three regexes
+    // in the same order (email → URL → digit run), each with the 'g'
+    // flag (DuckDB replaces first-match-only by default; Spark's
+    // regexp_replace is always global).
+    "x5_redact_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com or (https://site' || CAST(doc_id AS VARCHAR)
+        |         || '.example.org/path). acct 1234567' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)\bhttps?://[^\s]*[^\s).,;:!?]', '<URL>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS clean_text
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

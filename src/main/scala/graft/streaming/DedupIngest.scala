@@ -62,7 +62,11 @@ object DedupIngest {
       threshold: Double = 0.3
   ): DataFrame = {
     val exact = exactKeeperPerFingerprint(batch, idCol, textCol)
-    val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol)
+    // novel feeds THREE consumers (the LSH probe's shingling, the
+    // in-batch flag join, the final anti-join) and its lineage carries a
+    // window agg + an index anti-join — checkpoint once so the gate
+    // computes it once instead of once per consumer
+    val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol).localCheckpoint()
     val pairs = Dedup.incrementalLshPairs(spark, s"$root/minhash", novel, idCol, textCol, threshold)
     // cluster resolution over the pair graph; corpus members (ids not
     // in the batch) anchor their cluster — seniority wins
