@@ -506,8 +506,38 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.3
   ): DataFrame = {
+    val (hashedB, bandedB) = batchSignatures(spark, path, batch, idCol, textCol)
+    incrementalLshPairsPre(spark, path, hashedB, bandedB, threshold)
+  }
+
+  /** The batch's (sketches, banded rows) under the index's recorded
+    * config — exposed so a caller that both PROBES and APPENDS (the
+    * ingest gate) computes them once; shingling the batch is the gate's
+    * dominant per-row cost and paying it twice doubles ingest CPU at
+    * scale. Columns match the index layout: `(id, shh)` / `(id, band,
+    * band_key)`.
+    */
+  def batchSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): (DataFrame, DataFrame) = {
     val (n, k, bands) = readMinhashConfig(spark, path)
-    val (hashedB, bandedB) = bandedSignatures(batch, idCol, textCol, n, k, bands)
+    bandedSignatures(batch, idCol, textCol, n, k, bands)
+  }
+
+  /** [[incrementalLshPairs]] with the batch signatures precomputed by
+    * [[batchSignatures]] (same semantics; no re-shingling).
+    */
+  def incrementalLshPairsPre(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      hashedB: DataFrame,
+      bandedB: DataFrame,
+      threshold: Double = 0.3
+  ): DataFrame = {
     val corpusBanded = spark.read.parquet(s"$path/bands").select("band", "band_key", "id")
     val cross = corpusBanded
       .withColumnRenamed("id", "id_x")
@@ -536,8 +566,15 @@ object Dedup {
       idCol: String,
       textCol: String
   ): Unit = {
-    val (n, k, bands) = readMinhashConfig(spark, path)
-    val (hashed, banded) = bandedSignatures(batch, idCol, textCol, n, k, bands)
+    val (hashed, banded) = batchSignatures(spark, path, batch, idCol, textCol)
+    appendToMinhashIndexPre(path, hashed, banded)
+  }
+
+  /** [[appendToMinhashIndex]] with signatures precomputed by
+    * [[batchSignatures]] (the ingest gate filters its probe signatures
+    * to the accepted ids and appends those — never shingling twice).
+    */
+  def appendToMinhashIndexPre(path: String, hashed: DataFrame, banded: DataFrame): Unit = {
     banded.write.mode("append").partitionBy("band").parquet(s"$path/bands")
     hashed.write.mode("append").parquet(s"$path/sketches")
   }

@@ -60,14 +60,36 @@ object DedupIngest {
       idCol: String,
       textCol: String,
       threshold: Double = 0.3
-  ): DataFrame = {
+  ): DataFrame =
+    acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)._1
+
+  /** [[accepted]] plus the batch's (sketches, banded rows) under the
+    * index config — ONE gate implementation; [[ingestBatch]] reuses the
+    * signatures the probe computed for its index append instead of
+    * shingling the batch a second time (shingling is the gate's
+    * dominant per-row cost; paying it twice doubles ingest CPU).
+    */
+  def acceptedWithSignatures(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.3
+  ): (DataFrame, DataFrame, DataFrame) = {
     val exact = exactKeeperPerFingerprint(batch, idCol, textCol)
     // novel feeds THREE consumers (the LSH probe's shingling, the
     // in-batch flag join, the final anti-join) and its lineage carries a
     // window agg + an index anti-join — checkpoint once so the gate
     // computes it once instead of once per consumer
     val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol).localCheckpoint()
-    val pairs = Dedup.incrementalLshPairs(spark, s"$root/minhash", novel, idCol, textCol, threshold)
+    // signatures are checkpointed too: they'd otherwise stay lazy and
+    // the append would re-run the shingling the probe already paid for
+    // (blocks are bounded by the batch and released by the context
+    // cleaner once the batch's RDDs go unreachable)
+    val (h0, b0) = Dedup.batchSignatures(spark, s"$root/minhash", novel, idCol, textCol)
+    val (hashedB, bandedB) = (h0.localCheckpoint(), b0.localCheckpoint())
+    val pairs = Dedup.incrementalLshPairsPre(spark, s"$root/minhash", hashedB, bandedB, threshold)
     // cluster resolution over the pair graph; corpus members (ids not
     // in the batch) anchor their cluster — seniority wins
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -85,7 +107,7 @@ object DedupIngest {
       .join(perCluster, Seq("component"))
       .filter(col("has_indexed") === 1 || col("id") =!= col("min_batch_id"))
       .select(col("id").as(idCol))
-    novel.join(drops, Seq(idCol), "left_anti")
+    (novel.join(drops, Seq(idCol), "left_anti"), hashedB, bandedB)
   }
 
   /** Run the gate and fold the survivors into the corpus sink and both
@@ -112,10 +134,19 @@ object DedupIngest {
       textCol: String,
       threshold: Double = 0.3
   ): Unit = {
-    val keep = accepted(spark, root, batch, idCol, textCol, threshold).localCheckpoint()
+    val (acc, hashedB, bandedB) =
+      acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
+    val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
       keep.write.mode("append").parquet(corpusOut)
-      Dedup.appendToMinhashIndex(spark, s"$root/minhash", keep, idCol, textCol)
+      // append the PROBE's signatures filtered to the accepted ids —
+      // row-local signatures restricted to keep ⊆ novel are exactly
+      // appendToMinhashIndex(keep)'s rows, minus the second shingling
+      val keepIds = keep.select(col(idCol).as("id"))
+      Dedup.appendToMinhashIndexPre(
+        s"$root/minhash",
+        hashedB.join(keepIds, Seq("id"), "left_semi"),
+        bandedB.join(keepIds, Seq("id"), "left_semi"))
       Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints")
     }
   }
