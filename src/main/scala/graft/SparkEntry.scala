@@ -8,7 +8,7 @@ import graft.indicators.Indicators
 import graft.io.Tables
 import graft.ops.Relational
 import graft.similarity.Similarity
-import graft.streaming.DedupIngest
+import graft.streaming.{DedupIngest, SemDedupIngest}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,7 @@ object SparkEntry {
     "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
     "d13_ingest_corpus"  -> (Queries.d13IngestCorpus _),
+    "d14_sem_ingest"     -> (Queries.d14SemIngest _),
     "d10_semdedup"       -> (Queries.d10Semdedup _),
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
@@ -126,15 +127,16 @@ object SparkEntry {
     * query is in exactly one of static / fitted / oracle-free).
     */
   val fittedOracleNames: Set[String] =
-    Set("n3_ann_ivf", "d10_semdedup", "d12_sem_decontaminate", "n5_ann_pq")
+    Set("n3_ann_ivf", "d10_semdedup", "d12_sem_decontaminate", "n5_ann_pq", "d14_sem_ingest")
 
   def oracleSqlFitted(spark: SparkSession, dir: String): Map[String, String] = {
-    // d10/d12 share n3's fit (same corpus, same k) — render once.
+    // d10/d12/d14 share n3's fit (same corpus, same k) — render once.
     val cents = Queries.n3FittedCentroids(spark, dir)
     Map(
       "n3_ann_ivf" -> Oracles.n3IvfSql(cents),
       "d10_semdedup" -> Oracles.d10SemdedupSql(cents),
       "d12_sem_decontaminate" -> Oracles.d12SemDecontaminateSql(cents),
+      "d14_sem_ingest" -> Oracles.d14SemIngestSql(cents),
       "n5_ann_pq" -> Oracles.n5PqSql(
         graft.similarity.Similarity.pqAugmented(Queries.n5FittedPq(spark, dir))
       )
@@ -951,6 +953,34 @@ object Queries {
     DedupIngest.ingestBatch(spark, s"$root/idx", corpusOut, docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
     DedupIngest.ingestBatch(spark, s"$root/idx", corpusOut, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
     spark.read.parquet(corpusOut).select("doc_id", "source").orderBy("doc_id")
+  }
+
+  /** d14 — the SEMANTIC ingest END-STATE: seed the IVF index with the
+    * vec_id%3==1 embeddings under the n3 fitted model (k=16 — the
+    * d10/d12 pin), then gate the %3==2 and %3==0 batches through
+    * [[graft.streaming.SemDedupIngest.ingestBatch]] IN THAT ORDER and
+    * return the final index contents (id, cell). The fitted oracle
+    * recomputes the sequential gate relationally: cell assignment from
+    * the centroid literals, within-cell cosine pairs, two unrolled
+    * recursive closures with corpus-seniority anchoring — the d13
+    * construction in embedding space. Scratch deleted up front
+    * (appends are the non-idempotent step).
+    */
+  def d14SemIngest(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = QueryParams.indexScratch("d14_sem_ingest", dir)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    Similarity.writeIvfIndex(
+      emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", root,
+      nCentroids = 16, centroidModel = Some(n3FittedCentroids(spark, dir)))
+    SemDedupIngest.ingestBatch(spark, root, emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", QueryParams.D10Cos)
+    SemDedupIngest.ingestBatch(spark, root, emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", QueryParams.D10Cos)
+    spark.read
+      .parquet(root)
+      .select(col("id").as("vec_id"), col("cell").cast("int").as("cell"))
+      .orderBy("vec_id")
   }
 
   /** x15 — token-budget mixture sampling: domain weights derived from
@@ -2077,6 +2107,84 @@ object Oracles {
        |SELECT id_a, id_b, cell, cos FROM p
        |WHERE cos >= ${QueryParams.D10Cos}
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** D14 — the semantic ingest end-state over the fitted-centroid
+    * literals: the d10 `assigned`/`p` CTEs (identical argmax tie-break
+    * and cosine) feed the d13 sequential-gate construction — seed =
+    * vec_id%3=1, two gated batches (%3=2 then %3=0) each resolved by a
+    * recursive closure over the pair graph restricted to
+    * (batch ∪ accepted) touching the batch, corpus anchors win, min
+    * batch id keeps. No exact-novelty stage: the semantic gate's replay
+    * guard is id-identity, a no-op on distinct ids.
+    */
+  def d14SemIngestSql(centroids: Array[Array[Double]]): String = {
+    val centValues = centroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${dArr(c)})" }
+      .mkString(", ")
+    s"""WITH RECURSIVE cents AS (
+       |  SELECT * FROM (VALUES $centValues) AS t(cell, cvec)),
+       |scored AS (
+       |  SELECT e.vec_id AS id, c.cell,
+       |    list_reduce(
+       |      list_prepend(0.0, list_transform(generate_series(1, 64),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])),
+       |      (acc, x) -> acc + x) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN ev ea ON ea.vec_id = a.id JOIN ev eb ON eb.vec_id = b.id
+       |  WHERE ${cosSql("ea.v", "eb.v")} >= ${QueryParams.D10Cos}),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |seed AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 1),
+       |n2 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 2),
+       |u2 AS (SELECT id FROM n2 UNION SELECT id FROM seed),
+       |ed2 AS (SELECT src, dst FROM sym
+       |  WHERE (src IN (SELECT id FROM n2) OR dst IN (SELECT id FROM n2))
+       |    AND src IN (SELECT id FROM u2) AND dst IN (SELECT id FROM u2)),
+       |r2(id, r) AS (
+       |  SELECT id, id FROM u2
+       |  UNION
+       |  SELECT e2.dst, r2.r FROM ed2 e2 JOIN r2 ON r2.id = e2.src),
+       |c2 AS (SELECT id, min(r) AS component FROM r2 GROUP BY id),
+       |g2 AS (SELECT component,
+       |    max(CASE WHEN id NOT IN (SELECT id FROM n2) THEN 1 ELSE 0 END) AS has_indexed,
+       |    min(CASE WHEN id IN (SELECT id FROM n2) THEN id END) AS min_batch
+       |  FROM c2 GROUP BY component),
+       |acc2 AS (
+       |  SELECT n.id FROM n2 n
+       |  JOIN c2 ON c2.id = n.id
+       |  JOIN g2 ON g2.component = c2.component
+       |  WHERE g2.has_indexed = 0 AND n.id = g2.min_batch),
+       |n0 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 3 = 0),
+       |u0 AS (SELECT id FROM n0 UNION SELECT id FROM seed UNION SELECT id FROM acc2),
+       |ed0 AS (SELECT src, dst FROM sym
+       |  WHERE (src IN (SELECT id FROM n0) OR dst IN (SELECT id FROM n0))
+       |    AND src IN (SELECT id FROM u0) AND dst IN (SELECT id FROM u0)),
+       |r0(id, r) AS (
+       |  SELECT id, id FROM u0
+       |  UNION
+       |  SELECT e0.dst, r0.r FROM ed0 e0 JOIN r0 ON r0.id = e0.src),
+       |c0 AS (SELECT id, min(r) AS component FROM r0 GROUP BY id),
+       |g0 AS (SELECT component,
+       |    max(CASE WHEN id NOT IN (SELECT id FROM n0) THEN 1 ELSE 0 END) AS has_indexed,
+       |    min(CASE WHEN id IN (SELECT id FROM n0) THEN id END) AS min_batch
+       |  FROM c0 GROUP BY component),
+       |acc0 AS (
+       |  SELECT n.id FROM n0 n
+       |  JOIN c0 ON c0.id = n.id
+       |  JOIN g0 ON g0.component = c0.component
+       |  WHERE g0.has_indexed = 0 AND n.id = g0.min_batch),
+       |fin AS (SELECT id FROM seed UNION ALL SELECT id FROM acc2 UNION ALL SELECT id FROM acc0)
+       |SELECT f.id AS vec_id, CAST(a.cell AS INTEGER) AS cell
+       |FROM fin f JOIN assigned a ON a.id = f.id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** N5 — PQ ANN over the AUGMENTED codebook literals: codes re-derived

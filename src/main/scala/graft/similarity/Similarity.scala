@@ -1109,6 +1109,63 @@ object Similarity {
       .parquet(path)
   }
 
+  /** Semantic near-dup pairs a batch introduces against a
+    * [[writeIvfIndex]] corpus — the SemDeDup rule applied
+    * INCREMENTALLY (the embedding-space analog of
+    * [[graft.dedup.Dedup.incrementalLshPairs]]): every
+    * (id_a < id_b, cos ≥ threshold) pair with at least one side in
+    * `batch`, both sides in the SAME cell under the index's frozen
+    * sidecar model — batch×corpus pairs plus batch-internal pairs.
+    * Equals [[semDedupPairs]] over corpus ∪ batch (same pinned model)
+    * restricted to pairs touching the batch, because cell assignment
+    * is per-vector and the within-cell restriction is pairwise
+    * (SemDedupIngestSpec pins the equivalence).
+    *
+    * Scale shape: the batch's assigned vectors BROADCAST into a
+    * cell-partition-pruned index scan — only the batch's touched cell
+    * DIRECTORIES are listed/read (`isin` literal over a bounded
+    * collect of ≤ |batch| cell ids, the [[ivfTopKIndexed]] move) and
+    * the corpus side never shuffles. Caller contract: ids unique
+    * across corpus ∪ batch.
+    */
+  def incrementalSemPairs(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val b = batch
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
+      .withColumn("nrm", norm(col("v")))
+    // bounded model-state collect: the batch's touched cells (≤ batch
+    // rows, ≤ nCentroids) render as an isin literal so Catalyst prunes
+    // untouched cell directories at planning time
+    val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = spark.read
+      .parquet(path)
+      .filter(col("cell").isin(touched.toSeq: _*))
+      .select(col("cell"), col("id").as("id_x"), col("v").as("v_x"))
+      .withColumn("n_x", norm(col("v_x")))
+    val bSlim = b.select(col("cell"), col("id").as("id_y"), col("v").as("v_y"), col("nrm").as("n_y"))
+    val cross = corpus
+      .join(broadcast(bSlim), Seq("cell"))
+      .withColumn("cos", cosinePre(col("v_x"), col("v_y"), col("n_x"), col("n_y")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"), greatest(col("id_x"), col("id_y")).as("id_b"), col("cell"), col("cos"))
+    val intra = b
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      .join(bSlim.withColumnRenamed("id_y", "id_b").withColumnRenamed("v_y", "v_b").withColumnRenamed("n_y", "n_b"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosinePre(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cell", "cos")
+    cross.unionByName(intra)
+  }
+
   /** IVF-PQ index — the composition that IS large-scale ANN serving
     * (the IVFADC layout of Jégou et al. 2011, FAISS's workhorse), as a
     * lake artifact: the cell-partitioned corpus of [[writeIvfIndex]]

@@ -90,11 +90,20 @@ object DedupIngest {
     val (h0, b0) = Dedup.batchSignatures(spark, s"$root/minhash", novel, idCol, textCol)
     val (hashedB, bandedB) = (h0.localCheckpoint(), b0.localCheckpoint())
     val pairs = Dedup.incrementalLshPairsPre(spark, s"$root/minhash", hashedB, bandedB, threshold)
-    // cluster resolution over the pair graph; corpus members (ids not
-    // in the batch) anchor their cluster — seniority wins
+    (novel.join(clusterDrops(pairs, novel, idCol), Seq(idCol), "left_anti"), hashedB, bandedB)
+  }
+
+  /** The cluster-resolution DROP rule both ingest gates share (text
+    * gate here, embedding gate in [[SemDedupIngest]]): connected
+    * components over the pair graph; a batch doc drops iff its cluster
+    * contains an already-indexed doc (ids not in `batchRows` — corpus
+    * seniority wins) or it is not its cluster's minimum-id batch doc.
+    * Returns the dropped ids as a single `idCol` column.
+    */
+  private[streaming] def clusterDrops(pairs: DataFrame, batchRows: DataFrame, idCol: String): DataFrame = {
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val flagged = comps
-      .join(novel.select(col(idCol).as("id"), lit(true).as("in_batch")), Seq("id"), "left")
+      .join(batchRows.select(col(idCol).as("id"), lit(true).as("in_batch")), Seq("id"), "left")
       .withColumn("in_batch", coalesce(col("in_batch"), lit(false)))
     val perCluster = flagged
       .groupBy("component")
@@ -102,12 +111,11 @@ object DedupIngest {
         max(when(!col("in_batch"), lit(1)).otherwise(lit(0))).as("has_indexed"),
         min(when(col("in_batch"), col("id"))).as("min_batch_id")
       )
-    val drops = flagged
+    flagged
       .filter(col("in_batch"))
       .join(perCluster, Seq("component"))
       .filter(col("has_indexed") === 1 || col("id") =!= col("min_batch_id"))
       .select(col("id").as(idCol))
-    (novel.join(drops, Seq(idCol), "left_anti"), hashedB, bandedB)
   }
 
   /** Run the gate and fold the survivors into the corpus sink and both

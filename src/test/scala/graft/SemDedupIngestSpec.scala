@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.streaming.SemDedupIngest
+
+/** The SEMANTIC dedup-at-the-door ingest: embedding batches gated
+  * against the materialized IVF index by within-cell cosine (the
+  * SemDeDup rule applied incrementally), survivors appended into their
+  * cell partitions. Mirrors DedupIngestSpec's structure: gate
+  * semantics, the incremental ≡ full-restriction equivalence that makes
+  * the index probe trustworthy, streaming ≡ sequential, replay
+  * idempotence.
+  */
+class SemDedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // a 2-centroid pinned model on 4-dim vectors: cell 0 along e1, cell 1
+  // along e2 — assignments are unambiguous by construction
+  private val model = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+  private val T = 0.8
+
+  private def df(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("gate semantics: corpus anchor wins, batch cluster keeps min id, novel kept") {
+    val root = tmp("semingest")
+    Similarity.writeIvfIndex(
+      df((1L, Seq(1f, 0.05f, 0f, 0f))), "vec_id", "embedding", root,
+      nCentroids = 2, centroidModel = Some(model))
+
+    val batch = df(
+      (10L, Seq(0.99f, 0.06f, 0f, 0f)),  // near-dup of indexed 1 → drop (corpus anchor)
+      (12L, Seq(0.05f, 1f, 0f, 0f)),     // near-dup cluster {12, 13} → 12 keeps (min id)
+      (13L, Seq(0.06f, 0.98f, 0f, 0f)),
+      (14L, Seq(0f, 0.4f, 0.9f, 0f))     // same cell as 12/13 but cos < T → keep
+    )
+    val keep = SemDedupIngest
+      .accepted(spark, root, batch, "vec_id", "embedding", T)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keep == Seq(12L, 14L))
+  }
+
+  test("incremental pairs == full semDedupPairs restricted to pairs touching the batch") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val fitted = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+
+    val root = tmp("seminc")
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", root, nCentroids = 16, centroidModel = Some(fitted))
+    val inc = Similarity
+      .incrementalSemPairs(spark, root, batch, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    val full = Similarity
+      .semDedupPairs(emb, "vec_id", "embedding", threshold = 0.4, nClusters = 16, centroidModel = Some(fitted))
+      .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty) // the equivalence must not hold vacuously
+  }
+
+  test("streaming ingest == sequential ingestBatch on sf0.001 embeddings") {
+    val emb = graft.io.Tables.embeddings(spark, sf0001)
+    val fitted = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16)
+    val seed = emb.filter(col("vec_id") % 3 === 1)
+    def frame(m: Int) = emb
+      .filter(col("vec_id") % 3 === m)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b1, b2) = (frame(2), frame(0))
+
+    val rootS = tmp("semstream")
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding", rootS, nCentroids = 16, centroidModel = Some(fitted))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = SemDedupIngest.start(
+      input.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      rootS, s"$rootS-ckpt", threshold = 0.4)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val rootB = tmp("sembatch")
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding", rootB, nCentroids = 16, centroidModel = Some(fitted))
+    SemDedupIngest.ingestBatch(spark, rootB, b1.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.4)
+    SemDedupIngest.ingestBatch(spark, rootB, b2.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.4)
+
+    val got = spark.read.parquet(rootS).select("id").as[Long].collect().sorted.toSeq
+    val want = spark.read.parquet(rootB).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // the gate dropped something and kept something
+    assert(got.size > seed.count() && got.size < seed.count() + b1.size + b2.size)
+  }
+
+  test("a replayed batch is fully rejected after its own append (id guard)") {
+    val root = tmp("semreplay")
+    Similarity.writeIvfIndex(
+      df((1L, Seq(1f, 0f, 0f, 0f))), "vec_id", "embedding", root,
+      nCentroids = 2, centroidModel = Some(model))
+    val batch = df((20L, Seq(0f, 1f, 0f, 0f)), (21L, Seq(0f, 0f, 1f, 0f)))
+    SemDedupIngest.ingestBatch(spark, root, batch, "vec_id", "embedding", T)
+    val afterFirst = spark.read.parquet(root).count()
+    assert(afterFirst == 3) // seed + both accepted
+    SemDedupIngest.ingestBatch(spark, root, batch, "vec_id", "embedding", T)
+    assert(spark.read.parquet(root).count() == afterFirst)
+  }
+}
