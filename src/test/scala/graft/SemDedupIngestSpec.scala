@@ -99,6 +99,35 @@ class SemDedupIngestSpec extends SparkSpec {
     assert(got.size > seed.count() && got.size < seed.count() + b1.size + b2.size)
   }
 
+  test("the probe reads only the batch's touched cell directories (partition pruning pinned)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = tmp("sempruned")
+    // seed vectors in BOTH cells; the batch touches ONLY cell 1
+    Similarity.writeIvfIndex(
+      df((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f))),
+      "vec_id", "embedding", root, nCentroids = 2, centroidModel = Some(model))
+    val pairs = Similarity.incrementalSemPairs(
+      spark, root, df((10L, Seq(0.1f, 1f, 0f, 0f))), "vec_id", "embedding", T)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      (p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case other                    => other
+      }).collectWithSubqueries { case f: FileSourceScanExec => f }
+    val indexScans = scans(pairs.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("sempruned"))
+    assert(indexScans.nonEmpty, "no parquet scan over the index root found")
+    indexScans.foreach { s =>
+      assert(
+        s.metadata.getOrElse("PartitionFilters", "").contains("cell"),
+        s"index scan has no cell partition filter: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"expected exactly the 1 touched cell of 2, scan selected ${s.selectedPartitions.partitionCount}")
+    }
+    // and the pruned probe still finds the cross pair it should
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq == Seq((2L, 10L)))
+  }
+
   test("a replayed batch is fully rejected after its own append (id guard)") {
     val root = tmp("semreplay")
     Similarity.writeIvfIndex(
