@@ -475,16 +475,19 @@ class DedupSpec extends SparkSpec {
         Seq((10L, 11L)) ++              // isolated pair -> component 10, size 2
         (100L until 119L).map(i => (i, i + 1)) // 20-node path: needs pointer jumping, not 1-hop
     ).toDF("id_a", "id_b")
-    val out = graft.dedup.Dedup
-      .connectedComponents(pairs, "id_a", "id_b")
-      .as[(Long, Long, Long)]
-      .collect()
-      .map { case (id, comp, size) => id -> (comp, size) }
-      .toMap
-    assert(Seq(1L, 2L, 3L).forall(out(_) == (1L, 3L)))
-    assert(Seq(10L, 11L).forall(out(_) == (10L, 2L)))
-    assert((100L to 119L).forall(out(_) == (100L, 20L)))
-    assert(out.size == 3 + 2 + 20) // nodes in no pair are absent
+    // both paths of the size-adaptive dispatch must produce the labeling
+    for (bound <- Seq(0L, 1L << 20)) {
+      val out = graft.dedup.Dedup
+        .connectedComponents(pairs, "id_a", "id_b", driverEdgeBound = bound)
+        .as[(Long, Long, Long)]
+        .collect()
+        .map { case (id, comp, size) => id -> (comp, size) }
+        .toMap
+      assert(Seq(1L, 2L, 3L).forall(out(_) == (1L, 3L)), s"bound=$bound")
+      assert(Seq(10L, 11L).forall(out(_) == (10L, 2L)), s"bound=$bound")
+      assert((100L to 119L).forall(out(_) == (100L, 20L)), s"bound=$bound")
+      assert(out.size == 3 + 2 + 20, s"bound=$bound") // nodes in no pair are absent
+    }
   }
 
   test("connectedComponents: property vs driver union-find on seeded random graphs") {
@@ -510,8 +513,12 @@ class DedupSpec extends SparkSpec {
       val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
       if (edges.nonEmpty) {
         val expected = unionFind(edges)
+        // driverEdgeBound = 0 forces the DISTRIBUTED pointer-jumping
+        // path — the whole point is comparing it against union-find
+        // (the adaptive default would route these tiny graphs to the
+        // driver and make the test self-comparing)
         val got = graft.dedup.Dedup
-          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b", driverEdgeBound = 0L)
           .as[(Long, Long, Long)]
           .collect()
           .map { case (id, comp, _) => id -> comp }
