@@ -70,7 +70,13 @@ object ScaleBench {
     // sort-within-partitions fold should scale with the number of keys
     // (added round 7 after the events reader restoration, so the slope
     // is measured against the regenerated TIMESTAMP_MICROS testdata)
-    "b1_backtest"
+    "b1_backtest",
+    // the two ingest END-STATE queries (round 7): seed + two gated
+    // batches, everything scaling with the table — linear means the
+    // gates' fixed per-batch cost (components, index probes, appends)
+    // doesn't grow superlinearly with batch and corpus size together
+    "d13_ingest_corpus",
+    "d14_sem_ingest"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
