@@ -74,6 +74,7 @@ object SparkEntry {
     "x3_lang_id"         -> (Queries.x3LangId _),
     "x4_fingerprint"     -> (Queries.x4Fingerprint _),
     "x5_redact_pii"      -> (Queries.x5RedactPii _),
+    "x16_quality_sample" -> (Queries.x16QualitySample _),
     "d1_exact_dedup"     -> (Queries.d1ExactDedup _),
     "d2_minhash_lsh"     -> (Queries.d2MinhashLsh _),
     "d3_simhash"         -> (Queries.d3Simhash _),
@@ -170,6 +171,7 @@ private[graft] object QueryParams {
   // the driver checks
   val X15Budget: Long = 10000L
   val X15Seed: Long = 7L
+  val X16Seed: Long = 11L
   // Committed expectation fixtures (see graft.GenM1Fixture /
   // graft.GenS11Fixture). The directory is env/sysprop-overridable for
   // checkouts not at /root/repo; the resolved value must be ABSOLUTE
@@ -817,6 +819,25 @@ object Queries {
     Tables
       .documents(spark, dir)
       .select($"doc_id", graft.text.TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** x16 — quality-proportional sampling: each document admitted with
+    * probability = its UNIQUE-word fraction (1 − the x2 gopher
+    * dup_word_frac, which spans 0–0.7 on this corpus — repetitive
+    * documents survive in proportion to quality instead of dying at a
+    * hard cutoff), decided by the x9 seeded md5-uniform. Both halves
+    * are restatements of hash-green machinery: the metric is rounded
+    * 6dp on both engines before the 1−x complement, so the threshold
+    * compare is bit-stable.
+    */
+  def x16QualitySample(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .sampleByQuality(
+        TextOps
+          .gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
+          .select($"doc_id", (lit(1.0) - $"dup_word_frac").as("uniq_word_frac")),
+        "doc_id", "uniq_word_frac", seed = QueryParams.X16Seed
+      )
       .orderBy("doc_id")
 
   /** x5 — PII/URL redaction (the standard pre-training scrub). The
@@ -2810,6 +2831,25 @@ object Oracles {
         |          / CAST(4503599627370496 AS DOUBLE) AS u
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // X16 — the x2 dup_word_frac CTE (same 6dp rounding) complemented
+    // to the unique-word fraction and thresholded by the x9 seeded
+    // uniform: admit iff u < score. Both halves are verbatim
+    // restatements of already-hash-green machinery.
+    "x16_quality_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(1.0 AS DOUBLE) - round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_word_frac
+         |  FROM t WHERE len(toks) > 0),
+         |uu AS (
+         |  SELECT doc_id, uniq_word_frac,
+         |    CAST(('0x' || substr(md5('${QueryParams.X16Seed}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+         |      / CAST(4503599627370496 AS DOUBLE) AS u
+         |  FROM b)
+         |SELECT doc_id, uniq_word_frac FROM uu WHERE u < uniq_word_frac
+         |ORDER BY doc_id""".stripMargin,
     "x11_eval_sample" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source,

@@ -222,6 +222,28 @@ object TextOps {
     )
   }
 
+  /** Quality-proportional (soft) sampling — the probabilistic
+    * alternative to a hard quality cutoff (the shape modern curation
+    * pipelines use when a binary filter throws away too much borderline
+    * data): each document is admitted with probability equal to its
+    * quality score in [0,1], decided by the SAME seeded 52-bit
+    * md5-uniform as [[assignSplit]] — deterministic per (seed, id), so
+    * the sample survives reruns, corpus growth, and engine swaps, and a
+    * document's admission never depends on other rows. Scan-local
+    * filter: no shuffle, pushes through Catalyst like any predicate.
+    * Score 0 never admits; score 1 always admits.
+    */
+  def sampleByQuality(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      scoreCol: String,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val u = expr(s"conv(substring(md5(concat('$seed:', cast($idCol as string))), 1, 13), 16, 10)")
+      .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+    df.filter(u < col(scoreCol))
+  }
+
   /** Token-budget mixture sampling — the data-MIXING op a pretraining
     * pipeline runs to hit target domain proportions: each domain gets a
     * token budget; its documents are admitted in seeded-hash order (the
