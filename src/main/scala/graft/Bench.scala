@@ -33,6 +33,15 @@ object Bench {
     // suite-contention hypothesis gets tested); unset = full suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled/stale name would otherwise silently produce a partial
+    // artifact indistinguishable from a full-suite run — fail loudly
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(
+        unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}"
+      )
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -61,6 +70,13 @@ object Bench {
       // regressed 2–4× with rep spreads like [15.1, 2.8, 18.8]. Every
       // query materializes its own inputs, so dropping storage between
       // queries changes no result — only removes cross-query pressure.
+      // INVARIANT this cleanup relies on: no live cross-query RDD
+      // references — each query's result is fully consumed inside its
+      // own rep loop before this line runs. The sweep unpersists
+      // localCheckpoint'ed RDDs too, which CANNOT be recomputed once
+      // their blocks drop; any future cross-query shared lazy state
+      // holding a checkpointed DataFrame would fail with missing-block
+      // errors here, not silently recompute.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
@@ -97,7 +113,12 @@ object Bench {
     // driver archives a bounded tail of stdout, and round 4's capture
     // truncated the head (metric/value and 4 queries) — the tail copy
     // keeps the suite total readable in the artifact regardless
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"reps":$repsJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
+    // a filtered run stamps its filter into the artifact so a partial
+    // BENCH json can never masquerade as a full-suite run downstream
+    val onlyJson = only
+      .map(names => s""""only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -11,31 +12,56 @@ import graft.streaming.{DedupIngest, SemDedupIngest}
 
 /** Streaming ingest-gate throughput: drives BOTH dedup-at-the-door
   * gates (text MinHash gate `DedupIngest`, semantic IVF gate
-  * `SemDedupIngest`) as real `foreachBatch` streams over the sf
-  * tables, measuring end-to-end per-batch wall time — gate + index
-  * probe + corpus/index append, checkpointed exactly as production
-  * would run. One JSON line on stdout, mirrored to INGESTBENCH.json.
+  * `SemDedupIngest`) as real `foreachBatch` streams, measuring
+  * end-to-end per-batch wall time — gate + index probe + corpus/index
+  * append, checkpointed exactly as production would run. One JSON line
+  * on stdout, mirrored to INGESTBENCH.json.
+  *
+  * TWO frame-size regimes, because the per-batch cost model is
+  * fixed-cost-dominated at tiny frames (components rounds, probe jobs,
+  * parquet commits — a few fixed Spark jobs per batch) and the
+  * amortization claim should be MEASURED, not asserted:
+  *  - `small`: the sf corpus split into seed + nBatches frames
+  *    (~n/(nBatches+1) rows per frame — ~700 docs / ~290 vectors at
+  *    sf0.1);
+  *  - `large`: the SAME split geometry over the ×10 ScaleBench corpus
+  *    (workload-preserving isometric copies — see
+  *    [[ScaleBench.synthesize]]), so every frame carries ~10× the rows
+  *    through the identical gate. If the per-batch cost is mostly
+  *    fixed, steady rows/s rises ~10×; if it were per-row, rows/s
+  *    would stay flat.
   *
   * Methodology mirrors StreamBench: row construction outside the timed
   * span; batch 0 absorbs stream/codegen init and is dropped from the
   * steady-state throughput; Double.toString rendering (locale-safe).
-  * The corpus is ingested once per gate (appends are the
+  * The corpus is ingested once per gate per regime (appends are the
   * non-idempotent step — a rep loop would re-gate an already-ingested
   * corpus and measure rejection, not ingest).
   */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "6").toInt
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+  private def r4(x: Double): Double = math.round(x * 10000) / 10000.0
+
+  private def gateJson(times: IndexedSeq[Double], sizes: IndexedSeq[Int], kept: Long): String = {
+    // batch 0 absorbs stream/codegen/init — steady-state drops it
+    val steady = times.drop(1)
+    val steadyRows = sizes.drop(1).map(_.toLong).sum
+    val rps = if (steady.sum > 0) (steadyRows / steady.sum).toLong else 0L
+    val meanFrame = if (sizes.nonEmpty) sizes.map(_.toLong).sum / sizes.length else 0L
+    s"""{"rows":${sizes.map(_.toLong).sum},"mean_frame_rows":$meanFrame,"accepted":$kept,""" +
+      s""""rows_per_sec_steady":$rps,"batch_sec":${times.map(t => r4(t).toString).mkString("[", ",", "]")}}"""
+  }
+
+  /** Run both gates over `sfDir` split seed + nBatches frames; returns
+    * the two gate JSON fragments.
+    */
+  def runRegime(spark: SparkSession, sfDir: String, nBatches: Int): (String, String) = {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-
-    def r4(x: Double): Double = math.round(x * 10000) / 10000.0
+    val mod = nBatches + 1
 
     // ---- text gate: documents split into seed + nBatches frames ----
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    val mod = nBatches + 1
     val docSeed = docs.filter($"doc_id" % mod === 0)
     val docFrames: IndexedSeq[Seq[(Long, String)]] = (1 to nBatches).map { b =>
       docs.filter($"doc_id" % mod === b).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -78,18 +104,30 @@ object IngestBench {
     semQ.stop()
     val semKept = spark.read.parquet(semRoot).count() - embSeed.count()
 
-    def gateJson(times: IndexedSeq[Double], sizes: IndexedSeq[Int], kept: Long): String = {
-      // batch 0 absorbs stream/codegen/init — steady-state drops it
-      val steady = times.drop(1)
-      val steadyRows = sizes.drop(1).map(_.toLong).sum
-      val rps = if (steady.sum > 0) (steadyRows / steady.sum).toLong else 0L
-      s"""{"rows":${sizes.map(_.toLong).sum},"accepted":$kept,"rows_per_sec_steady":$rps,""" +
-        s""""batch_sec":${times.map(t => r4(t).toString).mkString("[", ",", "]")}}"""
-    }
+    (gateJson(textTimes, docFrames.map(_.size), textKept),
+      gateJson(semTimes, embFrames.map(_.size), semKept))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "6").toInt
+    val factor = sys.env.getOrElse("SPARK_GRAFT_INGEST_LARGE_FACTOR", "10").toInt
+    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$factor")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    // large-frame corpus: ScaleBench's workload-preserving ×factor
+    // synthesis, cached behind the same sentinel ScaleBench uses
+    val sentinel = java.nio.file.Paths.get(s"$largeDir/_DONE")
+    if (!Files.exists(sentinel) || Files.readString(sentinel) != ScaleBench.stamp(factor, sfDir))
+      ScaleBench.synthesize(spark, sfDir, largeDir, factor)
+
+    val (textSmall, semSmall) = runRegime(spark, sfDir, nBatches)
+    val (textLarge, semLarge) = runRegime(spark, largeDir, nBatches)
+
     val json =
-      s"""{"metric":"ingest_gate_throughput","batches":$nBatches,"sf":"$sfDir",""" +
-        s""""text_gate":${gateJson(textTimes, docFrames.map(_.size), textKept)},""" +
-        s""""sem_gate":${gateJson(semTimes, embFrames.map(_.size), semKept)}}"""
+      s"""{"metric":"ingest_gate_throughput","batches":$nBatches,"sf":"$sfDir","large_factor":$factor,""" +
+        s""""small":{"text_gate":$textSmall,"sem_gate":$semSmall},""" +
+        s""""large":{"text_gate":$textLarge,"sem_gate":$semLarge}}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("INGESTBENCH.json"), json + "\n")
     spark.stop()

@@ -335,8 +335,10 @@ object Dedup {
     *
     * Algorithm, size-adaptive (what production graph pipelines do):
     *
-    *   - edge count ≤ `driverEdgeBound` (default 2²⁰ ≈ 1M edges = 16 MB
-    *     of slim (long,long) rows): DRIVER-SIDE UNION-FIND. A near-dup
+    *   - edge count ≤ `driverEdgeBound` (default 2²⁰ ≈ 1M edges —
+    *     ~65 MB transient driver heap all-in: ~32 MB of specialized
+    *     edge tuples plus primitive node/parent/size arrays; see the
+    *     sizing note at the collect): DRIVER-SIDE UNION-FIND. A near-dup
     *     pair graph is tiny relative to its corpus — pairs are the rare
     *     output of a blocked similarity join — and a bounded union-find
     *     beats ~6 Spark jobs per distributed round even on a real
@@ -382,8 +384,31 @@ object Dedup {
       import spark.implicits._
       val edgeArr = base.as[(Long, Long)].collect()
       base.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      // PRIMITIVE storage end-to-end — no boxed maps. Driver heap at the
+      // 2²⁰-edge default bound: edge tuples ~32 MB (specialized Tuple2
+      // objects), sorted node array ≤ 2M longs = 16 MB, int parent/size
+      // arrays 8 MB each — ~65 MB total, transient. (A boxed
+      // HashMap[Long, Long] over 2M nodes would cost several× that in
+      // entry objects alone — the earlier sizing note undercounted it.)
+      val nodes: Array[Long] = {
+        val all = new Array[Long](edgeArr.length * 2)
+        var i = 0
+        while (i < edgeArr.length) {
+          all(2 * i) = edgeArr(i)._1; all(2 * i + 1) = edgeArr(i)._2; i += 1
+        }
+        java.util.Arrays.sort(all)
+        // in-place dedup of the sorted array
+        var w = 0
+        i = 0
+        while (i < all.length) {
+          if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOfRange(all, 0, w)
+      }
+      def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+      val parent = Array.tabulate(nodes.length)(identity)
+      def find(x: Int): Int = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
@@ -391,17 +416,17 @@ object Dedup {
         r
       }
       edgeArr.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+        val (ra, rb) = (find(idx(a)), find(idx(b)))
+        // union toward the SMALLER index = smaller id (nodes is sorted),
+        // so a root's own id IS its component's canonical min label
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      // canonical label = MIN id per root (union-by-min keeps roots
-      // minimal already, but restate it explicitly for clarity)
-      val byRoot = parent.keys.toSeq.groupBy(find)
-      val rows = byRoot.toSeq.flatMap { case (_, members) =>
-        val label = members.min
-        val size = members.size.toLong
-        members.map(m => (m, label, size))
+      val size = new Array[Long](nodes.length)
+      var i = 0
+      while (i < nodes.length) { size(find(i)) += 1L; i += 1 }
+      val rows = nodes.indices.map { j =>
+        val r = find(j)
+        (nodes(j), nodes(r), size(r))
       }
       return rows.toDF("id", "component", "cluster_size")
     }

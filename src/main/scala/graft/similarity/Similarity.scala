@@ -873,6 +873,29 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
 
+  /** `batch` rendered into the index's geometry — (`id`, `v`, `cell`,
+    * `nrm`) under the FROZEN sidecar model — the ONE cell-assignment
+    * job every index-facing stage of an ingest gate shares (replay
+    * guard, probe, append; the [[graft.dedup.Dedup.batchSignatures]]
+    * precedent). Because the model is frozen, assignment is a pure
+    * function of the vector: a replayed row lands in the same cell its
+    * prior append did, which is what lets the guard and probe prune
+    * their index reads to the batch's touched cell directories.
+    */
+  def assignedBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    batch
+      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCellCol(col("v"), centroids))
+      .withColumn("nrm", norm(col("v")))
+  }
+
   /** IVF top-k against a [[writeIvfIndex]] artifact — the partition-
     * pruned form of [[ivfTopK]]: the distinct probed cells (a bounded
     * model-state collect, ≤ |queries| × nProbe ints — ANN probes a
@@ -1098,16 +1121,20 @@ object Similarity {
       batch: DataFrame,
       idCol: String,
       vecCol: String
-  ): Unit = {
-    val centroids = readIvfCentroids(spark, path)
-    batch
-      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", nearestCellCol(col("v"), centroids))
+  ): Unit =
+    appendToIvfIndexPre(assignedBatch(spark, path, batch, idCol, vecCol), path)
+
+  /** [[appendToIvfIndex]] for a batch ALREADY in index geometry
+    * ([[assignedBatch]] columns) — the ingest gate appends the rows it
+    * assigned for the probe instead of re-running the assignment.
+    */
+  def appendToIvfIndexPre(assigned: DataFrame, path: String): Unit =
+    assigned
+      .select(col("id"), col("v"), col("cell"))
       .write
       .mode("append")
       .partitionBy("cell")
       .parquet(path)
-  }
 
   /** Semantic near-dup pairs a batch introduces against a
     * [[writeIvfIndex]] corpus — the SemDeDup rule applied
@@ -1136,15 +1163,30 @@ object Similarity {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val centroids = readIvfCentroids(spark, path)
-    val b = batch
-      .select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-      .withColumn("cell", nearestCellCol(col("v"), centroids))
-      .withColumn("nrm", norm(col("v")))
+    val b = assignedBatch(spark, path, batch, idCol, vecCol)
     // bounded model-state collect: the batch's touched cells (≤ batch
     // rows, ≤ nCentroids) render as an isin literal so Catalyst prunes
     // untouched cell directories at planning time
     val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    incrementalSemPairsPre(spark, path, b, touched, threshold)
+  }
+
+  /** [[incrementalSemPairs]] over an already-assigned batch
+    * ([[assignedBatch]] geometry) and a pre-collected touched-cell set —
+    * the gate-sharing form ([[graft.streaming.SemDedupIngest]] computes
+    * the assignment ONCE and reuses it for guard, probe, and append
+    * instead of re-assigning per stage). `touched` may be a superset of
+    * `b`'s live cells (e.g. collected before a guard filtered `b`):
+    * extra cells only widen the pruned corpus read; the cell equi-join
+    * drops their rows.
+    */
+  def incrementalSemPairsPre(
+      spark: SparkSession,
+      path: String,
+      b: DataFrame,
+      touched: Seq[Int],
+      threshold: Double
+  ): DataFrame = {
     val corpus = spark.read
       .parquet(path)
       .filter(col("cell").isin(touched.toSeq: _*))

@@ -18,10 +18,11 @@ import graft.dedup.Dedup
   * corpus index lives in the lake, and the per-batch joins against it
   * are exactly the batch operators — `foreachBatch` lets the batch and
   * streaming paths share one implementation and one set of oracles,
-  * with the checkpoint giving exactly-once batch replay (a replayed
-  * batch re-runs the same gate against the same indexes; the accept
-  * decision is deterministic, and re-appending an already-appended
-  * batch is the one non-idempotent step — see [[ingestBatch]]'s note).
+  * with the checkpoint giving at-least-once batch replay that the
+  * gate makes effectively idempotent (a replayed batch re-runs the
+  * same deterministic gate against the same indexes and is rejected by
+  * its own fingerprints; the append sequence is ordered so a mid-crash
+  * can under-admit but never duplicate — see [[ingestBatch]]'s note).
   *
   * Per-batch gate, in order:
   *   1. within-batch EXACT dedup: one keeper (min id) per normalized
@@ -125,13 +126,17 @@ object DedupIngest {
     * lazily recomputed plan (cache eviction, task retry) would observe
     * its own output.
     *
-    * Exactly-once note: the gate itself is idempotent (a replayed
-    * batch's rows are non-novel after their own append), so a replay
-    * after a crash between the two index appends re-drops the batch
-    * cleanly; only a crash strictly between corpus append and
-    * fingerprint append can duplicate corpus rows, the standard
-    * foreachBatch at-least-once caveat — a transactional sink (e.g. a
-    * table format with batchId-keyed commits) closes it.
+    * At-least-once note: the gate itself is idempotent (a replayed
+    * batch's rows are non-novel after their own append), and the
+    * appends are ordered INDEXES FIRST, corpus last — a crash anywhere
+    * inside the append sequence leaves at worst orphaned index entries
+    * (the replayed rows are then rejected by their own fingerprints and
+    * never reach the corpus), NEVER duplicate corpus rows; a dedup
+    * gate's contract is no-duplicates, so the failure mode is biased to
+    * under-admission. The corpus-first ordering would instead duplicate
+    * corpus rows on a crash between corpus and fingerprint append.
+    * Closing even the under-admission window needs a transactional sink
+    * (e.g. a table format with batchId-keyed commits).
     */
   def ingestBatch(
       spark: SparkSession,
@@ -146,7 +151,8 @@ object DedupIngest {
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
-      keep.write.mode("append").parquet(corpusOut)
+      // indexes BEFORE corpus — see the ordering note above
+      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints")
       // append the PROBE's signatures filtered to the accepted ids —
       // row-local signatures restricted to keep ⊆ novel are exactly
       // appendToMinhashIndex(keep)'s rows, minus the second shingling
@@ -155,7 +161,7 @@ object DedupIngest {
         s"$root/minhash",
         hashedB.join(keepIds, Seq("id"), "left_semi"),
         bandedB.join(keepIds, Seq("id"), "left_semi"))
-      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints")
+      keep.write.mode("append").parquet(corpusOut)
     }
   }
 

@@ -23,7 +23,10 @@ import graft.similarity.Similarity
   * Per-batch gate, in order:
   *   1. replay guard: drop rows whose id is already indexed — a
   *      re-delivered frame after a crash mid-append, the analog of the
-  *      text gate's exact-novelty stage (one slim id-column scan);
+  *      text gate's exact-novelty stage. Partition-pruned: a replayed
+  *      row's prior append landed in its deterministic cell under the
+  *      frozen model, so the guard reads only the batch's TOUCHED cell
+  *      directories' id columns, never the full index;
   *   2. near-dup gate: [[Similarity.incrementalSemPairs]] (batch×corpus
   *      within-cell pairs plus batch-internal) → the shared
   *      [[DedupIngest.clusterDrops]] rule — a corpus anchor in the
@@ -33,13 +36,70 @@ import graft.similarity.Similarity
   */
 object SemDedupIngest {
 
-  /** Batch rows whose id is not yet indexed (the replay guard). */
-  def freshOnly(spark: SparkSession, indexPath: String, batch: DataFrame, idCol: String): DataFrame =
-    batch.join(
-      spark.read.parquet(indexPath).select(col("id").as(idCol)),
-      Seq(idCol),
-      "left_anti"
-    )
+  /** Batch rows whose id is not yet indexed (the replay guard),
+    * partition-pruned to the batch's touched cells: under the frozen
+    * sidecar quantizer a replayed row's prior append went to its
+    * deterministic cell, so its id can only be found THERE — the same
+    * `isin`-literal planning-time pruning the probe itself makes
+    * ([[Similarity.incrementalSemPairs]]). At a 100 TB index the guard
+    * reads ≤ |batch| cell directories' id columns per batch instead of
+    * sweeping the full index's id column. The touched-cell collect is
+    * bounded model state (≤ |batch| ints, ≤ nCentroids).
+    */
+  def freshOnly(spark: SparkSession, indexPath: String, batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val b = Similarity.assignedBatch(spark, indexPath, batch, idCol, vecCol)
+    val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    guardAgainst(spark, indexPath, batch, idCol, touched)
+  }
+
+  /** The anti-join half of the guard over a pre-collected touched-cell
+    * set (pruned read of just those cell directories' id columns).
+    */
+  private def guardAgainst(
+      spark: SparkSession,
+      indexPath: String,
+      rows: DataFrame,
+      idCol: String,
+      touched: Seq[Int]
+  ): DataFrame =
+    if (touched.isEmpty) rows // empty batch: nothing to guard
+    else
+      rows.join(
+        spark.read
+          .parquet(indexPath)
+          .filter(col("cell").isin(touched: _*))
+          .select(col("id").as(idCol)),
+        Seq(idCol),
+        "left_anti"
+      )
+
+  /** The gate's accepted rows in INDEX GEOMETRY
+    * ([[Similarity.assignedBatch]] columns `id, v, cell, nrm`) — one
+    * cell-assignment job per batch, shared by guard, probe, and append
+    * (the text gate's `acceptedWithSignatures` move). The assigned
+    * batch is `localCheckpoint`ed: it feeds the touched-cell collect,
+    * the guard anti-join, the pair probe, and the final anti-join — and
+    * the gate reads the same files it later appends to, so a lazily
+    * recomputed plan could observe its own output (the
+    * [[DedupIngest.ingestBatch]] hazard).
+    */
+  private def acceptedAssigned(
+      spark: SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val b = Similarity.assignedBatch(spark, indexPath, batch, idCol, vecCol).localCheckpoint()
+    val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val fresh = guardAgainst(spark, indexPath, b, "id", touched).localCheckpoint()
+    b.unpersist()
+    // `touched` from the PRE-guard batch is a superset of fresh's cells —
+    // incrementalSemPairsPre tolerates that (extra cells find no partner)
+    val pairs = Similarity.incrementalSemPairsPre(spark, indexPath, fresh, touched, threshold)
+    fresh.join(DedupIngest.clusterDrops(pairs, fresh, "id"), Seq("id"), "left_anti")
+  }
 
   /** The rows of `batch` the gate accepts against the index at
     * `indexPath` (pure — no writes). Deterministic in the batch
@@ -52,16 +112,20 @@ object SemDedupIngest {
       idCol: String,
       vecCol: String,
       threshold: Double
-  ): DataFrame = {
-    val fresh = freshOnly(spark, indexPath, batch, idCol).localCheckpoint()
-    val pairs = Similarity.incrementalSemPairs(spark, indexPath, fresh, idCol, vecCol, threshold)
-    fresh.join(DedupIngest.clusterDrops(pairs, fresh, idCol), Seq(idCol), "left_anti")
-  }
+  ): DataFrame =
+    batch.join(
+      acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold)
+        .select(col("id").as(idCol)),
+      Seq(idCol),
+      "left_semi"
+    )
 
   /** Run the gate and fold the survivors into the index. The accepted
     * set is `localCheckpoint`ed first: the gate reads the same files it
     * appends to, and a lazily recomputed plan would observe its own
-    * output (the [[DedupIngest.ingestBatch]] hazard).
+    * output (the [[DedupIngest.ingestBatch]] hazard). The append reuses
+    * the gate's OWN cell assignments ([[Similarity.appendToIvfIndexPre]])
+    * — the batch is assigned exactly once end-to-end.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -71,9 +135,9 @@ object SemDedupIngest {
       vecCol: String,
       threshold: Double
   ): Unit = {
-    val keep = accepted(spark, indexPath, batch, idCol, vecCol, threshold).localCheckpoint()
+    val keep = acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold).localCheckpoint()
     if (!keep.isEmpty) {
-      Similarity.appendToIvfIndex(spark, indexPath, keep, idCol, vecCol)
+      Similarity.appendToIvfIndexPre(keep, indexPath)
     }
   }
 

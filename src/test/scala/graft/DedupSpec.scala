@@ -528,6 +528,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: size-adaptive dispatch AT the driverEdgeBound boundary") {
+    // a graph with a pointer-jumping-hard path plus separate clusters,
+    // with a KNOWN exact edge count E: bound = E routes to the driver
+    // union-find (edges ≤ bound), bound = E − 1 to the distributed
+    // path — both must emit the identical labeling
+    val edges =
+      (0L until 15L).map(i => (i, i + 1)) ++ // 16-node path, E=15
+        Seq((100L, 101L), (101L, 102L), (200L, 201L)) // E=18 total
+    val e = edges.size.toLong
+    val pairs = edges.toDF("id_a", "id_b")
+    def labeling(bound: Long): Map[Long, (Long, Long)] =
+      graft.dedup.Dedup
+        .connectedComponents(pairs, "id_a", "id_b", driverEdgeBound = bound)
+        .as[(Long, Long, Long)]
+        .collect()
+        .map { case (id, comp, size) => id -> (comp, size) }
+        .toMap
+    val atBound = labeling(e)      // driver path: edges == bound
+    val belowBound = labeling(e - 1) // distributed path: edges > bound
+    assert(atBound == belowBound)
+    assert((0L to 15L).forall(atBound(_) == (0L, 16L)))
+    assert(Seq(100L, 101L, 102L).forall(atBound(_) == (100L, 3L)))
+    assert(Seq(200L, 201L).forall(atBound(_) == (200L, 2L)))
+  }
+
   test("corpusFrequencyStats: hand-computed scores on a planted corpus; null text absent") {
     import graft.text.TextOps
     val docs = Seq(

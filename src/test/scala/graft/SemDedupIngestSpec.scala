@@ -29,6 +29,17 @@ class SemDedupIngestSpec extends SparkSpec {
 
   private def df(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
 
+  private def fileScans(
+      df: org.apache.spark.sql.DataFrame
+  ): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other                    => other
+    }).collectWithSubqueries { case f: FileSourceScanExec => f }
+  }
+
   test("gate semantics: corpus anchor wins, batch cluster keeps min id, novel kept") {
     val root = tmp("semingest")
     Similarity.writeIvfIndex(
@@ -100,8 +111,6 @@ class SemDedupIngestSpec extends SparkSpec {
   }
 
   test("the probe reads only the batch's touched cell directories (partition pruning pinned)") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val root = tmp("sempruned")
     // seed vectors in BOTH cells; the batch touches ONLY cell 1
     Similarity.writeIvfIndex(
@@ -109,12 +118,7 @@ class SemDedupIngestSpec extends SparkSpec {
       "vec_id", "embedding", root, nCentroids = 2, centroidModel = Some(model))
     val pairs = Similarity.incrementalSemPairs(
       spark, root, df((10L, Seq(0.1f, 1f, 0f, 0f))), "vec_id", "embedding", T)
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      (p match {
-        case a: AdaptiveSparkPlanExec => a.initialPlan
-        case other                    => other
-      }).collectWithSubqueries { case f: FileSourceScanExec => f }
-    val indexScans = scans(pairs.queryExecution.executedPlan)
+    val indexScans = fileScans(pairs)
       .filter(_.metadata.getOrElse("Location", "").contains("sempruned"))
     assert(indexScans.nonEmpty, "no parquet scan over the index root found")
     indexScans.foreach { s =>
@@ -126,6 +130,30 @@ class SemDedupIngestSpec extends SparkSpec {
     }
     // and the pruned probe still finds the cross pair it should
     assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq == Seq((2L, 10L)))
+  }
+
+  test("the replay guard reads only the batch's touched cell directories (pruning pinned)") {
+    val root = tmp("semguard")
+    // indexed ids in BOTH cells; the batch touches ONLY cell 1
+    Similarity.writeIvfIndex(
+      df((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f))),
+      "vec_id", "embedding", root, nCentroids = 2, centroidModel = Some(model))
+    // a replayed row (id 2, same vector → same deterministic cell) plus
+    // a fresh row, both in cell 1
+    val batch = df((2L, Seq(0f, 1f, 0f, 0f)), (30L, Seq(0.1f, 0.9f, 0f, 0f)))
+    val fresh = SemDedupIngest.freshOnly(spark, root, batch, "vec_id", "embedding")
+    val guardScans = fileScans(fresh)
+      .filter(_.metadata.getOrElse("Location", "").contains("semguard"))
+    assert(guardScans.nonEmpty, "no parquet scan over the index root found in the guard plan")
+    guardScans.foreach { s =>
+      assert(
+        s.metadata.getOrElse("PartitionFilters", "").contains("cell"),
+        s"guard scan has no cell partition filter: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"expected the guard to read the 1 touched cell of 2, got ${s.selectedPartitions.partitionCount}")
+    }
+    // and the guard still does its job: replayed id dropped, fresh kept
+    assert(fresh.select("vec_id").as[Long].collect().toSeq == Seq(30L))
   }
 
   test("a replayed batch is fully rejected after its own append (id guard)") {
