@@ -534,6 +534,15 @@ object Dedup {
     * candidates, and the candidate-id join prunes it via AQE/broadcast
     * on the (small) candidate list.
     */
+  /** Deterministic hash sub-buckets for the two minhash-index legs —
+    * single definitions shared by write, append, and probe so pruning
+    * can never drift from the layout (the [[fpBucketCol]] discipline).
+    */
+  private def keyBucketCol(bandKey: Column, buckets: Int): Column =
+    pmod(hash(bandKey), lit(buckets))
+  private def idBucketCol(id: Column, buckets: Int): Column =
+    pmod(hash(id), lit(buckets))
+
   def writeMinhashIndex(
       df: DataFrame,
       idCol: String,
@@ -541,14 +550,29 @@ object Dedup {
       path: String,
       n: Int = 3,
       k: Int = 16,
-      bands: Int = 8
+      bands: Int = 8,
+      keyBuckets: Int = 64
   ): Unit = {
+    require(keyBuckets > 0, s"keyBuckets must be positive, got $keyBuckets")
     val (hashed, banded) = bandedSignatures(df, idCol, textCol, n, k, bands)
-    banded.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    hashed.write.mode("overwrite").parquet(s"$path/sketches")
+    // both legs land PARTITIONED BY a hash sub-bucket so every per-batch
+    // probe ([[incrementalLshPairsPre]]) prunes its reads to the batch's
+    // touched directories: bands by a bucket of the band key (the probe
+    // joins on band_key), sketches by a bucket of the id (the verify
+    // joins on candidate ids). At 100 TB size keyBuckets so each
+    // directory is a healthy scan unit (~leg_bytes / 128 MB); the
+    // default keeps test-scale file counts sane.
+    banded
+      .withColumn("key_bucket", keyBucketCol(col("band_key"), keyBuckets))
+      .write.mode("overwrite").partitionBy("band", "key_bucket").parquet(s"$path/bands")
+    hashed
+      .withColumn("id_bucket", idBucketCol(col("id"), keyBuckets))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$path/sketches")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((n, k, bands)).toDF("n", "k", "bands").coalesce(1).write.mode("overwrite").parquet(s"$path/_config")
+    Seq((n, k, bands, keyBuckets))
+      .toDF("n", "k", "bands", "key_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_config")
   }
 
   /** (n, k, bands) recorded by [[writeMinhashIndex]]. */
@@ -556,6 +580,10 @@ object Dedup {
     val r = spark.read.parquet(s"$path/_config").select("n", "k", "bands").collect().head
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
+
+  /** The sub-bucket count recorded by [[writeMinhashIndex]]. */
+  def readMinhashKeyBuckets(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_config").select("key_buckets").collect().head.getInt(0)
 
   /** Near-dup pairs an increment introduces against an indexed corpus:
     * every (id_a < id_b, jaccard ≥ threshold) pair with AT LEAST ONE
@@ -613,7 +641,20 @@ object Dedup {
       bandedB: DataFrame,
       threshold: Double = 0.3
   ): DataFrame = {
-    val corpusBanded = spark.read.parquet(s"$path/bands").select("band", "band_key", "id")
+    val keyBuckets = readMinhashKeyBuckets(spark, path)
+    // BOTH per-batch index reads are partition-pruned to the batch's
+    // touched sub-buckets (bounded collects ≤ keyBuckets ints rendered
+    // as isin literals — the semantic gate's touched-cell move):
+    //  1. the bands leg to the buckets of the batch's band keys — a
+    //     corpus banded row can only collide with the batch inside one
+    //     of those directories;
+    //  2. the sketches leg to the buckets of the candidate ids — the
+    //     verify join can only need those directories.
+    // At a 100 TB corpus this turns "scan every banded row + every
+    // sketch per batch" into reads proportional to the batch's key
+    // spread; a production index sizes keyBuckets so untouched
+    // directories dominate for latency-sized batches.
+    val corpusBanded = prunedBandsLeg(spark, path, bandedB, keyBuckets)
     val cross = corpusBanded
       .withColumnRenamed("id", "id_x")
       .join(broadcast(bandedB.select(col("band"), col("band_key"), col("id").as("id_y"))), Seq("band", "band_key"))
@@ -622,12 +663,57 @@ object Dedup {
       .select(col("band"), col("band_key"), col("id").as("id_a"))
       .join(bandedB.select(col("band"), col("band_key"), col("id").as("id_b")), Seq("band", "band_key"))
       .select("id_a", "id_b")
+    // checkpointed: candidates feed the touched-id-bucket collect AND
+    // both sides of the verify join — unchecked, the banded join would
+    // execute once per consumer
     val candidates = cross
       .unionByName(intra)
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sketches = spark.read.parquet(s"$path/sketches").select("id", "shh").unionByName(hashedB)
+      .localCheckpoint()
+    val sketches = prunedSketchesLeg(spark, path, candidates, keyBuckets).unionByName(hashedB)
     verifyPairs(candidates, sketches, sketches, threshold)
+  }
+
+  /** The bands leg pruned to the batch's touched key buckets — factored
+    * out of [[incrementalLshPairsPre]] so the pruning is plan-pinnable
+    * on exactly the DataFrame the probe consumes (the candidate
+    * checkpoint hides the scan from the final probe plan).
+    */
+  private[graft] def prunedBandsLeg(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      bandedB: DataFrame,
+      keyBuckets: Int
+  ): DataFrame = {
+    val touchedKeys = bandedB
+      .select(keyBucketCol(col("band_key"), keyBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touchedKeys.isEmpty) spark.read.parquet(s"$path/bands").limit(0).select("band", "band_key", "id")
+    else
+      spark.read.parquet(s"$path/bands")
+        .filter(col("key_bucket").isin(touchedKeys.toSeq: _*))
+        .select("band", "band_key", "id")
+  }
+
+  /** The sketches leg pruned to the candidate ids' touched id buckets
+    * (same factoring rationale as [[prunedBandsLeg]]).
+    */
+  private[graft] def prunedSketchesLeg(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      candidates: DataFrame,
+      keyBuckets: Int
+  ): DataFrame = {
+    val touchedIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .select(idBucketCol(col("id"), keyBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touchedIds.isEmpty) spark.read.parquet(s"$path/sketches").limit(0).select("id", "shh")
+    else
+      spark.read.parquet(s"$path/sketches")
+        .filter(col("id_bucket").isin(touchedIds.toSeq: _*))
+        .select("id", "shh")
   }
 
   /** Fold an increment into the index (after the caller has dropped the
@@ -648,10 +734,17 @@ object Dedup {
   /** [[appendToMinhashIndex]] with signatures precomputed by
     * [[batchSignatures]] (the ingest gate filters its probe signatures
     * to the accepted ids and appends those — never shingling twice).
+    * Sub-buckets are derived here under the index's own recorded
+    * config, so an append can never drift the bucketed layout.
     */
   def appendToMinhashIndexPre(path: String, hashed: DataFrame, banded: DataFrame): Unit = {
-    banded.write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    hashed.write.mode("append").parquet(s"$path/sketches")
+    val keyBuckets = readMinhashKeyBuckets(banded.sparkSession, path)
+    banded
+      .withColumn("key_bucket", keyBucketCol(col("band_key"), keyBuckets))
+      .write.mode("append").partitionBy("band", "key_bucket").parquet(s"$path/bands")
+    hashed
+      .withColumn("id_bucket", idBucketCol(col("id"), keyBuckets))
+      .write.mode("append").partitionBy("id_bucket").parquet(s"$path/sketches")
   }
 
   /** Persist the exact-dedup fingerprint set (id dropped — novelty only
@@ -659,34 +752,72 @@ object Dedup {
     * is kept, so a NULL-text increment row is correctly non-novel
     * against a corpus that has ever seen one).
     */
-  def writeFingerprintIndex(df: DataFrame, textCol: String, path: String): Unit =
+  /** The deterministic hash bucket a fingerprint's index row lives in —
+    * ONE definition shared by write, append, and the [[novelOnly]]
+    * probe, so the probe's partition pruning can never drift from the
+    * layout. `hash(NULL)` is the seed constant, so NULL-text
+    * fingerprints land in one deterministic bucket and the null-safe
+    * `<=>` match still finds them under pruning.
+    */
+  private def fpBucketCol(fp: Column, buckets: Int): Column =
+    pmod(hash(fp), lit(buckets))
+
+  /** Bucket count recorded in a fingerprint index's `_config` sidecar. */
+  def readFingerprintBuckets(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_config").select("buckets").collect().head.getInt(0)
+
+  /** Persist the fingerprint set PARTITIONED BY a hash bucket of the
+    * fingerprint, with the bucket count as a `_config` sidecar: a probe
+    * batch touches ≤ |batch| buckets, so [[novelOnly]] prunes its index
+    * read to those directories instead of sweeping every fingerprint
+    * ever ingested — the same touched-cell move as the semantic gate's
+    * replay guard. `buckets` sizes the trade: at 100 TB pick
+    * ~corpus_fingerprint_bytes / 128 MB so each bucket directory is one
+    * healthy scan unit; the default keeps test-scale file counts sane.
+    */
+  def writeFingerprintIndex(df: DataFrame, textCol: String, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     df.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .dropDuplicates("fingerprint")
+      .withColumn("fp_bucket", fpBucketCol(col("fingerprint"), buckets))
       .write
       .mode("overwrite")
+      .partitionBy("fp_bucket")
       .parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1).write.mode("overwrite").parquet(s"$path/_config")
+  }
 
-  /** Fold an increment's fingerprints into the index. The caller owns
-    * distinctness across increments (rows already gated by [[novelOnly]]
-    * are novel by definition); duplicates would not break [[novelOnly]]
-    * (an anti-join is insensitive to right-side multiplicity), only
-    * waste index bytes.
+  /** Fold an increment's fingerprints into the index, bucketed under
+    * the index's own recorded config (drift-proof, like the minhash
+    * config). The caller owns distinctness across increments (rows
+    * already gated by [[novelOnly]] are novel by definition);
+    * duplicates would not break [[novelOnly]] (an anti-join is
+    * insensitive to right-side multiplicity), only waste index bytes.
     */
-  def appendToFingerprintIndex(batch: DataFrame, textCol: String, path: String): Unit =
+  def appendToFingerprintIndex(batch: DataFrame, textCol: String, path: String): Unit = {
+    val buckets = readFingerprintBuckets(batch.sparkSession, path)
     batch
       .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .dropDuplicates("fingerprint")
+      .withColumn("fp_bucket", fpBucketCol(col("fingerprint"), buckets))
       .write
       .mode("append")
+      .partitionBy("fp_bucket")
       .parquet(path)
+  }
 
   /** Batch rows whose normalized-text fingerprint the indexed corpus has
     * never seen — the incremental form of [[exactDuplicates]]'s filter.
     * Null-safe anti-join (`<=>`, matching [[exactDuplicates]] and the
-    * DuckDB `IS NOT DISTINCT FROM` oracle). One shuffle of slim
-    * (fingerprint) rows on each side; at 100 TB the index side is still
-    * just distinct fingerprints (16 bytes/doc), and a bloom-filter
-    * pre-pass over the batch would cut the shuffle further.
+    * DuckDB `IS NOT DISTINCT FROM` oracle). The index read is
+    * partition-pruned to the batch's TOUCHED fingerprint buckets (a
+    * bounded collect, ≤ min(|batch|, buckets) ints rendered as an isin
+    * literal): at 100 TB the guard reads the batch's bucket directories'
+    * slim fingerprint columns, never the full index — the rest is one
+    * shuffle of slim rows on each side, and a bloom-filter pre-pass
+    * over the batch would cut that further.
     */
   def novelOnly(
       spark: org.apache.spark.sql.SparkSession,
@@ -694,7 +825,15 @@ object Dedup {
       batch: DataFrame,
       textCol: String
   ): DataFrame = {
-    val indexed = spark.read.parquet(path)
+    val buckets = readFingerprintBuckets(spark, path)
+    val touched = batch
+      .select(fpBucketCol(TextOps.fingerprint(col(textCol)), buckets).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    if (touched.isEmpty) return batch // empty batch: nothing to gate
+    val indexed = spark.read.parquet(path).filter(col("fp_bucket").isin(touched.toSeq: _*))
     batch.join(
       indexed,
       TextOps.fingerprint(batch(textCol)) <=> indexed("fingerprint"),

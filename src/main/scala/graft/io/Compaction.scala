@@ -190,8 +190,8 @@ object Compaction {
     * artifact (the `_config` sidecar rides the swap untouched).
     */
   def compactMinhashIndex(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit = {
-    compact(spark, s"$path/bands", Seq("band"), targetFileBytes)
-    compact(spark, s"$path/sketches", Nil, targetFileBytes)
+    compact(spark, s"$path/bands", Seq("band", "key_bucket"), targetFileBytes)
+    compact(spark, s"$path/sketches", Seq("id_bucket"), targetFileBytes)
   }
 
   /** Compact a [[graft.similarity.Similarity.writeIvfIndex]] artifact. */

@@ -39,8 +39,12 @@ class CompactionSpec extends SparkSpec {
 
     val (bandBytesAfter, bandFilesAfter) = Compaction.dataStats(spark, s"$path/bands")
     val (_, sketchFilesAfter) = Compaction.dataStats(spark, s"$path/sketches")
-    assert(bandFilesAfter == 8, s"one file per band partition expected, got $bandFilesAfter")
-    assert(sketchFilesAfter == 1, s"one sketch file expected (tiny corpus), got $sketchFilesAfter")
+    // one file per FILLED leaf partition — (band, key_bucket) for the
+    // bands leg, id_bucket for the sketches leg (bucketed layout)
+    val bandLeafs = spark.read.parquet(s"$path/bands").select("band", "key_bucket").distinct().count()
+    val sketchLeafs = spark.read.parquet(s"$path/sketches").select("id_bucket").distinct().count()
+    assert(bandFilesAfter == bandLeafs, s"one file per band leaf expected ($bandLeafs), got $bandFilesAfter")
+    assert(sketchFilesAfter == sketchLeafs, s"one file per sketch leaf expected ($sketchLeafs), got $sketchFilesAfter")
     assert(bandFilesAfter < bandFilesBefore && sketchFilesAfter < sketchFilesBefore)
     // bytes are the same order (re-encoded, not dropped)
     assert(bandBytesAfter > 0 && bandBytes > 0)

@@ -112,4 +112,82 @@ class IncrementalDedupSpec extends SparkSpec {
     val novel = Dedup.novelOnly(spark, path, batch, "text").select("doc_id").as[Long].collect().toSeq
     assert(novel == Seq(40L))
   }
+
+  test("novelOnly prunes the fingerprint index scan to the batch's touched buckets") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = Files.createTempDirectory("fpprune").toString + "/index"
+    Dedup.writeFingerprintIndex(docs, "text", path)
+    val totalBuckets = fileScans(spark.read.parquet(path).select("fingerprint"))
+      .head.selectedPartitions.partitionCount
+    assert(totalBuckets > 4, s"corpus spread over only $totalBuckets buckets — pruning unprovable")
+    // a 2-doc batch touches ≤ 2 buckets of the many the corpus fills
+    val batch = docs.filter(col("doc_id").isin(1L, 2L))
+    val novel = Dedup.novelOnly(spark, path, batch, "text")
+    val indexScans = fileScans(novel).filter(_.metadata.getOrElse("Location", "").contains("fpprune"))
+    assert(indexScans.nonEmpty, "no scan over the fingerprint index found")
+    indexScans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "").contains("fp_bucket"),
+        s"no fp_bucket partition filter: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"guard read ${s.selectedPartitions.partitionCount} buckets for a 2-doc batch")
+    }
+    // the pruned guard still gates correctly: both batch docs are
+    // verbatim corpus members, so neither is novel
+    assert(novel.isEmpty)
+  }
+
+  test("incremental probe prunes BOTH index legs to the batch's touched sub-buckets") {
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val path = Files.createTempDirectory("mhprune").toString + "/index"
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", path)
+    def partsOf(p: String): Int =
+      fileScans(spark.read.parquet(p).select("id")).head.selectedPartitions.partitionCount
+    val (bandParts, sketchParts) = (partsOf(s"$path/bands"), partsOf(s"$path/sketches"))
+    assert(bandParts > 16 && sketchParts > 4,
+      s"corpus fills only $bandParts band / $sketchParts sketch partitions — pruning unprovable")
+    // a single-doc batch: ≤ bands distinct band keys → ≤ bands key
+    // buckets; candidate ids bounded → few id buckets. The doc is
+    // CHOSEN to have a planted near-dup across the split, so the
+    // final found-its-pair assertion cannot be vacuously data-dependent
+    val chosen = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collectFirst {
+        case (a, b) if a % 3 == 0 && b % 3 != 0 => a
+        case (a, b) if b % 3 == 0 && a % 3 != 0 => b
+      }
+      .getOrElse(fail("sf0.001 has no near-dup pair straddling the %3 split"))
+    val batch = docs.filter(col("doc_id") === chosen)
+    // pin the legs on exactly the DataFrames the probe consumes (the
+    // probe's candidate checkpoint hides the bands scan from its final
+    // plan, so the factored legs are the observable surface)
+    val keyBuckets = Dedup.readMinhashKeyBuckets(spark, path)
+    val (_, bandedB) = Dedup.batchSignatures(spark, path, batch, "doc_id", "text")
+    val bandsLeg = Dedup.prunedBandsLeg(spark, path, bandedB, keyBuckets)
+    val bandScans = fileScans(bandsLeg).filter(_.metadata.getOrElse("Location", "").contains("/bands"))
+    assert(bandScans.nonEmpty, "no bands-leg scan found")
+    bandScans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "").contains("key_bucket"),
+        s"bands leg unpruned: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(s.selectedPartitions.partitionCount < bandParts,
+        s"bands leg read all $bandParts partitions")
+    }
+    import spark.implicits._
+    val candidates = Seq((chosen, chosen + 1)).toDF("id_a", "id_b")
+    val sketchesLeg = Dedup.prunedSketchesLeg(spark, path, candidates, keyBuckets)
+    val sketchScans = fileScans(sketchesLeg).filter(_.metadata.getOrElse("Location", "").contains("/sketches"))
+    assert(sketchScans.nonEmpty, "no sketches-leg scan found")
+    sketchScans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "").contains("id_bucket"),
+        s"sketches leg unpruned: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"sketches leg read ${s.selectedPartitions.partitionCount} buckets for 2 candidate ids")
+    }
+    // and the pruned end-to-end probe still finds the chosen doc's
+    // planted cross-split pair — pruning lost no candidate
+    val pairs = Dedup.incrementalLshPairs(spark, path, batch, "doc_id", "text", threshold = 0.3)
+    assert(pairs.count() > 0)
+  }
 }

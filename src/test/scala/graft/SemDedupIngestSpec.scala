@@ -29,17 +29,6 @@ class SemDedupIngestSpec extends SparkSpec {
 
   private def df(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
 
-  private def fileScans(
-      df: org.apache.spark.sql.DataFrame
-  ): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    (df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.initialPlan
-      case other                    => other
-    }).collectWithSubqueries { case f: FileSourceScanExec => f }
-  }
-
   test("gate semantics: corpus anchor wins, batch cluster keeps min id, novel kept") {
     val root = tmp("semingest")
     Similarity.writeIvfIndex(
