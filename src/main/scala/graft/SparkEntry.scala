@@ -92,6 +92,7 @@ object SparkEntry {
     "ivfpq_topk"         -> (Queries.ivfpqTopK _),
     "n4_ann_quantized"   -> (Queries.n4AnnQuantized _),
     "m1_multimodal"      -> (Queries.m1Multimodal _),
+    "m2_video_frames"    -> (Queries.m2VideoFrames _),
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
     "s11_classify"       -> (Queries.s11Classify _),
@@ -185,6 +186,7 @@ private[graft] object QueryParams {
       .orElse(sys.props.get("graft.fixtures.dir"))
       .getOrElse("/root/repo/fixtures")
   val M1FixturePath: String = s"$FixturesDir/m1_expected.parquet"
+  val M2FixturePath: String = s"$FixturesDir/m2_expected.parquet"
   val S11FixturePath: String = s"$FixturesDir/s11_expected.parquet"
 
   /** Scratch root for queries that materialize an index as part of
@@ -1361,6 +1363,32 @@ object Queries {
       .orderBy("format")
   }
 
+  /** Video pipeline: pack documents as MJPEG AVIs → REAL container
+    * parse + per-frame JPEG decode ([[graft.multimodal.Multimodal.videoStats]])
+    * → per-frame-count rollup, CHECKED row-by-row against the committed
+    * decode-expectation fixture (GenM2Fixture) exactly like m1:
+    * `n_match` counts videos whose live frame count AND mean frame
+    * features equal the fixture's, so the DuckDB oracle (which
+    * recomputes the aggregate from the fixture alone — video decode is
+    * not SQL-expressible) hash-fails if any decode diverges.
+    */
+  def m2VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.packVideos(Tables.documents(spark, dir))
+    val fixture = spark.read
+      .parquet(QueryParams.M2FixturePath)
+      .select($"doc_id", $"n_frames".as("exp_n_frames"), $"features".as("exp_features"))
+    graft.multimodal.Multimodal
+      .videoStats(media, "media", maxFrames = 8)
+      .join(broadcast(fixture), $"media_id" === $"doc_id", "left")
+      .groupBy($"n_frames")
+      .agg(
+        count(lit(1)).as("n_videos"),
+        round(avg(element_at($"features", 1)), 6).as("avg_f0"),
+        count(when($"features" <=> $"exp_features" && $"n_frames" <=> $"exp_n_frames", 1)).as("n_match")
+      )
+      .orderBy("n_frames")
+  }
+
   /** A8 — LIFO entry-credit replay over a synthetic fill stream derived
     * deterministically from lineitem (symbol per supplier, open/close
     * actions from the line number, Decimal money).
@@ -2515,6 +2543,21 @@ object Oracles {
          |FROM read_parquet('${QueryParams.M1FixturePath}') f
          |JOIN documents d ON d.doc_id = f.doc_id
          |GROUP BY f.format ORDER BY f.format""".stripMargin,
+    // M2 — same fixture-oracle technique for the VIDEO modality: the
+    // committed decode-expectation fixture (GenM2Fixture; pure function
+    // of doc_id, real AVI parse + JPEG frame decode) is the hashable
+    // surface. The Spark query parses and decodes LIVE and counts
+    // fixture matches on (frame count, mean frame features); the oracle
+    // recomputes the per-frame-count aggregate from the fixture alone,
+    // scale-filtered by joining documents.
+    "m2_video_frames" ->
+      s"""SELECT f.n_frames,
+         |  CAST(count(*) AS BIGINT) AS n_videos,
+         |  round(avg(CAST(f.f0 AS DOUBLE)), 6) AS avg_f0,
+         |  CAST(count(*) AS BIGINT) AS n_match
+         |FROM read_parquet('${QueryParams.M2FixturePath}') f
+         |JOIN documents d ON d.doc_id = f.doc_id
+         |GROUP BY f.n_frames ORDER BY f.n_frames""".stripMargin,
     // S11 — greedy combinatorial strategy matching is not SQL-expressible,
     // but (like m1) it doesn't need to be: classification is a pure
     // deterministic function of the legs table (StrategyClassifierPropSpec

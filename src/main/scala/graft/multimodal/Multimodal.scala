@@ -19,14 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize are REAL — `javax.imageio` ships with the JDK, so
   * jpeg/png need no external codecs. Audio decode is REAL too —
-  * `javax.sound.sampled` handles WAV PCM without external codecs. Only
-  * the VIDEO kernels remain clearly-marked deterministic STUBS (no video
-  * codecs in this container); the plumbing around them (schema, batch
-  * shape, partition locality, null handling) is identical to the real
-  * image/audio paths and is what carries over to a cluster with real
-  * codecs: a scan-local transform with no shuffle, where batch size
-  * bounds peak memory per task (batch × decoded-frame size), which is
-  * the knob that matters at 100 TB.
+  * `javax.sound.sampled` handles WAV PCM without external codecs. VIDEO
+  * decode is REAL for MJPEG-in-AVI — [[Avi]] parses the RIFF container
+  * and each frame is an ordinary JPEG, so frame sampling and per-video
+  * features run genuine decode with zero external codecs. Other video
+  * codecs (h264 etc.) fall back to clearly-marked deterministic STUBS;
+  * the plumbing around them (schema, batch shape, partition locality,
+  * null handling) is identical to the real paths and is what carries
+  * over to a cluster with real codecs: a scan-local transform with no
+  * shuffle, where batch size bounds peak memory per task (batch ×
+  * decoded-frame size), which is the knob that matters at 100 TB.
   */
 object Multimodal {
 
@@ -44,6 +46,7 @@ object Multimodal {
 
   val ImageFormats: Set[String] = Set("jpeg", "png")
   val AudioFormats: Set[String] = Set("wav")
+  val VideoFormats: Set[String] = Set("avi")
 
   private val packedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -217,11 +220,113 @@ object Multimodal {
     }(Encoders.row(packedSchema))
   }
 
-  /** ======== STUB (video/unknown formats only) ========
+  /** Deterministic MJPEG frame `f` of video `id`: an ordinary synthetic
+    * JPEG whose pixel seed mixes the video id and the frame index, so
+    * consecutive frames of one video differ but every byte is a pure
+    * function of (id, f).
+    */
+  def synthFrameBytes(id: Long, f: Int, w: Int, h: Int): Array[Byte] =
+    synthImageBytes(id * 131 + f * 7 + 1, w, h, "jpeg")
+
+  /** Encode a deterministic `nFrames`-frame MJPEG AVI for video `id` —
+    * a REAL container ([[Avi.encode]]) of REAL JPEG frames, so the
+    * video decode path downstream exercises genuine RIFF parsing plus
+    * the genuine JDK JPEG codec.
+    */
+  def synthAviBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    Avi.encode((0 until nFrames).map(f => synthFrameBytes(id, f, w, h)), w, h)
+
+  /** Test-harness packer for the VIDEO modality: every document becomes
+    * a small MJPEG AVI (2–7 frames, dimensions derived from doc_id).
+    * Same batched partition-local shape as [[packDocuments]].
+    */
+  def packVideos(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = docs.select(col("doc_id").cast("long"))
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val nFrames = (id % 6 + 2).toInt
+          Row(id, synthAviBytes(id, w, h, nFrames), Row("avi", w, h))
+        }
+      }
+    }(Encoders.row(packedSchema))
+  }
+
+  /** Uniformly-spaced sample of `k` indices from `0 until total`
+    * (classic stride sampling: index `i*total/k`); all frames when
+    * `k >= total`.
+    */
+  private def sampleIndices(total: Int, k: Int): Array[Int] = {
+    val n = math.min(math.max(k, 1), total)
+    Array.tabulate(n)(i => i * total / n)
+  }
+
+  /** REAL video decode: AVI bytes → (total frame count, mean luminance
+    * histogram over up to `maxFrames` uniformly-sampled frames). The
+    * mean is a sequential fold in sampled order — deterministic
+    * regardless of partitioning, so it can sit on a fixture-oracle
+    * compare surface. None when the payload is not a parseable AVI or
+    * no sampled frame decodes.
+    */
+  def videoFrameFeatures(bytes: Array[Byte], maxFrames: Int = 8): Option[(Int, Array[Float])] =
+    Avi.decodeFrames(bytes).flatMap { frames =>
+      val sampled = sampleIndices(frames.length, maxFrames)
+      val sum = new Array[Float](16)
+      var decoded = 0
+      sampled.foreach { idx =>
+        decodePixels(frames(idx)).foreach { case (_, _, px) =>
+          val f = imageFeatures(px)
+          var b = 0
+          while (b < 16) { sum(b) += f(b); b += 1 }
+          decoded += 1
+        }
+      }
+      if (decoded == 0) None
+      else {
+        var b = 0
+        while (b < 16) { sum(b) /= decoded.toFloat; b += 1 }
+        Some((frames.length, sum))
+      }
+    }
+
+  /** Per-video decode summary: (media_id, n_frames, features) with
+    * REAL container parse + JPEG frame decode ([[videoFrameFeatures]]).
+    * Scan-local batched kernel — no shuffle; undecodable payloads →
+    * null n_frames/features (quarantine contract).
+    */
+  def videoStats(df: DataFrame, mediaCol: String, maxFrames: Int = 8, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("features", ArrayType(FloatType), nullable = true)
+    ))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(idIdx)
+          val stats =
+            if (r.isNullAt(mediaIdx)) None
+            else videoFrameFeatures(r.getAs[Array[Byte]](mediaIdx), maxFrames)
+          stats match {
+            case Some((n, feats)) => Row(id, n, feats)
+            case None             => Row(id, null, null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** ======== STUB (non-AVI video / unknown formats only) ========
     * Deterministic fake decoder for formats whose codecs aren't in this
-    * container: a 16-bin byte histogram normalized to [0,1] — stable,
-    * cheap, shaped like [[imageFeatures]]/[[audioFeatures]] so all
-    * paths are interchangeable downstream.
+    * container (h264 video, etc. — AVI/MJPEG decodes for REAL via
+    * [[videoFrameFeatures]]): a 16-bin byte histogram normalized to
+    * [0,1] — stable, cheap, shaped like [[imageFeatures]]/
+    * [[audioFeatures]] so all paths are interchangeable downstream.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -242,9 +347,10 @@ object Multimodal {
     * format-dispatched decode over each whole batch — REAL
     * `javax.imageio` decode for jpeg/png (features from actual pixels),
     * REAL `javax.sound.sampled` decode for wav (features from actual
-    * PCM samples), stub histogram for everything else (video). Null or
-    * undecodable media → null features (a real pipeline quarantines
-    * those rows downstream).
+    * PCM samples), REAL RIFF-parse + per-frame JPEG decode for
+    * MJPEG-AVI video (mean features over sampled frames), stub
+    * histogram for everything else. Null or undecodable media → null
+    * features (a real pipeline quarantines those rows downstream).
     */
   def extractFeatures(df: DataFrame, mediaCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
@@ -265,7 +371,13 @@ object Multimodal {
               decodePixels(r.getAs[Array[Byte]](mediaIdx)).map(p => imageFeatures(p._3)).orNull
             else if (format != null && AudioFormats(format))
               decodePcmSamples(r.getAs[Array[Byte]](mediaIdx)).map(audioFeatures).orNull
-            else decodeStub(r.getAs[Array[Byte]](mediaIdx))
+            else {
+              // video & unknown: content sniff so the real AVI path
+              // triggers with or without a metadata struct
+              val bytes = r.getAs[Array[Byte]](mediaIdx)
+              if (Avi.isAvi(bytes)) videoFrameFeatures(bytes).map(_._2).orNull
+              else decodeStub(bytes)
+            }
           Row.fromSeq(r.toSeq :+ out)
         }
       }
@@ -324,15 +436,46 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** ======== STUB ======== frame sampling: emits `n` (frame_idx, frame)
-    * rows per media row — the explode shape of video→frames. Frames are
-    * byte slices here; a real kernel would seek keyframes.
+  /** Frame sampling: emits (frame_idx, frame) rows per media row — the
+    * explode shape of video→frames. REAL for AVI payloads: the RIFF
+    * container is parsed and up to `n` uniformly-spaced ACTUAL frames
+    * (JPEG bytes, decodable downstream by the image kernels) are
+    * emitted with their true container frame index. Non-AVI payloads
+    * keep the declared stub (n equal byte slices) so the contract holds
+    * for every row. Batched scan-local kernel — no shuffle; the explode
+    * happens inside the partition.
     */
-  def sampleFrames(df: DataFrame, n: Int): DataFrame =
-    df.select(
-      col("media_id"),
-      posexplode(
-        expr(s"transform(sequence(0, ${n - 1}), i -> substring(media, 1 + i * greatest(octet_length(media) div $n, 1), greatest(octet_length(media) div $n, 1)))")
-      ).as(Seq("frame_idx", "frame"))
-    )
+  def sampleFrames(df: DataFrame, n: Int, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType, nullable = true)
+    ))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(idIdx)
+          val bytes = if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx)
+          Avi.decodeFrames(bytes) match {
+            case Some(frames) =>
+              sampleIndices(frames.length, n).iterator.map(idx => Row(id, idx, frames(idx)))
+            case None =>
+              // ======== STUB (non-AVI) ======== n equal byte slices
+              val len = if (bytes == null) 0 else bytes.length
+              val step = math.max(len / n, 1)
+              (0 until n).iterator.map { i =>
+                if (bytes == null) Row(id, i, null)
+                else {
+                  val from = math.min(i * step, len)
+                  val until = math.min(from + step, len)
+                  Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+                }
+              }
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

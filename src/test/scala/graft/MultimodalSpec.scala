@@ -114,9 +114,88 @@ class MultimodalSpec extends SparkSpec {
     assert(grown == 0)
   }
 
-  test("frame sampling explodes n frames per media row") {
+  test("frame sampling explodes n frames per media row (non-AVI stub path)") {
     val out = Multimodal.sampleFrames(media, 4)
     assert(out.count() == media.count() * 4)
     assert(out.groupBy("media_id").count().filter($"count" =!= 4).count() == 0)
+  }
+
+  // ---------------------------------------------------------------- video
+
+  lazy val videos = Multimodal.packVideos(Tables.documents(spark, sf0001))
+
+  test("AVI container roundtrips: encoded frames come back byte-identical, in order") {
+    val frames = (0 until 3).map(f => Multimodal.synthFrameBytes(7L, f, 6, 5))
+    val avi = graft.multimodal.Avi.encode(frames, 6, 5)
+    assert(graft.multimodal.Avi.isAvi(avi))
+    val Some(decoded) = graft.multimodal.Avi.decodeFrames(avi)
+    assert(decoded.length == 3)
+    decoded.zip(frames).foreach { case (d, f) => assert(d.sameElements(f)) }
+    // each recovered frame is a genuinely decodable JPEG of the right size
+    val Some((w, h, _)) = Multimodal.decodePixels(decoded(1))
+    assert(w == 6 && h == 5)
+  }
+
+  test("AVI decode is defensive: truncation and corrupt sizes quarantine to None") {
+    val avi = Multimodal.synthAviBytes(3L, 6, 5, 4)
+    assert(graft.multimodal.Avi.decodeFrames(avi.take(40)).isEmpty)
+    assert(graft.multimodal.Avi.decodeFrames(null).isEmpty)
+    assert(graft.multimodal.Avi.decodeFrames("not an avi".getBytes).isEmpty)
+    val corrupt = avi.clone()
+    // blow up an interior chunk size field; parser must stop, not throw
+    corrupt(avi.length / 2) = 0xff.toByte
+    graft.multimodal.Avi.decodeFrames(corrupt) // must not throw
+  }
+
+  test("sampleFrames on AVI emits REAL frames with true container indices") {
+    val out = Multimodal.sampleFrames(videos, 8)
+    // per-video frame count = min(8, 2 + id%6) = 2 + id%6 (all ≤ 7)
+    val counts = out.groupBy("media_id").count()
+    val bad = counts
+      .filter($"count" =!= (lit(2) + pmod($"media_id", lit(6))))
+      .count()
+    assert(bad == 0)
+    // a sampled frame is byte-identical to the synthesized source frame
+    val r = out.filter($"media_id" === 6L && $"frame_idx" === 1).head()
+    val expected = Multimodal.synthFrameBytes(6L, 1, (6 % 16 + 4), (6 % 12 + 4))
+    assert(r.getAs[Array[Byte]]("frame").sameElements(expected))
+  }
+
+  test("sampleFrames caps at n with uniform stride when the video is longer") {
+    val id = 5L // 5 % 6 + 2 = 7 frames
+    val one = videos.filter($"media_id" === id)
+    val out = Multimodal.sampleFrames(one, 3).orderBy("frame_idx")
+    val idxs = out.select($"frame_idx").as[Int].collect().toSeq
+    assert(idxs == Seq(0, 2, 4)) // i * 7 / 3
+  }
+
+  test("videoStats: real per-frame decode, deterministic sequential mean") {
+    val stats = Multimodal.videoStats(videos, "media", maxFrames = 8)
+    assert(stats.filter($"n_frames".isNull || $"features".isNull).count() == 0)
+    val r = stats.filter($"media_id" === 4L).head()
+    assert(r.getInt(1) == (4 % 6 + 2))
+    // expected: sequential mean of imageFeatures over the real frames
+    val w = (4 % 16 + 4); val h = (4 % 12 + 4)
+    val sum = new Array[Float](16)
+    (0 until 6).foreach { f =>
+      val Some((_, _, px)) = Multimodal.decodePixels(Multimodal.synthFrameBytes(4L, f, w, h))
+      val feats = Multimodal.imageFeatures(px)
+      (0 until 16).foreach(b => sum(b) += feats(b))
+    }
+    val expected = sum.map(_ / 6f)
+    assert(r.getSeq[Float](2).toArray.sameElements(expected))
+  }
+
+  test("extractFeatures dispatches AVI to the real video path (sniff, no meta needed)") {
+    val noMeta = videos.select($"media_id", $"media")
+    val out = Multimodal.extractFeatures(noMeta, "media")
+    assert(out.filter($"features".isNull).count() == 0)
+    val got = out.filter($"media_id" === 4L).select($"features").as[Seq[Float]].head()
+    val expected = Multimodal
+      .videoFrameFeatures(Multimodal.synthAviBytes(4L, (4 % 16 + 4), (4 % 12 + 4), 6))
+      .get._2
+    assert(got.toArray.sameElements(expected))
+    // histogram mean still sums to ~1
+    assert(math.abs(got.sum - 1f) < 1e-3)
   }
 }
