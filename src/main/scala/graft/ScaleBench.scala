@@ -65,6 +65,16 @@ object ScaleBench {
     // probe stays scan-local — linear means the broadcast build is not
     // the bottleneck and no hit explosion sneaks in
     "x17_exact_decontaminate",
+    // x18 (round 8): x17's contract behind the bloom gate — linear
+    // means the sketch build (driver-side, bench-scaled) plus the
+    // prefiltered verify join track the corpus, i.e. the gate's
+    // constant-factor saving doesn't come with a hidden slope
+    "x18_bloom_decontaminate",
+    // x19 (round 8): the gram-mining shuffle — linear means map-side
+    // combine really collapses per-partition repeats before the
+    // exchange and the top-K cut stays a bounded-heap TakeOrdered,
+    // not a global sort
+    "x19_frequent_ngrams",
     // b1: the as-of-join + stateful backtest slice over events — the
     // user-key shift gives ×factor independent per-key series, so the
     // sort-within-partitions fold should scale with the number of keys

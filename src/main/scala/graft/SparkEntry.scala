@@ -62,12 +62,15 @@ object SparkEntry {
     "d9_incremental_minhash" -> (Queries.d9IncrementalMinhash _),
     "d9b_novel_filter"   -> (Queries.d9bNovelFilter _),
     "d13_ingest_corpus"  -> (Queries.d13IngestCorpus _),
+    "s5_latest_upsert"   -> (Queries.s5LatestUpsert _),
     "d14_sem_ingest"     -> (Queries.d14SemIngest _),
     "d10_semdedup"       -> (Queries.d10Semdedup _),
     "d11_safe_split"     -> (Queries.d11SafeSplit _),
     "d12_sem_decontaminate" -> (Queries.d12SemDecontaminate _),
     "x15_token_budget_mix" -> (Queries.x15TokenBudgetMix _),
     "x17_exact_decontaminate" -> (Queries.x17ExactDecontaminate _),
+    "x18_bloom_decontaminate" -> (Queries.x18BloomDecontaminate _),
+    "x19_frequent_ngrams" -> (Queries.x19FrequentNgrams _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -175,6 +178,16 @@ private[graft] object QueryParams {
   val X15Budget: Long = 10000L
   val X15Seed: Long = 7L
   val X16Seed: Long = 11L
+  // x18: the bloom gate's false-positive rate — result-invisible (the
+  // exact verify removes FPs; x18 shares x17's oracle), so the value
+  // only shapes the survivor stream
+  val X18Fpp: Double = 0.01
+  // x19: shorter windows than x12/x13's dedup spans — a boilerplate
+  // MINER wants the phrase, not the whole duplicated passage; 8 tokens
+  // is the scale where scraper chrome repeats
+  val X19GramWidth: Int = 8
+  val X19MinDocs: Long = 2L
+  val X19TopK: Int = 100
   // Committed expectation fixtures (see graft.GenM1Fixture /
   // graft.GenS11Fixture). The directory is env/sysprop-overridable for
   // checkouts not at /root/repo; the resolved value must be ABSOLUTE
@@ -255,6 +268,39 @@ object Queries {
     val ev = Tables.events(spark, dir)
     Relational
       .latestPerKey(ev, Seq("user_id"), "ts_us", "event_id")
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** S5 at lake scale — the incremental latest-value table END-STATE
+    * (see [[graft.io.LatestUpsert]]): seed the bucket-partitioned
+    * artifact with the event_id%3==0 events, then merge the %3==1 and
+    * %3==2 batches IN ORDER with bucket-pruned rewrites, and read the
+    * final table. The merge is row-level idempotent (max is
+    * associative/commutative/idempotent), so the end state equals the
+    * one-shot latest-per-key over ALL events — which is a1's contract,
+    * so this query's oracle is a1's SQL verbatim (the d13/d14 end-state
+    * technique, with the sequential gate replaced by an order-free
+    * merge the oracle can state directly). Scratch: seed shared across
+    * runs on unchanged testdata ([[QueryParams.seedOnce]]); the two
+    * upserts re-run every time and idempotence keeps the end state
+    * identical (LatestUpsertSpec replay test).
+    */
+  def s5LatestUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+    val root = QueryParams.indexScratch("s5_latest", dir)
+    val stamp = s"s5 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      graft.io.LatestUpsert.init(
+        spark, root, ev.filter(pmod($"event_id", lit(3)) === 0),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 32)
+    }
+    graft.io.LatestUpsert.upsert(spark, root, ev.filter(pmod($"event_id", lit(3)) === 1))
+    graft.io.LatestUpsert.upsert(spark, root, ev.filter(pmod($"event_id", lit(3)) === 2))
+    graft.io.LatestUpsert
+      .read(spark, root)
       .select("user_id", "event_id", "ts_us", "event_type", "value")
       .orderBy("user_id")
   }
@@ -812,6 +858,44 @@ object Queries {
       )
       .orderBy("doc_id")
   }
+
+  /** x18 — the SAME decontamination contract as x17, gated by a Bloom
+    * sketch instead of a broadcast hash relation (the non-broadcastable-
+    * benchmark regime; see
+    * [[graft.text.TextOps.exactNgramDecontaminateBloom]]). The sketch is
+    * result-invisible — no false negatives, exact verify removes false
+    * positives — so this query's oracle is x17's SQL verbatim.
+    */
+  def x18BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps
+      .exactNgramDecontaminateBloom(
+        docs.filter(pmod($"doc_id", lit(5)) =!= 0),
+        docs.filter(pmod($"doc_id", lit(5)) === 0),
+        "doc_id",
+        "text",
+        n = QueryParams.X12SpanWidth,
+        fpp = QueryParams.X18Fpp
+      )
+      .orderBy("doc_id")
+  }
+
+  /** x19 — frequent n-gram mining (the boilerplate detector; see
+    * [[graft.text.TextOps.frequentNgrams]]). The synthetic corpus's
+    * injected near-dups repeat 8-token phrases across documents
+    * (1000+ qualifying grams at sf0.001), so the top-100 cut genuinely
+    * selects.
+    */
+  def x19FrequentNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .frequentNgrams(
+        Tables.documents(spark, dir),
+        "doc_id",
+        "text",
+        n = QueryParams.X19GramWidth,
+        minDocs = QueryParams.X19MinDocs,
+        topK = QueryParams.X19TopK
+      )
 
   /** x12 — duplicate-span coverage (the Gopher/RefinedWeb dup-n-gram
     * repetition rule at token granularity; see
@@ -1887,6 +1971,37 @@ object Queries {
   */
 object Oracles {
 
+  /** x17/x18 shared contract — exact n-gram decontamination. Integer
+    * counts plus ONE final double division (hit_frac): bit-identical on
+    * both engines. Window CTE mirrors x13's. x18's bloom gate is
+    * result-invisible, so both queries hash against this one statement.
+    */
+  private val x17Sql: String = {
+    val n = QueryParams.X12SpanWidth
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |spans AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
+       |      ELSE []::VARCHAR[] END AS ws
+       |  FROM base),
+       |bench AS (SELECT DISTINCT unnest(ws) AS span FROM spans WHERE doc_id % 5 = 0),
+       |occ AS (SELECT doc_id, unnest(ws) AS span FROM spans WHERE doc_id % 5 <> 0),
+       |hits AS (
+       |  SELECT o.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_hit_spans,
+       |    CAST(count(DISTINCT o.span) AS BIGINT) AS n_grams_hit
+       |  FROM occ o JOIN bench USING (span) GROUP BY o.doc_id),
+       |stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_spans FROM spans WHERE doc_id % 5 <> 0)
+       |SELECT s.doc_id, s.n_spans, h.n_hit_spans, h.n_grams_hit,
+       |  CAST(h.n_hit_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) AS hit_frac
+       |FROM stats s JOIN hits h USING (doc_id)
+       |WHERE h.n_hit_spans >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Padded-WMA SQL with [[graft.indicators.Indicators.paddedWmaCol]]'s
     * exact left-to-right add order (bit-reproducible: SQL `+` is
     * left-associative like Scala's `reduceLeft`).
@@ -2581,6 +2696,15 @@ object Oracles {
          |GROUP BY f.underlying, f.strategy_type
          |ORDER BY f.underlying, f.strategy_type""".stripMargin,
     "a1_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // S5 incremental upsert — the merge is row-level idempotent, so the
+    // END STATE after seed + two batch merges equals the one-shot
+    // latest-per-key over ALL events: a1's SQL verbatim (the oracle
+    // states the contract; the query earns it incrementally through
+    // bucket-pruned rewrites).
+    "s5_latest_upsert" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
@@ -3399,30 +3523,34 @@ object Oracles {
          |ORDER BY c.doc_id""".stripMargin,
     // x17 — integer counts plus ONE final double division (hit_frac):
     // bit-identical on both engines. Window CTE mirrors x13's.
-    "x17_exact_decontaminate" -> {
-      val n = QueryParams.X12SpanWidth
+    "x17_exact_decontaminate" -> x17Sql,
+    // x18 — the bloom-gated variant computes the IDENTICAL result (the
+    // sketch only over-admits and the exact verify removes every false
+    // positive), so its oracle IS x17's SQL: same contract, different
+    // physical gate.
+    "x18_bloom_decontaminate" -> x17Sql,
+    // x19 — integer-exact counts; (n_docs DESC, n_occurrences DESC,
+    // gram) is a TOTAL order (gram is the group key), so the LIMIT cut
+    // is deterministic on both engines.
+    "x19_frequent_ngrams" -> {
+      val n = QueryParams.X19GramWidth
       s"""WITH base AS (
          |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
          |  FROM documents WHERE text IS NOT NULL),
-         |spans AS (
-         |  SELECT doc_id,
+         |grams AS (
+         |  SELECT doc_id, unnest(
          |    CASE WHEN len(toks) >= $n
-         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
-         |      ELSE []::VARCHAR[] END AS ws
-         |  FROM base),
-         |bench AS (SELECT DISTINCT unnest(ws) AS span FROM spans WHERE doc_id % 5 = 0),
-         |occ AS (SELECT doc_id, unnest(ws) AS span FROM spans WHERE doc_id % 5 <> 0),
-         |hits AS (
-         |  SELECT o.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_hit_spans,
-         |    CAST(count(DISTINCT o.span) AS BIGINT) AS n_grams_hit
-         |  FROM occ o JOIN bench USING (span) GROUP BY o.doc_id),
-         |stats AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_spans FROM spans WHERE doc_id % 5 <> 0)
-         |SELECT s.doc_id, s.n_spans, h.n_hit_spans, h.n_grams_hit,
-         |  CAST(h.n_hit_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) AS hit_frac
-         |FROM stats s JOIN hits h USING (doc_id)
-         |WHERE h.n_hit_spans >= 1
-         |ORDER BY doc_id""".stripMargin
+         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> array_to_string(toks[i:i+${n - 1}], ' '))
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM base)
+         |SELECT gram,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM grams
+         |GROUP BY gram
+         |HAVING count(DISTINCT doc_id) >= ${QueryParams.X19MinDocs}
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram
+         |LIMIT ${QueryParams.X19TopK}""".stripMargin
     },
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup

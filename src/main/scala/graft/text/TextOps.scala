@@ -836,4 +836,168 @@ object TextOps {
         (col("n_hit_spans").cast("double") / col("n_spans").cast("double")).as("hit_frac")
       )
   }
+
+  /** Bloom-gated exact n-gram decontamination — [[exactNgramDecontaminate]]
+    * for the regime where the benchmark-window set is TOO BIG TO
+    * BROADCAST as a hash relation (a full eval-suite union at 100 TB
+    * corpus scale: hundreds of millions of distinct windows × 32-char
+    * keys blows the broadcast threshold; x17's broadcast-probe design
+    * assumes the opposite). Result is IDENTICAL to x17 by construction
+    * — the sketch can only over-admit (no false negatives), and the
+    * exact verify join removes every false positive — so the two
+    * operators share one oracle.
+    *
+    * Gate: a Spark `util.sketch.BloomFilter` built over
+    * `xxhash64(window)` on the benchmark side (driver-built via the
+    * public `df.stat.bloomFilter`, ~1.2 bytes/window at 1% fpp — 10×+
+    * smaller than the corresponding broadcast hash relation) is shipped
+    * once per executor inside a codegen'd
+    * `BloomFilterMightContain(bloomLiteral, xxhash64(span))` predicate —
+    * the same expression Spark's own runtime row-level filtering
+    * injects, probing with `mightContainLong` against the builder's
+    * `putLong`, so the whole corpus-side prefilter stays inside
+    * whole-stage codegen (no UDF).
+    *
+    * Scale shape: corpus windows are scan-local and probe the sketch in
+    * place; only survivors (true hits + fpp × n_windows — near-empty by
+    * construction) enter the exact verify join, so the corpus side of
+    * that join's exchange carries ~fpp of the window stream instead of
+    * all of it. The verify join is deliberately NOT broadcast-hinted:
+    * in the target regime the bench side shuffles (it was too big to
+    * broadcast), and the bloom gate is precisely what makes the corpus
+    * side of that shuffle affordable. At test scale AQE may still
+    * choose broadcast — an optimization, not a contract.
+    */
+  def exactNgramDecontaminateBloom(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L,
+      fpp: Double = 0.01
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2 tokens, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    implicit val spark: org.apache.spark.sql.SparkSession = corpus.sparkSession
+    val benchGrams = bench
+      .filter(col(textCol).isNotNull)
+      .select(explode(spanFingerprints(tokens(col(textCol)), n)).as("span"))
+      .distinct()
+    // driver-built sketch: one pass over the SMALL side; expectedNumItems
+    // from a count job on the same slim distinct (cheap, bench-side only)
+    val hashed = benchGrams.select(xxhash64(col("span")).as("h"))
+    val expected = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("h", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val bloomDigest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(bytes)
+      .map("%02x".format(_))
+      .mkString
+    def mightContain(value: Column): Column =
+      graft.expressions.Registration.parameterized(
+        "graft_bloom_might",
+        digestSource = s"bloom:$bloomDigest",
+        builder = es =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(bytes, org.apache.spark.sql.types.BinaryType),
+            es.head
+          ),
+        xxhash64(value)
+      )
+    val base = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), spanFingerprints(tokens(col(textCol)), n).as("spans"))
+    val hits = base
+      .select(col(idCol), explode(col("spans")).as("span"))
+      .filter(mightContain(col("span")))
+      .join(benchGrams, Seq("span"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_hit_spans"),
+        count_distinct(col("span")).as("n_grams_hit")
+      )
+      .filter(col("n_hit_spans") >= minHits)
+    base
+      .select(col(idCol), size(col("spans")).cast("long").as("n_spans"))
+      .join(hits, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("n_hit_spans"),
+        col("n_grams_hit"),
+        (col("n_hit_spans").cast("double") / col("n_spans").cast("double")).as("hit_frac")
+      )
+  }
+
+  /** Plain-text `n`-token windows (the un-hashed twin of
+    * [[spanFingerprints]]) — for operators whose OUTPUT is the gram
+    * itself, not a dedup key. Same [[graft.functions.Functions.bindOnce]]
+    * binding for the same O(doc²) reason.
+    */
+  private def gramTexts(toks: Column, n: Int): Column =
+    graft.functions.Functions.bindOnce(toks) { ts =>
+      when(
+        size(ts) >= n,
+        transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))
+        )
+      ).otherwise(array().cast("array<string>"))
+    }
+
+  /** Frequent n-gram mining — the boilerplate DETECTOR that pairs with
+    * the span-dedup CLEANERS (x12/x13): surface the corpus's top-`topK`
+    * cross-document repeated `n`-token phrases ("click here to
+    * subscribe", license headers, scraper chrome) with exact counts, so
+    * a removal rule can be written against evidence instead of guessed.
+    * This is how C4's famous boilerplate rules were found (Raffel et
+    * al. 2020 §2.2 curate by inspecting frequent spans) — the miner is
+    * the first pass a new crawl gets.
+    *
+    * Output: (gram, n_docs, n_occurrences) for grams appearing in at
+    * least `minDocs` DISTINCT documents, ordered by (n_docs DESC,
+    * n_occurrences DESC, gram) — the gram tiebreak makes the top-K cut
+    * total, so the result is deterministic and engine-reproducible.
+    *
+    * Scale shape: gram rows ride ONE shuffle into a combiner-friendly
+    * aggregate — map-side partial aggregation collapses each
+    * partition's repeats before the exchange, so the shuffle carries
+    * per-partition-distinct grams, not the raw window stream; the
+    * `minDocs` filter then drops the (overwhelmingly unique) tail
+    * before the top-K, which executes as TakeOrderedAndProject (per-
+    * partition bounded heaps, no global sort). Document text never
+    * shuffles. At 100 TB the approximate alternative is a count-min
+    * sketch of gram hashes; this exact form is affordable because the
+    * shuffle rows are slim (≤ n tokens each) and combiner-collapsed.
+    */
+  def frequentNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Long = 2L,
+      topK: Int = 100
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would emit every window), got $minDocs")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(gramTexts(tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(
+        count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences")
+      )
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+  }
 }

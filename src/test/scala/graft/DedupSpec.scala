@@ -457,6 +457,59 @@ class DedupSpec extends SparkSpec {
     assert(TextOps.exactNgramDecontaminate(corpus, shortBench, "doc_id", "text", n = 3).count() == 0L)
   }
 
+  test("exactNgramDecontaminateBloom ≡ exactNgramDecontaminate (the sketch is result-invisible)") {
+    import graft.text.TextOps
+    // the x17 carrier's split on the REAL corpus: the strongest
+    // equivalence surface we have (hundreds of docs, planted near-dups
+    // giving genuine 13-gram leakage)
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val exact = TextOps
+      .exactNgramDecontaminate(corpus, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty) // the comparison must compare something
+    for (fpp <- Seq(0.01, 0.5)) { // a near-useless sketch changes nothing
+      val bloomed = TextOps
+        .exactNgramDecontaminateBloom(corpus, bench, "doc_id", "text", n = 13, fpp = fpp)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(bloomed == exact, s"fpp=$fpp diverged")
+    }
+    // and the gate is really in the plan: the codegen'd
+    // BloomFilterMightContain predicate sits on the corpus-span stream
+    val plan = TextOps
+      .exactNgramDecontaminateBloom(corpus, bench, "doc_id", "text", n = 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("frequentNgrams: exact counts, minDocs bar, total-order top-K cut") {
+    import graft.text.TextOps
+    val corpus = Seq(
+      (1L, "a b c d"), // "a b c", "b c d"
+      (2L, "a b c x"), // "a b c", "b c x"
+      (3L, "a b c d"), // "a b c", "b c d"
+      (5L, "m n o z"), // "m n o" ties (n_docs, n_occ) with "b c d" -> gram tiebreak
+      (6L, "m n o w"),
+      (7L, "k k k k k"), // "k k k" x3 occurrences but ONE doc -> minDocs drops it
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .frequentNgrams(corpus, "doc_id", "text", n = 3, minDocs = 2L, topK = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 3L, 3L), ("b c d", 2L, 2L), ("m n o", 2L, 2L)))
+    // topK truncates AFTER the deterministic order
+    val top1 = TextOps
+      .frequentNgrams(corpus, "doc_id", "text", n = 3, minDocs = 2L, topK = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top1 == Seq(("a b c", 3L, 3L)))
+    // the top-K executes as bounded per-partition heaps, not a global sort
+    val plan = TextOps
+      .frequentNgrams(corpus, "doc_id", "text", n = 3, minDocs = 2L, topK = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("redactPii scrubs emails, urls and long digit runs; leaves prose alone") {
     val out = Seq(
       "contact me at jane.doe+x@corp.example.org or via https://Example.COM/a?b=1 and call 41555501234",

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.io.{LatestUpsert, Tables}
+
+/** The incremental latest-value sink (SURVEY S5 at lake scale): merge
+  * semantics, replay/order idempotence, and the two pruning claims —
+  * the existing-table READ plans only touched bucket directories, and
+  * the REWRITE leaves untouched bucket directories physically alone.
+  */
+class LatestUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events: DataFrame =
+    Tables
+      .events(spark, sf0001)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+
+  private def oneShotLatest(ev: DataFrame): Set[Row5] =
+    graft.ops.Relational
+      .latestPerKey(ev, Seq("user_id"), "ts_us", "event_id")
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .as[Row5]
+      .collect()
+      .toSet
+
+  private type Row5 = (Long, Long, Long, String, Double)
+
+  private def readSet(root: String): Set[Row5] =
+    LatestUpsert
+      .read(spark, root)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .as[Row5]
+      .collect()
+      .toSet
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("latestupsert").toString + "/t"
+
+  test("seed + two merges ≡ one-shot latest-per-key over all events") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1))
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2))
+    assert(readSet(root) == oneShotLatest(ev))
+  }
+
+  test("merge is replay-idempotent and batch-order-invariant") {
+    val ev = events
+    val (r1, r2) = (freshRoot(), freshRoot())
+    for (r <- Seq(r1, r2))
+      LatestUpsert.init(
+        spark, r, ev.filter($"event_id" % 3 === 0),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    val (b1, b2) = (ev.filter($"event_id" % 3 === 1), ev.filter($"event_id" % 3 === 2))
+    // r1: 1 then 2, then REPLAY 2; r2: 2 then 1
+    LatestUpsert.upsert(spark, r1, b1)
+    LatestUpsert.upsert(spark, r1, b2)
+    val afterBoth = readSet(r1)
+    LatestUpsert.upsert(spark, r1, b2) // replay: max is idempotent
+    assert(readSet(r1) == afterBoth)
+    LatestUpsert.upsert(spark, r2, b2)
+    LatestUpsert.upsert(spark, r2, b1)
+    assert(readSet(r2) == afterBoth)
+  }
+
+  test("merge READ prunes to touched buckets; REWRITE leaves other dirs untouched") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev,
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    val allBuckets = fileScans(spark.read.parquet(s"$root/latest"))
+      .head.selectedPartitions.partitionCount
+    assert(allBuckets > 4, s"seed fills only $allBuckets buckets — pruning unprovable")
+
+    // a one-user batch touches exactly one bucket
+    val oneUser = ev.orderBy("user_id").limit(1).select("user_id").as[Long].head()
+    val batch = ev.filter($"user_id" === oneUser)
+    val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
+    assert(touched.size == 1)
+    val scans = fileScans(merged).filter(_.metadata.getOrElse("Location", "").contains("latestupsert"))
+    assert(scans.nonEmpty, "no scan over the latest table found")
+    scans.foreach { s =>
+      assert(
+        s.metadata.getOrElse("PartitionFilters", "").contains("kb"),
+        s"no kb partition filter: ${s.metadata.getOrElse("PartitionFilters", "")}")
+      assert(
+        s.selectedPartitions.partitionCount <= 1,
+        s"merge read ${s.selectedPartitions.partitionCount} buckets for a 1-bucket batch")
+    }
+
+    // physical stability: files OUTSIDE the touched bucket dir are the
+    // same paths with the same sizes after the rewrite
+    def snapshot(): Map[String, Long] = {
+      val base = Paths.get(s"$root/latest")
+      val walk = Files.walk(base)
+      try walk
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toArray
+        .map { case p: Path => p.toString -> Files.size(p) }
+        .toMap
+      finally walk.close()
+    }
+    val touchedDir = s"kb=${touched.head}"
+    val before = snapshot().filterNot(_._1.contains(touchedDir))
+    LatestUpsert.upsert(spark, root, batch)
+    val after = snapshot().filterNot(_._1.contains(touchedDir))
+    assert(after == before, "dynamic overwrite rewrote untouched bucket directories")
+    // and the table still answers correctly
+    assert(readSet(root) == oneShotLatest(ev))
+  }
+
+  test("streaming foreachBatch maintenance ≡ sequential upserts") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    val src = Files.createTempDirectory("latestsrc").toString
+    val chk = Files.createTempDirectory("latestchk").toString
+    ev.filter($"event_id" % 3 === 1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val q = LatestUpsert.start(stream, root, chk)
+    q.processAllAvailable()
+    ev.filter($"event_id" % 3 === 2).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(readSet(root) == oneShotLatest(ev))
+  }
+}
