@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
+import graft.io.{LatestUpsert, Tables}
 import graft.similarity.Similarity
 import graft.streaming.{DedupIngest, SemDedupIngest}
 
@@ -52,10 +52,10 @@ object IngestBench {
       s""""rows_per_sec_steady":$rps,"batch_sec":${times.map(t => r4(t).toString).mkString("[", ",", "]")}}"""
   }
 
-  /** Run both gates over `sfDir` split seed + nBatches frames; returns
-    * the two gate JSON fragments.
+  /** Run all three gates over `sfDir` split seed + nBatches frames;
+    * returns the three gate JSON fragments (text, semantic, latest).
     */
-  def runRegime(spark: SparkSession, sfDir: String, nBatches: Int): (String, String) = {
+  def runRegime(spark: SparkSession, sfDir: String, nBatches: Int): (String, String, String) = {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val mod = nBatches + 1
@@ -104,8 +104,39 @@ object IngestBench {
     semQ.stop()
     val semKept = spark.read.parquet(semRoot).count() - embSeed.count()
 
+    // ---- latest-value upsert gate (S5 incremental): events split the
+    // same way; each frame merges into the bucket-partitioned latest
+    // table with touched-dir-only reads and rewrites. "accepted" here
+    // is the FINAL key count (one row per key — the table's contract).
+    val ev = Tables
+      .events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts_us", $"event_type", $"value")
+    val evSeed = ev.filter($"event_id" % mod === 0)
+    val evFrames: IndexedSeq[Seq[(Long, Long, Long, String, Double)]] = (1 to nBatches).map { b =>
+      ev.filter($"event_id" % mod === b)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .toSeq
+    }
+    val upRoot = Files.createTempDirectory("ingestbench_latest").toString + "/t"
+    LatestUpsert.init(spark, upRoot, evSeed,
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 64)
+    val upIn = MemoryStream[(Long, Long, Long, String, Double)]
+    val upQ = LatestUpsert.start(
+      upIn.toDF.toDF("user_id", "event_id", "ts_us", "event_type", "value"),
+      upRoot, s"$upRoot-ckpt")
+    val upTimes = evFrames.map { rows =>
+      val t0 = System.nanoTime()
+      upIn.addData(rows)
+      upQ.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    upQ.stop()
+    val upKeys = LatestUpsert.read(spark, upRoot).count()
+
     (gateJson(textTimes, docFrames.map(_.size), textKept),
-      gateJson(semTimes, embFrames.map(_.size), semKept))
+      gateJson(semTimes, embFrames.map(_.size), semKept),
+      gateJson(upTimes, evFrames.map(_.size), upKeys))
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,13 +152,13 @@ object IngestBench {
     if (!Files.exists(sentinel) || Files.readString(sentinel) != ScaleBench.stamp(factor, sfDir))
       ScaleBench.synthesize(spark, sfDir, largeDir, factor)
 
-    val (textSmall, semSmall) = runRegime(spark, sfDir, nBatches)
-    val (textLarge, semLarge) = runRegime(spark, largeDir, nBatches)
+    val (textSmall, semSmall, upSmall) = runRegime(spark, sfDir, nBatches)
+    val (textLarge, semLarge, upLarge) = runRegime(spark, largeDir, nBatches)
 
     val json =
       s"""{"metric":"ingest_gate_throughput","batches":$nBatches,"sf":"$sfDir","large_factor":$factor,""" +
-        s""""small":{"text_gate":$textSmall,"sem_gate":$semSmall},""" +
-        s""""large":{"text_gate":$textLarge,"sem_gate":$semLarge}}"""
+        s""""small":{"text_gate":$textSmall,"sem_gate":$semSmall,"latest_gate":$upSmall},""" +
+        s""""large":{"text_gate":$textLarge,"sem_gate":$semLarge,"latest_gate":$upLarge}}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("INGESTBENCH.json"), json + "\n")
     spark.stop()

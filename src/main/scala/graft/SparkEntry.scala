@@ -99,6 +99,9 @@ object SparkEntry {
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
     "s11_classify"       -> (Queries.s11Classify _),
+    "h1_health"          -> (Queries.h1Health _),
+    "s8_chain_flatten"   -> (Queries.s8ChainFlatten _),
+    "j7_chain_snapshots" -> (Queries.j7ChainSnapshots _),
     "f1_normalize"       -> (Queries.f1Normalize _),
     "f2_symbol_munge"    -> (Queries.f2SymbolMunge _),
     "f6_occ_roundtrip"   -> (Queries.f6OccRoundtrip _),
@@ -201,6 +204,7 @@ private[graft] object QueryParams {
   val M1FixturePath: String = s"$FixturesDir/m1_expected.parquet"
   val M2FixturePath: String = s"$FixturesDir/m2_expected.parquet"
   val S11FixturePath: String = s"$FixturesDir/s11_expected.parquet"
+  val H1FixturePath: String = s"$FixturesDir/h1_expected.parquet"
 
   /** Scratch root for queries that materialize an index as part of
     * their flow (d9/d9b): keyed by the sf dir so verify (sf0.01) and
@@ -1598,6 +1602,201 @@ object Queries {
       )
   }
 
+  /** S8 — the nested option-chain REST payload synthesized
+    * DETERMINISTICALLY from part (roots → expirations → strikes →
+    * {call, put}, some sides missing — the reference shape,
+    * `market/option_chains.py:32-141`), serialized to REAL JSON, then
+    * flattened through the REAL parse path
+    * ([[graft.io.OptionChains.flatten]]: `from_json` with the declared
+    * schema → two explodes → call/put `stack` unpivot → null-side
+    * drop). Because the synthesis is a pure per-partkey function, the
+    * flattened row SET is a pure function of part — so the DuckDB
+    * oracle restates the whole contract relationally from part,
+    * verifying the JSON round-trip + flatten end-to-end (row-set
+    * equality; the compare sorts rows, so array order inside the JSON
+    * is immaterial).
+    */
+  def s8ChainFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .part(spark, dir)
+      .select(
+        concat(lit("U"), expr("p_partkey div 10")).as("underlying"),
+        $"p_partkey".as("pk"),
+        (round($"p_retailprice", 0) + pmod($"p_partkey", lit(4)) * 5)
+          .cast("decimal(12,3)").as("strike"),
+        pmod($"p_partkey", lit(2)).cast("int").as("expi")
+      )
+    // strike node: each side present only when its mod-rule fires (the
+    // missing-side drop is part of the contract under test)
+    val strikes = base.select(
+      $"underlying", $"expi",
+      struct(
+        $"strike".cast("string").as("strike_price"),
+        when(pmod($"pk", lit(3)) =!= 0, concat(lit("C"), $"pk")).as("call"),
+        when(pmod($"pk", lit(2)) =!= 0, concat(lit("P"), $"pk")).as("put")
+      ).as("s")
+    )
+    val expirations = strikes
+      .groupBy($"underlying", $"expi")
+      .agg(collect_list($"s").as("strikes"))
+      .select(
+        $"underlying",
+        struct(
+          date_format(date_add(lit(java.sql.Date.valueOf("2026-03-20")), $"expi" * 28), "yyyy-MM-dd")
+            .as("expiration_date"),
+          ($"expi" * 28 + 10).cast("int").as("days_to_expiration"),
+          lit("PM").as("settlement_type"),
+          $"strikes"
+        ).as("e")
+      )
+    val chains = expirations
+      .groupBy($"underlying")
+      .agg(collect_list($"e").as("expirations"))
+      .select(to_json(struct($"underlying", $"underlying".as("root"), $"expirations")).as("json"))
+    graft.io.OptionChains
+      .flatten(chains)
+      // DECIMAL and DATE off the compare surface (the r2 j2 lesson:
+      // format-ambiguous types hash differently even when equal)
+      .withColumn("strike", $"strike".cast("double"))
+      .withColumn("expiration_date", $"expiration_date".cast("string"))
+      .orderBy("underlying", "symbol")
+  }
+
+  /** The j7 chains table: the nested TradeChain JSON (chain →
+    * lite-nodes → market-state-snapshot → market-datas — the reference
+    * `accounts/models.py:995-1147` tree) synthesized DETERMINISTICALLY
+    * from orders × lineitem: one chain per customer, one node per
+    * order (occurred-at from the order date), one market-data per
+    * lineitem with exact-double greeks, node net greeks a pure
+    * orderkey function. Serialized to REAL JSON so
+    * [[graft.io.TradeChains.snapshots]] exercises the REAL declared-
+    * schema `from_json` parse (missing fields → null, the permissive
+    * reference contract).
+    */
+  def j7Chains(spark: SparkSession, dir: String): DataFrame = {
+    val md = Tables
+      .lineitem(spark, dir)
+      .select(
+        $"l_orderkey",
+        struct(
+          concat(lit("S"), $"l_linenumber").as("symbol"),
+          ($"l_linenumber".cast("double") / 10).cast("string").as("delta"),
+          (-$"l_quantity".cast("double") / 100).cast("string").as("theta")
+        ).as("md")
+      )
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"md").as("mds"))
+    val nodes = Tables
+      .orders(spark, dir)
+      .join(md, $"o_orderkey" === $"l_orderkey")
+      .select(
+        $"o_custkey",
+        struct(
+          lit("ORDER").as("node-type"),
+          concat(lit("N"), $"o_orderkey").as("id"),
+          date_format($"o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'").as("occurred-at"),
+          struct(
+            $"mds".as("market-datas"),
+            (pmod($"o_orderkey", lit(100)).cast("double") / 10).cast("string").as("total-delta"),
+            (-(pmod($"o_orderkey", lit(50)) + 1).cast("double") / 10).cast("string").as("total-theta")
+          ).as("market-state-snapshot")
+        ).as("node")
+      )
+      .groupBy($"o_custkey")
+      .agg(collect_list($"node").as("nodes"))
+    nodes.select(
+      to_json(
+        struct(
+          concat(lit("CH"), $"o_custkey").as("id"),
+          concat(lit("U"), $"o_custkey").as("underlying-symbol"),
+          $"nodes".as("lite-nodes")
+        )
+      ).as("json")
+    )
+  }
+
+  /** J7 — the snapshot-correlation join through the REAL JSON parse:
+    * per-symbol execution greeks equi-joined with the node's NET greeks
+    * on node identity ([[graft.io.TradeChains.snapshots]], reference
+    * `accounts/orchestrator.py:155-234`). The synthesis is a pure
+    * function of orders × lineitem, so the DuckDB oracle restates the
+    * whole flatten + join relationally — JSON round-trip verified
+    * end-to-end (doubles survive exactly: shortest-repr serialization
+    * both ways). Timestamp leaves the compare surface as epoch micros
+    * (the ts_us discipline).
+    */
+  def j7ChainSnapshots(spark: SparkSession, dir: String): DataFrame =
+    graft.io.TradeChains
+      .snapshots(j7Chains(spark, dir))
+      .withColumn("occurred_us", unix_micros($"occurred_at"))
+      .drop("occurred_at")
+      .orderBy("chain_id", "node_id", "symbol")
+
+  /** The h1 legs table: [[s11Legs]] plus the metrics enrichment health
+    * reads, both pure per-leg functions of the partkey (parsed back out
+    * of the leg symbol so the two syntheses cannot drift):
+    *   - `delta`: (pk mod 17 − 8)/10 ∈ {−0.8 … 0.8 step 0.1} for
+    *     options, sign(qty)·1.0 for equities (delta-1 instruments);
+    *   - `days_to_expiration`: pk·7 mod 45 ∈ {0 … 44} for options
+    *     (crosses BOTH the ≤7 critical and ≤14 warning bars), null for
+    *     equities.
+    * Per-leg determinism + complete partkey blocks of 10 at every sf
+    * (the s11 fixture argument) make the sf0.1-generated alert fixture
+    * valid at every smaller scale.
+    */
+  def h1Legs(spark: SparkSession, dir: String): DataFrame = {
+    val pk = substring($"symbol", 2, 18).cast("long")
+    s11Legs(spark, dir)
+      .withColumn(
+        "delta",
+        when($"instrument_type" === "Equity", signum($"signed_quantity") * lit(1.0))
+          .otherwise((pmod(pk, lit(17)) - lit(8)).cast("double") / lit(10.0))
+      )
+      .withColumn(
+        "days_to_expiration",
+        when($"instrument_type" === "Equity", lit(null).cast("int"))
+          .otherwise(pmod(pk * 7, lit(45)).cast("int"))
+      )
+  }
+
+  /** §2.11 health — the strategy health monitor CHECKED alert-by-alert
+    * against the committed expectation fixture (GenH1Fixture — the s11
+    * technique one level up: classification AND the health rules are a
+    * pure deterministic function of the enriched leg group, so the
+    * expected alert set is a fixed table keyed by (underlying,
+    * legs_key, level, message)). The live query classifies + health-
+    * checks per underlying ([[graft.strategies.Health.alertsDf]]),
+    * matches each alert against the fixture, and aggregates per
+    * (underlying, level); the DuckDB oracle recomputes the aggregate
+    * from the fixture alone, scale-filtered by joining part — any
+    * divergence (missing alert, extra alert, drifted message text)
+    * breaks n/n_match or the group keys.
+    */
+  def h1Health(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.read
+      .parquet(QueryParams.H1FixturePath)
+      .select(
+        $"underlying".as("f_underlying"),
+        $"legs_key".as("f_legs_key"),
+        $"level".as("f_level"),
+        $"message".as("f_message")
+      )
+    graft.strategies.Health
+      .alertsDf(spark, h1Legs(spark, dir))
+      .join(
+        broadcast(fixture),
+        $"underlying" === $"f_underlying" && $"legs_key" === $"f_legs_key" &&
+          $"level" === $"f_level" && $"message" === $"f_message",
+        "left"
+      )
+      .groupBy($"underlying", $"level")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"f_underlying").as("n_match")
+      )
+      .orderBy("underlying", "level")
+  }
+
   /** §2.11 — greedy strategy classification, CHECKED instance-by-instance
     * against the committed classification-expectation fixture
     * (GenS11Fixture): each live strategy instance is identified by its
@@ -2695,6 +2894,67 @@ object Oracles {
          |  ON p.underlying = f.underlying
          |GROUP BY f.underlying, f.strategy_type
          |ORDER BY f.underlying, f.strategy_type""".stripMargin,
+    // H1 — the s11 fixture technique applied to the health monitor:
+    // the oracle recomputes the per-(underlying, level) alert counts
+    // from the committed expectation fixture alone, scale-filtered by
+    // joining part; the live query health-checks per underlying and
+    // counts per-alert fixture matches, so a missing/extra/drifted
+    // alert breaks n, n_match, or the group keys.
+    // S8 — the flatten contract restated relationally from part: the
+    // Spark side builds REAL nested JSON and runs from_json + explodes
+    // + stack; the oracle derives the same row set directly (the
+    // synthesis is a pure per-partkey function). Row-set equality; the
+    // missing-side drop is the WHERE symbol IS NOT NULL.
+    "s8_chain_flatten" ->
+      """WITH base AS (
+        |  SELECT 'U' || CAST(p_partkey // 10 AS VARCHAR) AS underlying,
+        |    p_partkey AS pk,
+        |    round(p_retailprice, 0) + (p_partkey % 4) * 5 AS strike,
+        |    CAST(p_partkey % 2 AS INTEGER) AS expi
+        |  FROM part),
+        |sides AS (
+        |  SELECT underlying, underlying AS root,
+        |    CAST(CAST(DATE '2026-03-20' + expi * 28 AS DATE) AS VARCHAR) AS expiration_date,
+        |    CAST(expi * 28 + 10 AS INTEGER) AS days_to_expiration,
+        |    'PM' AS settlement_type,
+        |    CAST(strike AS DOUBLE) AS strike,
+        |    'C' AS option_type,
+        |    CASE WHEN pk % 3 <> 0 THEN 'C' || CAST(pk AS VARCHAR) END AS symbol
+        |  FROM base
+        |  UNION ALL
+        |  SELECT underlying, underlying,
+        |    CAST(CAST(DATE '2026-03-20' + expi * 28 AS DATE) AS VARCHAR),
+        |    CAST(expi * 28 + 10 AS INTEGER), 'PM', CAST(strike AS DOUBLE),
+        |    'P', CASE WHEN pk % 2 <> 0 THEN 'P' || CAST(pk AS VARCHAR) END
+        |  FROM base)
+        |SELECT * FROM sides WHERE symbol IS NOT NULL
+        |ORDER BY underlying, symbol""".stripMargin,
+    // J7 — the snapshot-correlation contract restated relationally
+    // from orders × lineitem (the synthesis is a pure function of
+    // both); the Spark side does the REAL from_json + explodes + the
+    // node-identity equi-join. All doubles are exact (shortest-repr
+    // JSON round-trip, identical arithmetic both engines); occurred_us
+    // is the order date at midnight UTC in epoch micros.
+    "j7_chain_snapshots" ->
+      """SELECT 'CH' || CAST(o.o_custkey AS VARCHAR) AS chain_id,
+        |  'N' || CAST(o.o_orderkey AS VARCHAR) AS node_id,
+        |  'S' || CAST(l.l_linenumber AS VARCHAR) AS symbol,
+        |  CAST(l.l_linenumber AS DOUBLE) / 10 AS delta,
+        |  -CAST(l.l_quantity AS DOUBLE) / 100 AS theta,
+        |  CAST(o.o_orderkey % 100 AS DOUBLE) / 10 AS net_delta,
+        |  -CAST(o.o_orderkey % 50 + 1 AS DOUBLE) / 10 AS net_theta,
+        |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS occurred_us
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |ORDER BY chain_id, node_id, symbol""".stripMargin,
+    "h1_health" ->
+      s"""SELECT f.underlying, f.level,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_match
+         |FROM read_parquet('${QueryParams.H1FixturePath}') f
+         |JOIN (SELECT DISTINCT 'U' || CAST(p_partkey // 10 AS VARCHAR) AS underlying FROM part) p
+         |  ON p.underlying = f.underlying
+         |GROUP BY f.underlying, f.level
+         |ORDER BY f.underlying, f.level""".stripMargin,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
