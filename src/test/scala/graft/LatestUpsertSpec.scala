@@ -117,6 +117,26 @@ class LatestUpsertSpec extends SparkSpec {
     assert(readSet(root) == oneShotLatest(ev))
   }
 
+  test("property: ANY seeded random partition into batches, in ANY order, converges to one-shot latest") {
+    val ev = events.localCheckpoint()
+    val expected = oneShotLatest(ev)
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4) // 2..5 batches (+ seed slice)
+      // seeded random batch assignment per event id, as a column rule so
+      // the split is reproducible inside Spark
+      val assign = pmod(xxhash64($"event_id" + lit(seed.toLong)), lit((k + 1).toLong)).cast("int")
+      val tagged = ev.withColumn("b", assign)
+      val root = freshRoot()
+      LatestUpsert.init(
+        spark, root, tagged.filter($"b" === 0).drop("b"),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+      val order = rnd.shuffle((1 to k).toList)
+      order.foreach(b => LatestUpsert.upsert(spark, root, tagged.filter($"b" === b).drop("b")))
+      assert(readSet(root) == expected, s"seed=$seed k=$k order=$order diverged from one-shot latest")
+    }
+  }
+
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
     val ev = events
     val root = freshRoot()
