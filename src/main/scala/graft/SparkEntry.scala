@@ -71,6 +71,7 @@ object SparkEntry {
     "x17_exact_decontaminate" -> (Queries.x17ExactDecontaminate _),
     "x18_bloom_decontaminate" -> (Queries.x18BloomDecontaminate _),
     "x19_frequent_ngrams" -> (Queries.x19FrequentNgrams _),
+    "x21_pipeline_sweep" -> (Queries.x21PipelineSweep _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
     "x14_pack_sequences" -> (Queries.x14PackSequences _),
@@ -900,6 +901,76 @@ object Queries {
         minDocs = QueryParams.X19MinDocs,
         topK = QueryParams.X19TopK
       )
+
+  /** x21 — the FULL cleaning pipeline as ONE oracled query: the
+    * PipelineE2ESpec user journey (redact → Gopher quality filter →
+    * exact dedup → near-dup cluster resolution → benchmark
+    * decontamination → dup-span flag → span-level strip → token-window
+    * chunking) composed end-to-end over the real corpus, hash-compared
+    * against a single DuckDB statement that restates every stage over
+    * the PREVIOUS stage's relation. Each stage is individually
+    * hash-green (x5/x2/d1/d2+d8/d7/x12/x13/x6); what only THIS query
+    * verifies is the COUPLING — that each operator consumes exactly
+    * what the previous one produced (filtered ids, rebuilt text,
+    * re-tokenization idempotence), the class of bug no single-stage
+    * oracle can see. Constants match the E2E spec: LSH defaults at
+    * jaccard ≥ 0.3, benchmark slice doc_id%101, span width 13 with
+    * dup-span bar 0.5, 40-token chunks with 10 overlap.
+    */
+  def x21PipelineSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docsAll = Tables.documents(spark, dir)
+    val docs = docsAll.filter($"text".isNotNull)
+    // Stage boundaries are localCheckpoint'ed: every stage feeds TWO+
+    // consumers (its filter computation and the carry-forward join), and
+    // without the checkpoint each consumer re-executes the ENTIRE
+    // upstream pipeline — measured 40 s vs ~8 s at sf0.1. Blocks are
+    // bounded by the (shrinking) corpus and released by Bench's
+    // inter-query sweep. At 100 TB the same boundaries are parquet
+    // materializations between pipeline jobs.
+    // 1. redact (projection; a no-op on PII-free rows by construction)
+    val redacted = docs.select($"doc_id", TextOps.redactPii($"text").as("text")).localCheckpoint()
+    // 2. Gopher quality gate (defaults)
+    val kept = redacted.join(
+      TextOps.gopherQuality(redacted, "doc_id", "text").filter($"keep_doc").select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    // 3. exact dedup: drop non-keeper group members
+    val exactDeduped = kept.join(
+      Dedup.exactDuplicates(kept, "doc_id", "text")
+        .filter($"doc_id" =!= $"keeper_id").select("doc_id"),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    // 4. near-dup cluster resolution (components keeper, min id)
+    val nearDeduped = Dedup.keepersOnly(
+      exactDeduped, "doc_id",
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(exactDeduped, "doc_id", "text"), "id_a", "id_b")).localCheckpoint()
+    // 5. decontaminate vs the raw benchmark slice
+    val clean = Dedup.decontaminate(
+      nearDeduped,
+      docsAll.filter(pmod($"doc_id", lit(101)) === 0).select("doc_id", "text"),
+      "doc_id", "text").localCheckpoint()
+    // 6a. dup-span coverage flag; 6b. strip repeated spans, drop emptied docs
+    val unflagged = clean.join(
+      TextOps.dupSpanStats(clean, "doc_id", "text", n = QueryParams.X12SpanWidth, maxDupSpanFrac = 0.5)
+        .filter($"keep_doc").select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    val despanned = unflagged
+      .drop("text")
+      .join(
+        TextOps.dedupSpansExact(unflagged, "doc_id", "text", n = QueryParams.X12SpanWidth)
+          .select($"doc_id", $"clean_text".as("text")),
+        Seq("doc_id"))
+      .filter(length($"text") > 0)
+    // 7. chunk to 40-token windows, 10 overlap
+    despanned
+      .select($"doc_id", posexplode(TextOps.chunkTokens($"text", 40, 10)).as(Seq("chunk_idx", "chunk_text")))
+      .select(
+        $"doc_id",
+        $"chunk_idx",
+        $"chunk_text",
+        size(split($"chunk_text", " ")).cast("long").as("n_tokens")
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
 
   /** x12 — duplicate-span coverage (the Gopher/RefinedWeb dup-n-gram
     * repetition rule at token granularity; see
@@ -2199,6 +2270,155 @@ object Oracles {
        |FROM stats s JOIN hits h USING (doc_id)
        |WHERE h.n_hit_spans >= 1
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** x21 — the whole cleaning pipeline in ONE statement: every stage's
+    * committed oracle machinery (x5 redact chain, x2 quality rule, d1
+    * fingerprint keeper, d2 banding + d8 recursive closure, d7
+    * bipartite decontamination, x12 span flag, x13 first-occurrence
+    * strip, x6 chunking) re-stated over the PREVIOUS stage's relation
+    * instead of `documents`. The minhash signature machinery is
+    * instantiated twice (stage-4 self-pairs over the exact-deduped
+    * corpus; stage-5 benchmark side) with the same 16 xor seeds /
+    * 8 bands the engine uses.
+    */
+  private val x21Sql: String = {
+    val n = QueryParams.X12SpanWidth
+    val sigExprs = graft.dedup.Dedup
+      .xorSeeds(16)
+      .map(s => s"list_min(list_transform(hs, h -> xor(h, $s)))")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |raw AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |        '(?i)\\bhttps?://[^\\s]*[^\\s).,;:!?]', '<URL>', 'g'),
+       |      '\\b\\d{7,}\\b', '<NUM>', 'g') AS text
+       |  FROM raw),
+       |qt AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM red),
+       |qb AS (
+       |  SELECT doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    round((length(norm) - (len(toks) - 1))::DOUBLE / len(toks), 6) AS mean_word_len,
+       |    round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS dup_word_frac
+       |  FROM qt WHERE len(toks) > 0),
+       |qbg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+       |        FROM qt, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+       |qbgc AS (SELECT doc_id, bigram, count(*) AS c FROM qbg GROUP BY 1, 2),
+       |qtopb AS (SELECT doc_id, max(c) AS max_c FROM qbgc GROUP BY 1),
+       |qkeep AS (
+       |  SELECT qb.doc_id FROM qb LEFT JOIN qtopb USING (doc_id)
+       |  WHERE n_words >= 20 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND dup_word_frac < 0.6
+       |    AND round(coalesce(max_c, 0) * 2.0 / n_words, 6) < 0.2),
+       |kept AS (SELECT qt.* FROM qt JOIN qkeep USING (doc_id)),
+       |ekeep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(norm)) AS k FROM kept)
+       |  WHERE doc_id = k),
+       |ex AS (SELECT kept.* FROM kept JOIN ekeep USING (doc_id)),
+       |m4base AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM ex),
+       |m4filt AS (SELECT * FROM m4base WHERE len(sh) > 0),
+       |m4hashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM m4filt),
+       |m4sig AS (SELECT id, $sigExprs AS sig FROM m4hashed),
+       |m4banded AS (
+       |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
+       |  FROM m4sig, (SELECT unnest(range(0, 8)) AS band) b),
+       |m4cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM m4banded a JOIN m4banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |m4pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+       |  FROM m4cand c JOIN m4filt sa ON sa.id = c.id_a JOIN m4filt sb ON sb.id = c.id_b),
+       |th AS (SELECT id_a, id_b FROM m4pairs WHERE jaccard >= 0.3),
+       |nodes AS (SELECT id_a AS id FROM th UNION SELECT id_b FROM th),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM th UNION SELECT id_b, id_a FROM th),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |nd AS (SELECT ex.* FROM ex WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+       |bbase AS (
+       |  SELECT doc_id AS id,
+       |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |        FROM documents WHERE doc_id % 101 = 0)),
+       |bfilt AS (SELECT * FROM bbase WHERE len(sh) > 0),
+       |bhashed AS (SELECT id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM bfilt),
+       |bsig AS (SELECT id, $sigExprs AS sig FROM bhashed),
+       |bbanded AS (
+       |  SELECT id, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS band_key
+       |  FROM bsig, (SELECT unnest(range(0, 8)) AS band) b),
+       |xcand AS (
+       |  SELECT DISTINCT c.id AS id_a, bm.id AS id_b
+       |  FROM (SELECT m4banded.* FROM m4banded JOIN nd ON nd.doc_id = m4banded.id) c
+       |  JOIN bbanded bm ON c.band = bm.band AND c.band_key = bm.band_key),
+       |xpairs AS (
+       |  SELECT cd.id_a, cd.id_b,
+       |    len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+       |  FROM xcand cd JOIN m4filt sa ON sa.id = cd.id_a JOIN bfilt sb ON sb.id = cd.id_b),
+       |cl AS (
+       |  SELECT nd.* FROM nd
+       |  WHERE doc_id NOT IN (SELECT DISTINCT id_a FROM xpairs WHERE jaccard >= 0.3)),
+       |sp AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_transform(range(1, len(toks) - $n + 2), i -> md5(array_to_string(toks[i:i+${n - 1}], ' ')))
+       |      ELSE []::VARCHAR[] END AS ws
+       |  FROM cl),
+       |expl AS (SELECT doc_id, unnest(ws) AS span FROM sp),
+       |dup AS (SELECT span FROM (SELECT span, count(*) AS c FROM expl GROUP BY span) t WHERE c > 1),
+       |sstats AS (
+       |  SELECT e.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM expl e LEFT JOIN dup d USING (span) GROUP BY e.doc_id),
+       |keep6 AS (
+       |  SELECT sp.doc_id FROM sp LEFT JOIN sstats s USING (doc_id)
+       |  WHERE (CASE WHEN coalesce(s.n_spans, 0) > 0
+       |    THEN CAST(s.n_dup_spans AS DOUBLE) / CAST(s.n_spans AS DOUBLE) ELSE 0.0 END) < 0.5),
+       |uf AS (SELECT sp.doc_id, sp.toks, sp.ws FROM sp JOIN keep6 USING (doc_id)),
+       |occ6 AS (
+       |  SELECT doc_id, u.pos, ws[u.pos] AS span
+       |  FROM uf, (SELECT unnest(range(1, len(ws) + 1)) AS pos) u),
+       |rmv6 AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       |    FROM occ6) t
+       |  WHERE rn > 1),
+       |st6 AS (SELECT doc_id, list(pos ORDER BY pos) AS st FROM rmv6 GROUP BY doc_id),
+       |nz AS (
+       |  SELECT doc_id, coalesce(array_to_string(ct, ' '), '') AS text FROM (
+       |    SELECT w.doc_id,
+       |      list_transform(
+       |        list_filter(range(1, len(w.toks) + 1),
+       |          p -> len(list_filter(coalesce(s.st, []::BIGINT[]), x -> p >= x AND p < x + $n)) = 0),
+       |        p -> w.toks[p]) AS ct
+       |    FROM uf w LEFT JOIN st6 s USING (doc_id))
+       |  WHERE length(coalesce(array_to_string(ct, ' '), '')) > 0),
+       |ct7 AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM nz),
+       |ch AS (
+       |  SELECT doc_id, u.i AS start_i,
+       |    array_to_string(toks[u.i:u.i+39], ' ') AS chunk_text
+       |  FROM ct7, unnest(range(1, greatest(len(toks) - 10, 1) + 1, 30)) AS u(i))
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_i) - 1 AS INTEGER) AS chunk_idx,
+       |  chunk_text,
+       |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
   /** Padded-WMA SQL with [[graft.indicators.Indicators.paddedWmaCol]]'s
@@ -3792,6 +4012,9 @@ object Oracles {
     // x19 — integer-exact counts; (n_docs DESC, n_occurrences DESC,
     // gram) is a TOTAL order (gram is the group key), so the LIMIT cut
     // is deterministic on both engines.
+    // x21 — the composed-pipeline contract (see the x21Sql scaladoc):
+    // stage coupling is the thing under test.
+    "x21_pipeline_sweep" -> x21Sql,
     "x19_frequent_ngrams" -> {
       val n = QueryParams.X19GramWidth
       s"""WITH base AS (
