@@ -75,6 +75,11 @@ object ScaleBench {
     // exchange and the top-K cut stays a bounded-heap TakeOrdered,
     // not a global sort
     "x19_frequent_ngrams",
+    // x21 (round 8): the composed cleaning pipeline — its slope is the
+    // max of its stages' slopes (each stage is its own audited shape;
+    // the composition only shrinks intermediate corpora), so linear
+    // here means the coupling joins add no hidden growth
+    "x21_pipeline_sweep",
     // b1: the as-of-join + stateful backtest slice over events — the
     // user-key shift gives ×factor independent per-key series, so the
     // sort-within-partitions fold should scale with the number of keys

@@ -1798,7 +1798,10 @@ object Queries {
     */
   def j7ChainSnapshots(spark: SparkSession, dir: String): DataFrame =
     graft.io.TradeChains
-      .snapshots(j7Chains(spark, dir))
+      // checkpoint the synthesized JSON: snapshots' per-leg and net
+      // branches both scan the parse, and without it each branch
+      // re-runs the two collect_list groupBys of the synthesis
+      .snapshots(j7Chains(spark, dir).localCheckpoint())
       .withColumn("occurred_us", unix_micros($"occurred_at"))
       .drop("occurred_at")
       .orderBy("chain_id", "node_id", "symbol")
