@@ -67,6 +67,10 @@ object LatestUpsert {
       buckets: Int = 64
   ): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // a zero-row partitioned write leaves NO parquet footers, so the
+    // artifact would be unreadable (schema can't be inferred) — to
+    // start from nothing, seed with the first batch instead
+    require(!seed.isEmpty, "seed must be non-empty; bootstrap with the first batch as the seed")
     import spark.implicits._
     latestPerKey(withBucket(seed, keyCols, buckets), keyCols, orderCols)
       .write

@@ -881,10 +881,14 @@ object TextOps {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     implicit val spark: org.apache.spark.sql.SparkSession = corpus.sparkSession
+    // checkpointed: the slim distinct feeds THREE consumers (the count,
+    // the sketch build, the exact verify join) — without it the bench
+    // side re-shingles once per consumer
     val benchGrams = bench
       .filter(col(textCol).isNotNull)
       .select(explode(spanFingerprints(tokens(col(textCol)), n)).as("span"))
       .distinct()
+      .localCheckpoint()
     // driver-built sketch: one pass over the SMALL side; expectedNumItems
     // from a count job on the same slim distinct (cheap, bench-side only)
     val hashed = benchGrams.select(xxhash64(col("span")).as("h"))

@@ -40,6 +40,15 @@ class LatestUpsertSpec extends SparkSpec {
   private def freshRoot(): String =
     Files.createTempDirectory("latestupsert").toString + "/t"
 
+  test("empty seed is rejected loudly (a zero-row partitioned write has no readable footers)") {
+    val err = intercept[IllegalArgumentException] {
+      LatestUpsert.init(
+        spark, freshRoot(), events.limit(0),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
+    }
+    assert(err.getMessage.contains("bootstrap with the first batch"))
+  }
+
   test("seed + two merges ≡ one-shot latest-per-key over all events") {
     val ev = events
     val root = freshRoot()
