@@ -101,6 +101,7 @@ object SparkEntry {
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
     "s11_classify"       -> (Queries.s11Classify _),
     "h1_health"          -> (Queries.h1Health _),
+    "a5_max_profit_loss" -> (Queries.a5MaxProfitLoss _),
     "s8_chain_flatten"   -> (Queries.s8ChainFlatten _),
     "j7_chain_snapshots" -> (Queries.j7ChainSnapshots _),
     "f1_normalize"       -> (Queries.f1Normalize _),
@@ -206,6 +207,7 @@ private[graft] object QueryParams {
   val M2FixturePath: String = s"$FixturesDir/m2_expected.parquet"
   val S11FixturePath: String = s"$FixturesDir/s11_expected.parquet"
   val H1FixturePath: String = s"$FixturesDir/h1_expected.parquet"
+  val A5FixturePath: String = s"$FixturesDir/a5_expected.parquet"
 
   /** Scratch root for queries that materialize an index as part of
     * their flow (d9/d9b): keyed by the sf dir so verify (sf0.01) and
@@ -1871,6 +1873,154 @@ object Queries {
       .orderBy("underlying", "level")
   }
 
+  /** The a5 legs table: a DEDICATED synthesis (not [[s11Legs]] — its
+    * classifier-stressing mix lands mostly on types OUTSIDE the A5
+    * formula dispatch and would leave the wing math unexercised).
+    * Every field is a pure function of p_partkey, and blocks of 10
+    * consecutive partkeys are complete at every sf (the s11 fixture
+    * argument), so the sf0.1-generated risk fixture is valid at every
+    * smaller scale. Within a block (k = pk mod 10, blk = pk div 10,
+    * strike base B = 100 + 5·(blk mod 7), qty q = 1 + blk mod 3),
+    * expirations partition the block into four independently-matched
+    * sub-strategies:
+    *   - k 0–3 (expiry E1): the iron family, variant by blk mod 4 —
+    *     symmetric condor / iron butterfly / iron broken-wing /
+    *     asymmetric condor (put wing 15 vs call wing 10, exercising
+    *     the max(putW, callW) branch of the loss formula);
+    *   - k 4–5 (E2): vertical spread, variant by blk mod 4 (all four
+    *     bull/bear call/put forms — both the debit and credit max-loss
+    *     dispatches); blocks with blk mod 7 = 3 become a same-strike
+    *     straddle instead (short = credit + unlimited risk, long =
+    *     undefined/undefined);
+    *   - k 6–8 (E3): 1:2:1 butterfly (call/put by blk parity; blk mod
+    *     5 = 0 breaks a wing → BROKEN_FLY, exercising the narrow-wing
+    *     profit vs wide-wing loss split); blocks with blk mod 7 = 5
+    *     become a jade lizard instead;
+    *   - k 9 (E4): naked short / long single by blk mod 4.
+    * Entry values are signed per leg (shorts +credit, longs −debit,
+    * magnitude (pk mod 13 + 1)·5 — coprime to the block structure, so
+    * net credits cross zero and both branches of every max(0) clamp
+    * fire); multiplier is the OCC 100.
+    */
+  def a5Legs(spark: SparkSession, dir: String): DataFrame = {
+    val pk = $"p_partkey"
+    val k = pmod(pk, lit(10))
+    val blk = expr("p_partkey div 10")
+    val b = lit(100) + pmod(blk, lit(7)) * 5
+    val q = (pmod(blk, lit(3)) + 1).cast("double")
+    val v4 = pmod(blk, lit(4))
+    val straddleBlk = pmod(blk, lit(7)) === 3
+    val jadeBlk = pmod(blk, lit(7)) === 5
+    val brokenBlk = pmod(blk, lit(5)) === 0
+    val putFly = pmod(blk, lit(2)) === 1
+
+    val optType =
+      when(k <= 1, lit("P"))
+        .when(k <= 3, lit("C"))
+        .when(k === 4, when(straddleBlk, lit("C")).when(v4 >= 2, lit("P")).otherwise(lit("C")))
+        .when(k === 5, when(straddleBlk, lit("P")).when(v4 >= 2, lit("P")).otherwise(lit("C")))
+        .when(k === 6, when(jadeBlk, lit("P")).when(putFly, lit("P")).otherwise(lit("C")))
+        .when(k <= 8, when(jadeBlk, lit("C")).when(putFly, lit("P")).otherwise(lit("C")))
+        .otherwise(when(v4 === 0 || v4 === 2, lit("C")).otherwise(lit("P")))
+
+    val off =
+      when(k === 0, when(v4 === 1, -10).when(v4 === 3, -20).otherwise(-15))
+        .when(k === 1, when(v4 === 1 || v4 === 2, 0).otherwise(-5))
+        .when(k === 2, when(v4 === 1 || v4 === 2, 0).otherwise(5))
+        .when(k === 3, when(v4 === 1 || v4 === 2, 10).otherwise(15))
+        .when(k === 4, 0)
+        .when(k === 5, when(straddleBlk, 0).otherwise(10))
+        .when(k === 6, when(jadeBlk, -10).when(brokenBlk, -5).otherwise(-10))
+        .when(k === 7, 0)
+        .when(k === 8, 10)
+        .otherwise(0)
+
+    // sign of quantity: +1 long, −1 short
+    val dirn =
+      when(k === 0 || k === 3, 1.0)
+        .when(k <= 2, -1.0)
+        .when(k === 4,
+          when(straddleBlk, when(pmod(blk, lit(2)) === 0, -1.0).otherwise(1.0))
+            .when(v4 === 0 || v4 === 2, 1.0).otherwise(-1.0))
+        .when(k === 5,
+          when(straddleBlk, when(pmod(blk, lit(2)) === 0, -1.0).otherwise(1.0))
+            .when(v4 === 0 || v4 === 2, -1.0).otherwise(1.0))
+        .when(k === 6, when(jadeBlk, -1.0).otherwise(1.0))
+        .when(k === 7, -1.0)
+        .when(k === 8, 1.0)
+        .otherwise(when(v4 <= 1, -1.0).otherwise(1.0))
+
+    val qty = dirn * when(k === 7 && !jadeBlk, q * 2).otherwise(q)
+    val egrp = when(k <= 3, 0).when(k <= 5, 1).when(k <= 8, 2).otherwise(3)
+
+    Tables
+      .part(spark, dir)
+      .select(
+        concat(lit("L"), pk).as("symbol"),
+        concat(lit("U"), blk).as("underlying"),
+        lit("Equity Option").as("instrument_type"),
+        qty.as("signed_quantity"),
+        optType.as("option_type"),
+        (b + off).cast("decimal(12,3)").as("strike"),
+        date_add(lit(java.sql.Date.valueOf("2026-03-20")), (egrp * 28).cast("int")).as("expiration"),
+        lit(100).cast("decimal(12,2)").as("multiplier"),
+        (-dirn * (pmod(pk, lit(13)) + 1) * 5).cast("decimal(12,2)").as("entry_value")
+      )
+  }
+
+  /** §2.4 A5 — max-profit / max-loss, CHECKED instance-by-instance
+    * against the committed risk-expectation fixture (GenA5Fixture —
+    * the h1 technique applied one level up the analytics stack:
+    * classification AND the type-dispatched risk formula tree
+    * (reference `strategies/models.py:274-452`) are pure deterministic
+    * functions of the enriched leg group, so the expected (max_profit,
+    * max_loss) per strategy instance is a fixed table keyed by
+    * (underlying, legs_key)). The live query classifies + computes
+    * risk per underlying ([[graft.strategies.Strategies.riskDf]]),
+    * matches each instance against the fixture on type AND both risk
+    * figures (null-safe — null means unlimited/undefined and must
+    * match as null), and aggregates per (underlying, strategy_type)
+    * with live-value sums; the DuckDB oracle recomputes the aggregate
+    * from the fixture alone, scale-filtered by joining part — any
+    * formula drift breaks n_match or the sums.
+    */
+  def a5MaxProfitLoss(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.read
+      .parquet(QueryParams.A5FixturePath)
+      .select(
+        $"underlying".as("f_underlying"),
+        $"legs_key".as("f_legs_key"),
+        $"strategy_type".as("exp_type"),
+        $"max_profit".as("exp_max_profit"),
+        $"max_loss".as("exp_max_loss")
+      )
+    graft.strategies.Strategies
+      .riskDf(spark, a5Legs(spark, dir))
+      .join(
+        broadcast(fixture),
+        $"underlying" === $"f_underlying" && $"legs_key" === $"f_legs_key",
+        "left"
+      )
+      .groupBy($"underlying", $"strategy_type")
+      .agg(
+        count(lit(1)).as("n"),
+        // whole-dollar quantized values: the double sums are exact, so
+        // the bit-identical hash compare is safe (round keeps parity
+        // with the oracle's round)
+        round(sum($"max_profit"), 2).as("sum_max_profit"),
+        round(sum($"max_loss"), 2).as("sum_max_loss"),
+        count(
+          when(
+            $"strategy_type" <=> $"exp_type" &&
+              $"max_profit" <=> $"exp_max_profit" &&
+              $"max_loss" <=> $"exp_max_loss",
+            1
+          )
+        ).as("n_match")
+      )
+      .orderBy("underlying", "strategy_type")
+  }
+
   /** §2.11 — greedy strategy classification, CHECKED instance-by-instance
     * against the committed classification-expectation fixture
     * (GenS11Fixture): each live strategy instance is identified by its
@@ -3178,6 +3328,25 @@ object Oracles {
          |  ON p.underlying = f.underlying
          |GROUP BY f.underlying, f.level
          |ORDER BY f.underlying, f.level""".stripMargin,
+    // A5 — the h1/s11 fixture technique applied to the risk formula
+    // tree: the oracle recomputes the per-(underlying, strategy_type)
+    // aggregate (counts + whole-dollar sums) from the committed risk
+    // fixture alone, scale-filtered by joining part; the live query
+    // classifies and computes max profit/loss LIVE and counts
+    // per-instance fixture matches, so any formula drift breaks
+    // n_match or the sums. Sums are over quantized whole-dollar
+    // doubles — exact in both engines, no float-order hazard.
+    "a5_max_profit_loss" ->
+      s"""SELECT f.underlying, f.strategy_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(f.max_profit), 2) AS sum_max_profit,
+         |  round(sum(f.max_loss), 2) AS sum_max_loss,
+         |  CAST(count(*) AS BIGINT) AS n_match
+         |FROM read_parquet('${QueryParams.A5FixturePath}') f
+         |JOIN (SELECT DISTINCT 'U' || CAST(p_partkey // 10 AS VARCHAR) AS underlying FROM part) p
+         |  ON p.underlying = f.underlying
+         |GROUP BY f.underlying, f.strategy_type
+         |ORDER BY f.underlying, f.strategy_type""".stripMargin,
     "a1_latest_per_key" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t

@@ -467,6 +467,75 @@ object Strategies {
     StructField("net_qty", DoubleType)
   ))
 
+  val riskSchema: StructType = StructType(Seq(
+    StructField("underlying", StringType),
+    StructField("strategy_type", StringType),
+    // sorted leg-symbol set: the strategy-instance identity (greedy
+    // matching consumes each leg once → leg sets are disjoint, the s11
+    // fixture-key argument)
+    StructField("legs_key", StringType),
+    // quantized whole-dollar figures (models.py HALF_EVEN to 0dp), so
+    // DOUBLE is exact and DECIMAL stays off the compare surface
+    StructField("max_profit", DoubleType),
+    StructField("max_loss", DoubleType)
+  ))
+
+  /** Distributed A5 risk table: classify each underlying's legs (the
+    * SAME [[classifyGroup]] the classifier query runs) and emit one row
+    * per strategy instance with its entry-fixed max profit / max loss
+    * in dollars (reference `strategies/models.py:274-452`). `legs`
+    * needs [[classify]]'s columns PLUS the entry enrichment the
+    * formulas read: `multiplier: decimal` and `entry_value: decimal`
+    * (both nullable — a missing option entry value makes both risk
+    * numbers null, the reference's None semantics; null = unlimited
+    * risk for the [[maxLoss]] unlimited set).
+    *
+    * Scale shape: identical to classify — ONE shuffle on underlying,
+    * group-local combinatorics bounded by portfolio width; the risk
+    * formulas are O(legs) arithmetic inside the same pass (the
+    * reference computes them on the freshly classified strategy,
+    * `models.py:160-210`).
+    */
+  def riskDf(spark: SparkSession, legs: DataFrame): DataFrame = {
+    val idx = legs.schema.fieldIndex _
+    val (si, ui, ii, qi, oi, ki, ei, mi, vi) = (
+      idx("symbol"), idx("underlying"), idx("instrument_type"), idx("signed_quantity"),
+      idx("option_type"), idx("strike"), idx("expiration"),
+      idx("multiplier"), idx("entry_value")
+    )
+    val sorted = legs.repartition(col("underlying")).sortWithinPartitions(col("underlying"), col("symbol"))
+    sorted.mapPartitions { rows =>
+      val buf = rows.buffered
+      new Iterator[List[Row]] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): List[Row] = {
+          val u = buf.head.getString(ui)
+          val acc = List.newBuilder[ParsedLeg]
+          while (buf.hasNext && buf.head.getString(ui) == u) {
+            val r = buf.next()
+            acc += ParsedLeg(
+              r.getString(si), u, r.getString(ii), r.getDouble(qi),
+              Option(r.getString(oi)),
+              Option(r.getDecimal(ki)).map(BigDecimal(_)),
+              Option(r.getDate(ei)).map(_.toLocalDate),
+              multiplier = Option(r.getDecimal(mi)).map(BigDecimal(_)).getOrElse(BigDecimal(1)),
+              entryValue = Option(r.getDecimal(vi)).map(BigDecimal(_))
+            )
+          }
+          classifyGroup(u, acc.result()).map { m =>
+            Row(
+              u,
+              m.strategyType,
+              m.legs.map(_.symbol).sorted.mkString(","),
+              maxProfit(m.strategyType, m.legs).map(v => Double.box(v.toDouble)).orNull,
+              maxLoss(m.strategyType, m.legs).map(v => Double.box(v.toDouble)).orNull
+            )
+          }
+        }
+      }.flatten
+    }(Encoders.row(riskSchema))
+  }
+
   /** Distributed classifier: `legs` needs columns (symbol, underlying,
     * instrument_type, signed_quantity, option_type, strike: decimal,
     * expiration: date). One shuffle on underlying; group combinatorics

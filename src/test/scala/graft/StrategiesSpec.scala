@@ -163,4 +163,61 @@ class StrategiesSpec extends SparkSpec {
       .toSet
     assert(out == Set(("SPY", "IRON_CONDOR"), ("QQQ", "BULL_CALL_SPREAD")))
   }
+
+  test("distributed riskDf matches pure classifyGroup + maxProfit/maxLoss") {
+    import spark.implicits._
+    // a condor (defined risk), a naked call (null loss), and a long call
+    // (null/null) in one frame — the three null-shapes of the dispatch
+    val legs = Seq(
+      ("O1", "SPY", 1.0, "P", 95, "2026-03-20", -30),
+      ("O2", "SPY", -1.0, "P", 100, "2026-03-20", 120),
+      ("O3", "SPY", -1.0, "C", 110, "2026-03-20", 110),
+      ("O4", "SPY", 1.0, "C", 117, "2026-03-20", -40),
+      ("O5", "QQQ", -1.0, "C", 400, "2026-03-20", 100),
+      ("O6", "IWM", 1.0, "C", 200, "2026-03-20", -250)
+    ).toDF("symbol", "underlying", "signed_quantity", "option_type", "k", "e", "v")
+      .select(
+        $"symbol", $"underlying",
+        org.apache.spark.sql.functions.lit("Equity Option").as("instrument_type"),
+        $"signed_quantity", $"option_type",
+        $"k".cast("decimal(12,3)").as("strike"),
+        $"e".cast("date").as("expiration"),
+        org.apache.spark.sql.functions.lit(100).cast("decimal(12,2)").as("multiplier"),
+        $"v".cast("decimal(12,2)").as("entry_value")
+      )
+    val out = Strategies
+      .riskDf(spark, legs)
+      .select("underlying", "strategy_type", "max_profit", "max_loss")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    // hand math: condor credit 160, wing width max(5,7)=7 -> loss 540
+    assert(out == Set(
+      ("SPY", "IRON_CONDOR", Some(160.0), Some(540.0)),
+      ("QQQ", "NAKED_CALL", Some(100.0), None),
+      ("IWM", "LONG_CALL", None, None)
+    ))
+  }
+
+  test("a5 oracle query: live risk matches the committed fixture instance-by-instance (sf0.001)") {
+    val rows = Queries.a5MaxProfitLoss(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // n_match == n on EVERY group: classification, legs_key, and both
+    // risk figures (null-safe) agree with the fixture for every
+    // instance — this is also the fixture-staleness canary
+    val bad = rows.filter(r => r.getLong(r.fieldIndex("n")) != r.getLong(r.fieldIndex("n_match")))
+    assert(bad.isEmpty, s"fixture-mismatched groups: ${bad.take(5).mkString("; ")}")
+    // the synthesis keeps the full formula dispatch exercised: all four
+    // iron variants, all four verticals, both butterflies + broken fly,
+    // straddles both directions, jade lizard, naked + long singles
+    val types = rows.map(_.getString(1)).toSet
+    val expected = Set(
+      "IRON_CONDOR", "IRON_BUTTERFLY", "IRON_BROKEN_FLY",
+      "BULL_CALL_SPREAD", "BEAR_CALL_SPREAD", "BULL_PUT_SPREAD", "BEAR_PUT_SPREAD",
+      "CALL_BUTTERFLY", "PUT_BUTTERFLY", "BROKEN_FLY",
+      "SHORT_STRADDLE", "LONG_STRADDLE", "JADE_LIZARD",
+      "NAKED_CALL", "NAKED_PUT", "LONG_CALL", "LONG_PUT"
+    )
+    assert((expected -- types).isEmpty, s"dispatch types lost from the synthesis: ${expected -- types}")
+  }
 }
