@@ -19,6 +19,13 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $t failed: $e") }
       }
+    // Corpus content stamp (computed at warmup, while tables are hot):
+    // the round-8 text-family drift (x17 1.16→2.50 s on untouched code)
+    // was unattributable because BENCH carried no record of how HEAVY
+    // the regenerated documents corpus was — timings across rounds were
+    // compared as if the data were constant. The stamp makes text-query
+    // ratios chars-normalizable across regenerations.
+    val corpusJson = CorpusStamp.json(spark, sfDir)
     // noop sink forces full materialization of every column (count() would
     // let Catalyst prune projections and under-report work).
     // Median of 3 runs per query: single-run sub-second slots moved >20%
@@ -118,7 +125,7 @@ object Bench {
     val onlyJson = only
       .map(names => s""""only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
     spark.stop()
   }
 }

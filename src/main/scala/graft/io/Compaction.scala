@@ -207,4 +207,20 @@ object Compaction {
     */
   def compactIvfPqIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
     compact(spark, path, Seq("cell"), filesPerPartition = filesPerPartition)
+
+  /** Compact a [[LatestUpsert]] artifact: every merge leaves one file
+    * set per task per touched bucket, so a long-running stream grows
+    * many small files per `kb=` dir — this collapses each bucket to
+    * `filesPerPartition` files while preserving the kb layout (probe
+    * pruning still plans on the partition column) and the `_config`
+    * sidecar (it lives at the artifact root, a sibling of `latest/`,
+    * untouched by the swap). Refuses to run over an interrupted commit
+    * (compacting a half-swapped table would bake the damage in):
+    * recovery is rolled forward first — single-writer maintenance
+    * window, same contract as every other compaction here.
+    */
+  def compactLatestTable(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
+    LatestUpsert.recover(spark, root)
+    compact(spark, s"$root/latest", Seq("kb"), filesPerPartition = filesPerPartition)
+  }
 }

@@ -867,6 +867,18 @@ object TextOps {
     * broadcast), and the bloom gate is precisely what makes the corpus
     * side of that shuffle affordable. At test scale AQE may still
     * choose broadcast — an optimization, not a contract.
+    *
+    * RESOURCE LIFETIME: the returned (lazy) DataFrame retains two
+    * session-lived allocations until the session ends or the caller
+    * releases them — the bench-gram `localCheckpoint` blocks (the slim
+    * distinct feeds three consumers and must not re-shingle per
+    * consumer), and the serialized bloom sketch embedded as a plan
+    * literal. A one-shot caller (run, consume, move on — the bench
+    * harness's inter-query storage sweep is one such) pays nothing; a
+    * LONG-LIVED session composing many decontamination calls should use
+    * [[exactNgramDecontaminateBloomRun]], which runs the caller's
+    * action and drops the checkpoint blocks before returning (the plan
+    * literal's heap copy is released with the result's plan).
     */
   def exactNgramDecontaminateBloom(
       corpus: org.apache.spark.sql.DataFrame,
@@ -876,7 +888,40 @@ object TextOps {
       n: Int = 13,
       minHits: Long = 1L,
       fpp: Double = 0.01
-  ): org.apache.spark.sql.DataFrame = {
+  ): org.apache.spark.sql.DataFrame =
+    bloomDecontaminatePlan(corpus, bench, idCol, textCol, n, minHits, fpp)._1
+
+  /** [[exactNgramDecontaminateBloom]] with bounded resource lifetime for
+    * long-lived sessions: runs `action` over the result (an eager
+    * consume — write, collect, count) and releases the bench-gram
+    * checkpoint blocks before returning. The result DataFrame must not
+    * escape `action` unconsumed — its bench-gram lineage is dropped and
+    * CANNOT be recomputed.
+    */
+  def exactNgramDecontaminateBloomRun[T](
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L,
+      fpp: Double = 0.01
+  )(action: org.apache.spark.sql.DataFrame => T): T = {
+    val (result, benchGrams) =
+      bloomDecontaminatePlan(corpus, bench, idCol, textCol, n, minHits, fpp)
+    try action(result)
+    finally benchGrams.unpersist(blocking = false)
+  }
+
+  private def bloomDecontaminatePlan(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minHits: Long,
+      fpp: Double
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(n >= 2, s"n-gram width must be >= 2 tokens, got $n")
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
@@ -929,7 +974,7 @@ object TextOps {
         count_distinct(col("span")).as("n_grams_hit")
       )
       .filter(col("n_hit_spans") >= minHits)
-    base
+    val result = base
       .select(col(idCol), size(col("spans")).cast("long").as("n_spans"))
       .join(hits, Seq(idCol))
       .select(
@@ -939,6 +984,7 @@ object TextOps {
         col("n_grams_hit"),
         (col("n_hit_spans").cast("double") / col("n_spans").cast("double")).as("hit_frac")
       )
+    (result, benchGrams)
   }
 
   /** Plain-text `n`-token windows (the un-hashed twin of

@@ -84,6 +84,49 @@ class CompactionSpec extends SparkSpec {
     assert(before.nonEmpty)
   }
 
+  test("latest table: compaction after merges preserves content + kb pruning and collapses files") {
+    import graft.io.LatestUpsert
+    val ev = Tables
+      .events(spark, sf0001)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+    val root = Files.createTempDirectory("latestcompact").toString + "/t"
+    // at production scale each merge leaves one file per writing TASK
+    // per touched bucket; at toy scale AQE coalesces the merge to one
+    // task, so model the accumulation by capping records per file
+    // (composite a2-style key: sf0.001 has only 15 users, too few keys
+    // per bucket for any cap to split)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try {
+      LatestUpsert.init(
+        spark, root, ev.filter(col("event_id") % 5 === 0),
+        keyCols = Seq("user_id", "event_type"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
+      (1 to 4).foreach(i => LatestUpsert.upsert(spark, root, ev.filter(col("event_id") % 5 === i)))
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    def snap() = LatestUpsert.read(spark, root).collect().map(_.toSeq).toSet
+    val before = snap()
+    val (_, filesBefore) = Compaction.dataStats(spark, s"$root/latest")
+    assert(filesBefore > 8, s"5 merges over 8 buckets should exceed one file per bucket ($filesBefore)")
+
+    Compaction.compactLatestTable(spark, root)
+
+    val (_, filesAfter) = Compaction.dataStats(spark, s"$root/latest")
+    assert(filesAfter <= 8, s"compaction left $filesAfter files for 8 buckets")
+    assert(snap() == before, "compaction changed the latest table's content")
+    // kb layout survived: a post-compaction merge still partition-prunes
+    val oneUser = ev.orderBy("user_id", "event_type").limit(1)
+      .select("user_id", "event_type").as[(Long, String)].head()
+    val oneKey = ev.filter(col("user_id") === oneUser._1 && col("event_type") === oneUser._2)
+    val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, oneKey)
+    assert(touched.size == 1)
+    val scans = fileScans(merged).filter(_.metadata.getOrElse("Location", "").contains("latestcompact"))
+    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount <= 1),
+      "post-compaction merge read more than the touched bucket")
+    // and the sidecar still describes the layout (upsert would throw without it)
+    LatestUpsert.upsert(spark, root, oneKey)
+    assert(snap() == before, "replayed rows changed latest content")
+  }
+
   test("zvalue: interleaves bits, rejects configs wider than a long") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L)).toDF("x", "y")
     // 2 bits per column over [0,3]: rank == value, so z is the textbook

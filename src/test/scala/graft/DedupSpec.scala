@@ -481,6 +481,17 @@ class DedupSpec extends SparkSpec {
       .exactNgramDecontaminateBloom(corpus, bench, "doc_id", "text", n = 13)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    // the bounded-lifetime form: same result, and its bench-gram
+    // checkpoint blocks are gone once the action returns
+    val storedBefore = spark.sparkContext.getPersistentRDDs.size
+    val ran = TextOps
+      .exactNgramDecontaminateBloomRun(corpus, bench, "doc_id", "text", n = 13) {
+        _.as[(Long, Long, Long, Long, Double)].collect().toSet
+      }
+    assert(ran == exact)
+    assert(
+      spark.sparkContext.getPersistentRDDs.size <= storedBefore,
+      "bloomRun leaked checkpoint blocks past its action")
   }
 
   test("frequentNgrams: exact counts, minDocs bar, total-order top-K cut") {

@@ -121,7 +121,7 @@ class LatestUpsertSpec extends SparkSpec {
     val before = snapshot().filterNot(_._1.contains(touchedDir))
     LatestUpsert.upsert(spark, root, batch)
     val after = snapshot().filterNot(_._1.contains(touchedDir))
-    assert(after == before, "dynamic overwrite rewrote untouched bucket directories")
+    assert(after == before, "bucket swap rewrote untouched bucket directories")
     // and the table still answers correctly
     assert(readSet(root) == oneShotLatest(ev))
   }
@@ -144,6 +144,81 @@ class LatestUpsertSpec extends SparkSpec {
       order.foreach(b => LatestUpsert.upsert(spark, root, tagged.filter($"b" === b).drop("b")))
       assert(readSet(root) == expected, s"seed=$seed k=$k order=$order diverged from one-shot latest")
     }
+  }
+
+  test("batch with drifted key/order column type fails loudly (bucket-assignment corruption guard)") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    // INT user_id hashes to a different xxhash64 than the seed's BIGINT
+    // for the same key value — must be rejected, not merged
+    val drifted = ev.withColumn("user_id", $"user_id".cast("int"))
+    val err = intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, drifted)
+    }
+    assert(err.getMessage.contains("type drift"), err.getMessage)
+    // missing pinned column is equally loud
+    val missing = intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, ev.drop("ts_us"))
+    }
+    assert(missing.getMessage.contains("missing pinned column"), missing.getMessage)
+    // the artifact is untouched by the rejected batches
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
+  }
+
+  test("crash BEFORE the commit marker: half-written stage is discarded, next upsert is clean") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    // simulate a crash mid-stage-write: stage remnants, NO marker
+    ev.limit(7).withColumn("kb", lit(3))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
+    // marker absent → read serves the intact table
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
+    // next upsert discards the garbage stage and commits normally
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1))
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2))
+    assert(readSet(root) == oneShotLatest(ev))
+    assert(!Files.exists(Paths.get(s"$root/_stage")), "garbage stage not cleaned")
+  }
+
+  test("crash MID-SWAP (marker present, bucket moved aside): read fails loudly, recover rolls forward") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    val batch = ev.filter($"event_id" % 3 === 1)
+    // reconstruct the exact pre-crash state upsert produces: complete
+    // stage + published marker, then the worst mid-state — one touched
+    // bucket renamed aside (its current dir GONE) with the staged dir
+    // not yet swapped in
+    val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
+    val m = merged.localCheckpoint()
+    m.write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
+    m.unpersist(blocking = false)
+    Files.writeString(Paths.get(s"$root/_commit"), touched.mkString(","))
+    val b0 = touched.head
+    val cur = Paths.get(s"$root/latest/kb=$b0")
+    assert(Files.exists(cur), "test premise: the touched bucket must exist in the seed")
+    Files.createDirectories(Paths.get(s"$root/_oldgen"))
+    Files.move(cur, Paths.get(s"$root/_oldgen/kb=$b0"))
+    // an unfinished commit must NOT be silently readable
+    val err = intercept[IllegalArgumentException](LatestUpsert.read(spark, root))
+    assert(err.getMessage.contains("unfinished commit"), err.getMessage)
+    // roll forward: every key that lived in the moved-aside bucket is
+    // preserved, and the end state is exactly seed+batch
+    LatestUpsert.recover(spark, root)
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
+    for (d <- Seq("_stage", "_oldgen", "_commit"))
+      assert(!Files.exists(Paths.get(s"$root/$d")), s"$d not cleaned after recovery")
+    // and the interrupted batch can be replayed on top — idempotent
+    LatestUpsert.upsert(spark, root, batch)
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
   }
 
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
