@@ -97,6 +97,7 @@ object SparkEntry {
     "n4_ann_quantized"   -> (Queries.n4AnnQuantized _),
     "m1_multimodal"      -> (Queries.m1Multimodal _),
     "m2_video_frames"    -> (Queries.m2VideoFrames _),
+    "m3_video_quarantine" -> (Queries.m3VideoQuarantine _),
     "a8_lifo"            -> (Queries.a8Lifo _),
     "g1_signal_engine"   -> (Queries.g1SignalEngine _),
     "s11_classify"       -> (Queries.s11Classify _),
@@ -1549,6 +1550,29 @@ object Queries {
         count(when($"features" <=> $"exp_features" && $"n_frames" <=> $"exp_n_frames", 1)).as("n_match")
       )
       .orderBy("n_frames")
+  }
+
+  /** m3 — the exotic-codec QUARANTINE contract, hash-pinned: a
+    * mixed-codec media table ([[graft.multimodal.Multimodal.packVideosMixed]])
+    * plants undecodable payloads by doc_id rule (%7==0 a non-RIFF
+    * "h264" stream, %7==3 a truncated AVI), [[graft.multimodal.Multimodal.videoStats]]
+    * decodes the rest for REAL, and the aggregate groups by the
+    * quarantined flag. Because quarantine is a pure function of doc_id
+    * by construction, DuckDB recomputes BOTH groups relationally —
+    * n_videos from the %7 rule, sum_frames from the %6+2 frame rule for
+    * the decodable group — so a decoder that silently emits features
+    * for garbage (or quarantines a valid AVI) breaks the hash.
+    */
+  def m3VideoQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.packVideosMixed(Tables.documents(spark, dir))
+    graft.multimodal.Multimodal
+      .videoStats(media, "media", maxFrames = 8)
+      .groupBy($"n_frames".isNull.as("quarantined"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        coalesce(sum($"n_frames"), lit(0)).cast("long").as("sum_frames")
+      )
+      .orderBy("quarantined")
   }
 
   /** A8 — LIFO entry-credit replay over a synthetic fill stream derived
@@ -3246,6 +3270,19 @@ object Oracles {
          |FROM read_parquet('${QueryParams.M2FixturePath}') f
          |JOIN documents d ON d.doc_id = f.doc_id
          |GROUP BY f.n_frames ORDER BY f.n_frames""".stripMargin,
+    // M3 — the quarantine contract: undecodability is planted by a
+    // doc_id rule (%7==0 non-RIFF "h264", %7==3 truncated AVI), so the
+    // oracle recomputes both groups WITHOUT a decoder — the quarantined
+    // count from the %7 rule, the decodable group's frame sum from the
+    // %6+2 synthesis rule. A decoder that fakes features for garbage or
+    // quarantines a valid AVI shifts a group and breaks the hash.
+    "m3_video_quarantine" ->
+      """SELECT (doc_id % 7) IN (0, 3) AS quarantined,
+        |  CAST(count(*) AS BIGINT) AS n_videos,
+        |  CAST(coalesce(sum(CASE WHEN (doc_id % 7) IN (0, 3) THEN NULL
+        |                         ELSE doc_id % 6 + 2 END), 0) AS BIGINT) AS sum_frames
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // S11 — greedy combinatorial strategy matching is not SQL-expressible,
     // but (like m1) it doesn't need to be: classification is a pure
     // deterministic function of the legs table (StrategyClassifierPropSpec

@@ -255,6 +255,48 @@ object Multimodal {
     }(Encoders.row(packedSchema))
   }
 
+  /** Test-harness packer for the MIXED-codec video regime: by doc_id
+    * rule, `%7 == 0` becomes a non-RIFF payload (an "exotic codec" the
+    * container has no decoder for — deterministic bytes under a fake
+    * magic), `%7 == 3` a TRUNCATED AVI (container header present, body
+    * gone), everything else the valid MJPEG AVI [[packVideos]] emits.
+    * The quarantine outcome of [[videoStats]] over this table is
+    * therefore a PURE FUNCTION of doc_id — which is what lets a
+    * relational oracle recompute the quarantine counts without any
+    * decoder (the m3 carrier query).
+    */
+  def packVideosMixed(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val src = docs.select(col("doc_id").cast("long"))
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val nFrames = (id % 6 + 2).toInt
+          val payload: Array[Byte] = (id % 7) match {
+            case 0 =>
+              // fake h264-ish elementary stream: NAL-like start code,
+              // then deterministic junk — nothing RIFF about it
+              val junk = new Array[Byte](64)
+              var i = 0
+              var s = id * 0x9e3779b97f4a7c15L + 1
+              while (i < junk.length) {
+                s = s * 6364136223846793005L + 1442695040888963407L
+                junk(i) = (s >>> 56).toByte
+                i += 1
+              }
+              Array[Byte](0, 0, 0, 1, 0x67) ++ junk
+            case 3 =>
+              synthAviBytes(id, w, h, nFrames).take(40) // header, no movi
+            case _ => synthAviBytes(id, w, h, nFrames)
+          }
+          Row(id, payload, Row(if (id % 7 == 0) "h264" else "avi", w, h))
+        }
+      }
+    }(Encoders.row(packedSchema))
+  }
+
   /** Uniformly-spaced sample of `k` indices from `0 until total`
     * (classic stride sampling: index `i*total/k`); all frames when
     * `k >= total`.

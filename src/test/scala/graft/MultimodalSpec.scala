@@ -186,6 +186,22 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getSeq[Float](2).toArray.sameElements(expected))
   }
 
+  test("packVideosMixed: quarantine outcome is exactly the doc_id rule") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val stats = Multimodal
+      .videoStats(Multimodal.packVideosMixed(docs), "media", maxFrames = 8)
+      .select($"media_id", $"n_frames")
+      .as[(Long, Option[Int])]
+      .collect()
+    assert(stats.length == 50)
+    stats.foreach { case (id, nf) =>
+      if (id % 7 == 0 || id % 7 == 3)
+        assert(nf.isEmpty, s"doc $id should quarantine (${id % 7})")
+      else
+        assert(nf.contains((id % 6 + 2).toInt), s"doc $id decoded $nf, expected ${id % 6 + 2}")
+    }
+  }
+
   test("extractFeatures dispatches AVI to the real video path (sniff, no meta needed)") {
     val noMeta = videos.select($"media_id", $"media")
     val out = Multimodal.extractFeatures(noMeta, "media")
