@@ -71,6 +71,7 @@ object SparkEntry {
     "x17_exact_decontaminate" -> (Queries.x17ExactDecontaminate _),
     "x18_bloom_decontaminate" -> (Queries.x18BloomDecontaminate _),
     "x19_frequent_ngrams" -> (Queries.x19FrequentNgrams _),
+    "x19b_frequent_ngrams_cms" -> (Queries.x19bFrequentNgramsCms _),
     "x21_pipeline_sweep" -> (Queries.x21PipelineSweep _),
     "x12_dup_spans"      -> (Queries.x12DupSpans _),
     "x13_span_dedup"     -> (Queries.x13SpanDedup _),
@@ -898,6 +899,23 @@ object Queries {
   def x19FrequentNgrams(spark: SparkSession, dir: String): DataFrame =
     TextOps
       .frequentNgrams(
+        Tables.documents(spark, dir),
+        "doc_id",
+        "text",
+        n = QueryParams.X19GramWidth,
+        minDocs = QueryParams.X19MinDocs,
+        topK = QueryParams.X19TopK
+      )
+
+  /** x19b — the count-min-gated heavy-hitter miner for the regime
+    * x19's scale note declares past exact reach (the unique gram tail
+    * dominates the shuffle): sketch pass + gated exact pass, result
+    * identical to x19 by construction ([[TextOps.frequentNgramsSketched]]),
+    * sharing x19's oracle verbatim.
+    */
+  def x19bFrequentNgramsCms(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .frequentNgramsSketched(
         Tables.documents(spark, dir),
         "doc_id",
         "text",
@@ -2460,6 +2478,31 @@ object Oracles {
     * corpus; stage-5 benchmark side) with the same 16 xor seeds /
     * 8 bands the engine uses.
     */
+  // x19 — integer-exact counts; (n_docs DESC, n_occurrences DESC,
+  // gram) is a TOTAL order (gram is the group key), so the LIMIT cut
+  // is deterministic on both engines. Shared verbatim by x19b (the
+  // count-min gate is result-invisible by construction).
+  private val x19Sql: String = {
+    val n = QueryParams.X19GramWidth
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |grams AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $n
+       |      THEN list_transform(range(1, len(toks) - $n + 2), i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |      ELSE []::VARCHAR[] END) AS gram
+       |  FROM base)
+       |SELECT gram,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM grams
+       |GROUP BY gram
+       |HAVING count(DISTINCT doc_id) >= ${QueryParams.X19MinDocs}
+       |ORDER BY n_docs DESC, n_occurrences DESC, gram
+       |LIMIT ${QueryParams.X19TopK}""".stripMargin
+  }
+
   private val x21Sql: String = {
     val n = QueryParams.X12SpanWidth
     val sigExprs = graft.dedup.Dedup
@@ -4225,26 +4268,12 @@ object Oracles {
     // x21 — the composed-pipeline contract (see the x21Sql scaladoc):
     // stage coupling is the thing under test.
     "x21_pipeline_sweep" -> x21Sql,
-    "x19_frequent_ngrams" -> {
-      val n = QueryParams.X19GramWidth
-      s"""WITH base AS (
-         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |grams AS (
-         |  SELECT doc_id, unnest(
-         |    CASE WHEN len(toks) >= $n
-         |      THEN list_transform(range(1, len(toks) - $n + 2), i -> array_to_string(toks[i:i+${n - 1}], ' '))
-         |      ELSE []::VARCHAR[] END) AS gram
-         |  FROM base)
-         |SELECT gram,
-         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |  CAST(count(*) AS BIGINT) AS n_occurrences
-         |FROM grams
-         |GROUP BY gram
-         |HAVING count(DISTINCT doc_id) >= ${QueryParams.X19MinDocs}
-         |ORDER BY n_docs DESC, n_occurrences DESC, gram
-         |LIMIT ${QueryParams.X19TopK}""".stripMargin
-    },
+    "x19_frequent_ngrams" -> x19Sql,
+    // x19b — the count-min-gated twin SHARES x19's oracle verbatim: the
+    // sketch only over-admits and the exact second pass removes every
+    // false positive, so the sketch is result-invisible (the x18
+    // bloom-gate precedent with a counting sketch).
+    "x19b_frequent_ngrams_cms" -> x19Sql,
     "d7_decontaminate" -> {
       val sigExprs = graft.dedup.Dedup
         .xorSeeds(16)

@@ -1050,4 +1050,84 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
       .limit(topK)
   }
+
+  /** [[frequentNgrams]] for the regime its scale note declares out of
+    * exact reach — where even the combiner-collapsed distinct-gram
+    * shuffle is too heavy because the unique tail (the overwhelming
+    * majority of gram mass in a crawl) still crosses the exchange once
+    * per partition it appears in. Two passes, the x18 bloom-gate shape
+    * with a COUNTING sketch:
+    *
+    *   1. SKETCH: one scan-local pass builds a count-min sketch over
+    *      `xxhash64(gram)` occurrences (`df.stat.countMinSketch` —
+    *      partial sketches merge cell-wise on the driver; ~depth×width
+    *      longs, broadcast once per executor regardless of corpus
+    *      size);
+    *   2. VERIFY: the gram stream re-derives scan-locally and only
+    *      grams whose estimate clears `minDocs` enter the exact
+    *      aggregate — a codegen'd [[graft.expressions.CmsAtLeast]]
+    *      predicate on the scan, no UDF.
+    *
+    * Result is IDENTICAL to [[frequentNgrams]] by construction, so the
+    * two share one oracle (the x18 precedent): the sketch only
+    * OVER-estimates, and n_docs ≤ n_occurrences, so every gram with
+    * true n_docs ≥ minDocs has estimate ≥ minDocs and survives the
+    * gate — zero false negatives; the gate's false positives (an
+    * eps·N-bounded inflated tail) are removed by the exact aggregate's
+    * own minDocs filter. `eps` tunes gate SELECTIVITY only, never
+    * correctness — pick eps so eps × total-gram-count ≪ the occurrence
+    * bar you care about, or the gate admits tail noise and pass 2
+    * degrades toward the exact form's shuffle (never past it).
+    *
+    * Cost trade: pays a second corpus scan (tokenize+window is cheap,
+    * scan-local, pipelined) to delete the unique tail from the one
+    * shuffle — at crawl scale the shuffle, not the scan, is the
+    * bottleneck, which is exactly when this form wins.
+    */
+  def frequentNgramsSketched(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Long = 2L,
+      topK: Int = 100,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): org.apache.spark.sql.DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would emit every window), got $minDocs")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
+    val grams = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(gramTexts(tokens(col(textCol)), n)).as("gram"))
+    val cms = grams
+      .select(xxhash64(col("gram")).as("h"))
+      .stat
+      .countMinSketch("h", eps, confidence, seed)
+    val bytes = cms.toByteArray
+    val cmsDigest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(bytes)
+      .map("%02x".format(_))
+      .mkString
+    def gate(value: Column): Column =
+      graft.expressions.Registration.parameterized(
+        "graft_cms_gate",
+        digestSource = s"cms:$cmsDigest:$minDocs",
+        builder = es => graft.expressions.CmsAtLeast(bytes, minDocs, es.head),
+        xxhash64(value)
+      )
+    grams
+      .filter(gate(col("gram")))
+      .groupBy(col("gram"))
+      .agg(
+        count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences")
+      )
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+  }
 }

@@ -494,6 +494,54 @@ class DedupSpec extends SparkSpec {
       "bloomRun leaked checkpoint blocks past its action")
   }
 
+  test("frequentNgramsSketched ≡ frequentNgrams (the count-min gate is result-invisible)") {
+    import graft.text.TextOps
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    val exact = TextOps
+      .frequentNgrams(docs, "doc_id", "text", n = 5, minDocs = 2L, topK = 50)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact.nonEmpty)
+    // tight eps (selective gate) AND a sloppy one (gate admits nearly
+    // everything): over-admission can never change the result, only
+    // the second pass's size
+    for (eps <- Seq(1e-4, 0.5)) {
+      val sketched = TextOps
+        .frequentNgramsSketched(docs, "doc_id", "text", n = 5, minDocs = 2L, topK = 50, eps = eps)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(sketched == exact, s"eps=$eps diverged")
+    }
+    // the gate is really in the plan, on the gram stream, codegen'd
+    val plan = TextOps
+      .frequentNgramsSketched(docs, "doc_id", "text", n = 5, minDocs = 2L, topK = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_at_least"), s"cms gate missing from plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("CmsAtLeast: threshold semantics over a known sketch; null key stays null") {
+    import org.apache.spark.sql.functions.col
+    // hand-built sketch: key 11 added 3x, key 22 once
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 7)
+    cms.addLong(11L, 3L)
+    cms.addLong(22L, 1L)
+    val bytes = cms.toByteArray
+    def gate(bar: Long) = graft.expressions.Registration.parameterized(
+      "graft_cms_gate_test",
+      digestSource = s"spec:$bar",
+      builder = es => graft.expressions.CmsAtLeast(bytes, bar, es.head),
+      col("h"))(spark)
+    val df = Seq(Some(11L), Some(22L), Some(33L), None).toDF("h")
+    val out = df.select(col("h"), gate(2L).as("hot")).collect()
+      .map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toSet
+    assert(out == Set(
+      (Some(11L), Some(true)),   // 3 >= 2
+      (Some(22L), Some(false)),  // 1 < 2 (over-estimate-free at this load)
+      (Some(33L), Some(false)),  // absent
+      (None, None)))             // null child propagates null
+  }
+
   test("frequentNgrams: exact counts, minDocs bar, total-order top-K cut") {
     import graft.text.TextOps
     val corpus = Seq(
