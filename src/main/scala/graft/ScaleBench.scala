@@ -75,6 +75,12 @@ object ScaleBench {
     // exchange and the top-K cut stays a bounded-heap TakeOrdered,
     // not a global sort
     "x19_frequent_ngrams",
+    // x19b (round 9): the count-min-gated twin — linear means the
+    // sketch build pass (scan-local, driver-merged) plus the gated
+    // exact pass track the corpus; the gate's value shows as the
+    // scaled-side shuffle staying bounded by true-hot grams while
+    // x19's shuffle carries every per-partition-distinct gram
+    "x19b_frequent_ngrams_cms",
     // x21 (round 8): the composed cleaning pipeline — its slope is the
     // max of its stages' slopes (each stage is its own audited shape;
     // the composition only shrinks intermediate corpora), so linear
@@ -91,7 +97,12 @@ object ScaleBench {
     // gates' fixed per-batch cost (components, index probes, appends)
     // doesn't grow superlinearly with batch and corpus size together
     "d13_ingest_corpus",
-    "d14_sem_ingest"
+    "d14_sem_ingest",
+    // s5 (round 9): the incremental latest-table END-STATE — seed +
+    // two bucket-pruned merges + read, everything scaling with events;
+    // linear means the touched-bucket pruning really bounds the merge
+    // IO by the batch's key spread, not the keyspace
+    "s5_latest_upsert"
   )
 
   def synthesize(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
@@ -237,7 +248,7 @@ object ScaleBench {
         .select(col("l.id").as("a"), col("r.id").as("b"))
         .distinct()
         .count()
-      ba.unpersist()
+      Checkpoints.release(ba)
       val outputs = graft.similarity.Similarity
         .lshNearDupPairs(emb, "vec_id", "embedding", threshold = 0.9)
         .count()

@@ -383,7 +383,7 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       val edgeArr = base.as[(Long, Long)].collect()
-      base.unpersist()
+      graft.Checkpoints.release(base)
       // PRIMITIVE storage end-to-end — no boxed maps. Driver heap at the
       // 2²⁰-edge default bound: edge tuples ~32 MB (specialized Tuple2
       // objects), sorted node array ≤ 2M longs = 16 MB, int parent/size
@@ -479,14 +479,17 @@ object Dedup {
       // the probe was the last reader of the previous round's blocks
       // (and of the intra-round `stepped`): release them — without this,
       // checkpointed label sets accumulate 2× per round in executor
-      // storage. Unpersisting a dead local checkpoint is safe; only live
-      // ones must be kept (their lineage is truncated).
-      stepped.unpersist()
-      labels.unpersist()
+      // storage. Via Checkpoints.release, NOT Dataset.unpersist (a
+      // NO-OP on checkpointed frames — checkpoint RDDs bypass the
+      // CacheManager; round 9 finding). Releasing a dead local
+      // checkpoint is safe; only live ones must be kept (their lineage
+      // is truncated).
+      graft.Checkpoints.release(stepped)
+      graft.Checkpoints.release(labels)
       labels = next
       iter += 1
     }
-    base.unpersist()
+    graft.Checkpoints.release(base)
     require(done, s"connectedComponents did not converge in $maxIter pointer-jumping rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels

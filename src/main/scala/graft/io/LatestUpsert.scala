@@ -282,7 +282,7 @@ object LatestUpsert {
         .mode("overwrite")
         .partitionBy("kb")
         .parquet(stagePath(root).toString)
-      m.unpersist(blocking = false) // checkpoint blocks are write-scoped
+      graft.Checkpoints.release(m) // checkpoint blocks are write-scoped (Dataset.unpersist is a checkpoint no-op)
       writeMarker(fs, root, touched) // stage is complete from here on
       commitBuckets(fs, root, touched)
     }

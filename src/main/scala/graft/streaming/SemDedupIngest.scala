@@ -94,7 +94,7 @@ object SemDedupIngest {
     val b = Similarity.assignedBatch(spark, indexPath, batch, idCol, vecCol).localCheckpoint()
     val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val fresh = guardAgainst(spark, indexPath, b, "id", touched).localCheckpoint()
-    b.unpersist()
+    graft.Checkpoints.release(b)
     // `touched` from the PRE-guard batch is a superset of fresh's cells —
     // incrementalSemPairsPre tolerates that (extra cells find no partner)
     val pairs = Similarity.incrementalSemPairsPre(spark, indexPath, fresh, touched, threshold)
@@ -139,6 +139,11 @@ object SemDedupIngest {
     if (!keep.isEmpty) {
       Similarity.appendToIvfIndexPre(keep, indexPath)
     }
+    // keep (and the fresh checkpoint its lineage-severed plan consumed)
+    // is write-scoped — release deterministically instead of waiting on
+    // the ContextCleaner (a long-lived stream accumulates per-batch
+    // blocks otherwise)
+    graft.Checkpoints.release(keep)
   }
 
   /** The streaming entry: gate every micro-batch of `source` (carrying

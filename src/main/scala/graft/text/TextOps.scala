@@ -870,15 +870,16 @@ object TextOps {
     *
     * RESOURCE LIFETIME: the returned (lazy) DataFrame retains two
     * session-lived allocations until the session ends or the caller
-    * releases them — the bench-gram `localCheckpoint` blocks (the slim
-    * distinct feeds three consumers and must not re-shingle per
-    * consumer), and the serialized bloom sketch embedded as a plan
-    * literal. A one-shot caller (run, consume, move on — the bench
-    * harness's inter-query storage sweep is one such) pays nothing; a
-    * LONG-LIVED session composing many decontamination calls should use
+    * releases them — the persisted bench-gram relation (registered in
+    * the session CacheManager; the slim distinct feeds three consumers
+    * and must not re-shingle per consumer), and the serialized bloom
+    * sketch embedded as a plan literal. A one-shot caller (run,
+    * consume, move on — the bench harness's inter-query
+    * `clearCache()` sweep is one such) pays nothing; a LONG-LIVED
+    * session composing many decontamination calls should use
     * [[exactNgramDecontaminateBloomRun]], which runs the caller's
-    * action and drops the checkpoint blocks before returning (the plan
-    * literal's heap copy is released with the result's plan).
+    * action and releases the cached relation before returning (the
+    * plan literal's heap copy is released with the result's plan).
     */
   def exactNgramDecontaminateBloom(
       corpus: org.apache.spark.sql.DataFrame,
@@ -893,10 +894,11 @@ object TextOps {
 
   /** [[exactNgramDecontaminateBloom]] with bounded resource lifetime for
     * long-lived sessions: runs `action` over the result (an eager
-    * consume — write, collect, count) and releases the bench-gram
-    * checkpoint blocks before returning. The result DataFrame must not
-    * escape `action` unconsumed — its bench-gram lineage is dropped and
-    * CANNOT be recomputed.
+    * consume — write, collect, count) and releases the persisted
+    * bench-gram relation before returning. A result DataFrame that
+    * escapes `action` unconsumed stays correct (the cache entry's
+    * lineage recomputes) but silently re-shingles the bench side per
+    * later consumer — consume inside the action.
     */
   def exactNgramDecontaminateBloomRun[T](
       corpus: org.apache.spark.sql.DataFrame,
@@ -926,14 +928,18 @@ object TextOps {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     implicit val spark: org.apache.spark.sql.SparkSession = corpus.sparkSession
-    // checkpointed: the slim distinct feeds THREE consumers (the count,
+    // persisted: the slim distinct feeds THREE consumers (the count,
     // the sketch build, the exact verify join) — without it the bench
-    // side re-shingles once per consumer
+    // side re-shingles once per consumer. persist(), NOT
+    // localCheckpoint(): Dataset.unpersist is a no-op on a checkpointed
+    // frame (checkpoint RDDs bypass the CacheManager), so the ...Run
+    // overload could never actually release a checkpoint — a cache
+    // entry it can.
     val benchGrams = bench
       .filter(col(textCol).isNotNull)
       .select(explode(spanFingerprints(tokens(col(textCol)), n)).as("span"))
       .distinct()
-      .localCheckpoint()
+      .persist()
     // driver-built sketch: one pass over the SMALL side; expectedNumItems
     // from a count job on the same slim distinct (cheap, bench-side only)
     val hashed = benchGrams.select(xxhash64(col("span")).as("h"))

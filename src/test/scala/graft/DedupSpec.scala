@@ -482,16 +482,21 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
     // the bounded-lifetime form: same result, and its bench-gram
-    // checkpoint blocks are gone once the action returns
-    val storedBefore = spark.sparkContext.getPersistentRDDs.size
+    // checkpoint blocks are gone once the action returns. Compare RDD
+    // ID SETS, not counts: the ContextCleaner concurrently GC-collects
+    // the earlier lazy calls' (documented) leaked checkpoints, so a
+    // global count moves on its own — only NEW ids can come from this
+    // call, and those must be released
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val ran = TextOps
       .exactNgramDecontaminateBloomRun(corpus, bench, "doc_id", "text", n = 13) {
         _.as[(Long, Long, Long, Long, Double)].collect().toSet
       }
     assert(ran == exact)
-    assert(
-      spark.sparkContext.getPersistentRDDs.size <= storedBefore,
-      "bloomRun leaked checkpoint blocks past its action")
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
+    val deadline = System.currentTimeMillis + 15000
+    while (leaked.nonEmpty && System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(leaked.isEmpty, s"bloomRun leaked checkpoint RDDs past its action: $leaked")
   }
 
   test("frequentNgramsSketched ≡ frequentNgrams (the count-min gate is result-invisible)") {
