@@ -221,6 +221,42 @@ class LatestUpsertSpec extends SparkSpec {
     assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
   }
 
+  test("exhaustive crash-point sweep: interruption after ANY k of n bucket swaps recovers to seed+batch") {
+    val ev = events
+    val batch = ev.filter($"event_id" % 3 === 1)
+    val expected = oneShotLatest(ev.filter($"event_id" % 3 <= 1))
+    // stage the commit once on a template root to learn the touched set
+    val template = freshRoot()
+    LatestUpsert.init(
+      spark, template, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
+    val Some((_, touchedAll)) = LatestUpsert.mergedForBatch(spark, template, batch)
+    val n = touchedAll.size
+    assert(n >= 3, s"test premise: want >= 3 touched buckets, got $n")
+    for (k <- 0 to n) { // crash after k completed swaps (k = n: crash before cleanup)
+      val root = freshRoot()
+      LatestUpsert.init(
+        spark, root, ev.filter($"event_id" % 3 === 0),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
+      val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
+      val m = merged.localCheckpoint()
+      m.write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
+      Checkpoints.release(m)
+      Files.writeString(Paths.get(s"$root/_commit"), touched.mkString(","))
+      // perform the first k swaps exactly as commitBuckets would
+      Files.createDirectories(Paths.get(s"$root/_oldgen"))
+      touched.take(k).foreach { b =>
+        val cur = Paths.get(s"$root/latest/kb=$b")
+        if (Files.exists(cur)) Files.move(cur, Paths.get(s"$root/_oldgen/kb=$b"))
+        Files.move(Paths.get(s"$root/_stage/kb=$b"), cur)
+      }
+      LatestUpsert.recover(spark, root)
+      assert(readSet(root) == expected, s"crash after $k/$n swaps diverged")
+      for (d <- Seq("_stage", "_oldgen", "_commit"))
+        assert(!Files.exists(Paths.get(s"$root/$d")), s"$d left behind at k=$k")
+    }
+  }
+
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
     val ev = events
     val root = freshRoot()
