@@ -163,12 +163,14 @@ object DedupIngest {
         bandedB.join(keepIds, Seq("id"), "left_semi"))
       keep.write.mode("append").parquet(corpusOut)
     }
-    // the batch's checkpoints (accepted set + probe signatures) are
-    // write-scoped — release deterministically instead of waiting on
-    // the ContextCleaner (a long-lived stream accumulates per-batch
-    // blocks otherwise); `novel` is unreachable after this frame and
-    // GC-collected
-    Seq(keep, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
+    // the batch's checkpoints are write-scoped — release
+    // deterministically instead of waiting on the ContextCleaner (a
+    // long-lived stream accumulates per-batch blocks otherwise).
+    // Releasing `acc` (lazy, already consumed into `keep`) walks its
+    // plan's leaves and frees the gate's INTERIOR checkpoints too —
+    // `novel` and the components run's final label set — which have no
+    // other release point
+    Seq(keep, acc, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
   }
 
   /** Initialize the index root from a (possibly empty) seed corpus. */

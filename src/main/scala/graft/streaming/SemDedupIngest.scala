@@ -135,15 +135,17 @@ object SemDedupIngest {
       vecCol: String,
       threshold: Double
   ): Unit = {
-    val keep = acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold).localCheckpoint()
+    val acc = acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold)
+    val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
       Similarity.appendToIvfIndexPre(keep, indexPath)
     }
-    // keep (and the fresh checkpoint its lineage-severed plan consumed)
-    // is write-scoped — release deterministically instead of waiting on
-    // the ContextCleaner (a long-lived stream accumulates per-batch
-    // blocks otherwise)
-    graft.Checkpoints.release(keep)
+    // the batch's checkpoints are write-scoped — release
+    // deterministically instead of waiting on the ContextCleaner (a
+    // long-lived stream accumulates per-batch blocks otherwise);
+    // releasing `acc` (lazy, already consumed into `keep`) frees the
+    // gate's interior `fresh` checkpoint through its plan leaves
+    Seq(keep, acc).foreach(graft.Checkpoints.release(_))
   }
 
   /** The streaming entry: gate every micro-batch of `source` (carrying
