@@ -945,36 +945,48 @@ object Queries {
     // Stage boundaries are localCheckpoint'ed: every stage feeds TWO+
     // consumers (its filter computation and the carry-forward join), and
     // without the checkpoint each consumer re-executes the ENTIRE
-    // upstream pipeline — measured 40 s vs ~8 s at sf0.1. Blocks are
-    // bounded by the (shrinking) corpus and released by Bench's
-    // inter-query sweep. At 100 TB the same boundaries are parquet
-    // materializations between pipeline jobs.
+    // upstream pipeline — measured 40 s vs ~8 s at sf0.1. Each stage's
+    // EAGER checkpoint makes its predecessor's blocks dead (lineage is
+    // severed), so stage k-1 is released as soon as stage k lands —
+    // live storage is ONE shrinking stage, not six (round 9; before the
+    // Checkpoints.release fix the inline "releases" here would have
+    // been silent no-ops anyway). Only the LAST checkpoint survives the
+    // call: the returned lazy plan reads it. At 100 TB the same
+    // boundaries are parquet materializations between pipeline jobs.
     // 1. redact (projection; a no-op on PII-free rows by construction)
     val redacted = docs.select($"doc_id", TextOps.redactPii($"text").as("text")).localCheckpoint()
     // 2. Gopher quality gate (defaults)
     val kept = redacted.join(
       TextOps.gopherQuality(redacted, "doc_id", "text").filter($"keep_doc").select("doc_id"),
       Seq("doc_id")).localCheckpoint()
+    graft.Checkpoints.release(redacted)
     // 3. exact dedup: drop non-keeper group members
     val exactDeduped = kept.join(
       Dedup.exactDuplicates(kept, "doc_id", "text")
         .filter($"doc_id" =!= $"keeper_id").select("doc_id"),
       Seq("doc_id"), "left_anti").localCheckpoint()
-    // 4. near-dup cluster resolution (components keeper, min id)
-    val nearDeduped = Dedup.keepersOnly(
+    graft.Checkpoints.release(kept)
+    // 4. near-dup cluster resolution (components keeper, min id);
+    // releasing the PRE-checkpoint frame frees every dead leaf at once:
+    // exactDeduped AND the components run's final label checkpoint
+    val nd0 = Dedup.keepersOnly(
       exactDeduped, "doc_id",
       Dedup.connectedComponents(
-        Dedup.minhashLshPairs(exactDeduped, "doc_id", "text"), "id_a", "id_b")).localCheckpoint()
+        Dedup.minhashLshPairs(exactDeduped, "doc_id", "text"), "id_a", "id_b"))
+    val nearDeduped = nd0.localCheckpoint()
+    graft.Checkpoints.release(nd0)
     // 5. decontaminate vs the raw benchmark slice
     val clean = Dedup.decontaminate(
       nearDeduped,
       docsAll.filter(pmod($"doc_id", lit(101)) === 0).select("doc_id", "text"),
       "doc_id", "text").localCheckpoint()
+    graft.Checkpoints.release(nearDeduped)
     // 6a. dup-span coverage flag; 6b. strip repeated spans, drop emptied docs
     val unflagged = clean.join(
       TextOps.dupSpanStats(clean, "doc_id", "text", n = QueryParams.X12SpanWidth, maxDupSpanFrac = 0.5)
         .filter($"keep_doc").select("doc_id"),
       Seq("doc_id")).localCheckpoint()
+    graft.Checkpoints.release(clean)
     val despanned = unflagged
       .drop("text")
       .join(
