@@ -86,8 +86,9 @@ object DedupIngest {
     val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol).localCheckpoint()
     // signatures are checkpointed too: they'd otherwise stay lazy and
     // the append would re-run the shingling the probe already paid for
-    // (blocks are bounded by the batch and released by the context
-    // cleaner once the batch's RDDs go unreachable)
+    // (blocks are bounded by the batch; [[ingestBatch]] releases them
+    // deterministically after its appends — a bare [[accepted]] caller
+    // leaves them to the context cleaner)
     val (h0, b0) = Dedup.batchSignatures(spark, s"$root/minhash", novel, idCol, textCol)
     val (hashedB, bandedB) = (h0.localCheckpoint(), b0.localCheckpoint())
     val pairs = Dedup.incrementalLshPairsPre(spark, s"$root/minhash", hashedB, bandedB, threshold)
