@@ -56,7 +56,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     only after every bucket landed.
   * [[recover]] runs automatically at the start of every [[upsert]];
   * [[read]] FAILS LOUDLY if a commit marker is present rather than
-  * serving a half-swapped table. Single-writer by contract (the
+  * serving a half-swapped table. The protocol assumes HDFS-like
+  * directory rename (cheap, atomic per rename) — on an object store,
+  * map the swap step to a manifest/table-format commit instead (the
+  * [[Compaction]] caveat; rename-as-copy would make the crash window
+  * proportional to bucket size). Single-writer by contract (the
   * reference's Redis processor is one consumer loop); a concurrent
   * reader during the swap window of a healthy run can observe a bucket
   * mid-rename — run readers through [[read]] after [[recover]] on a
