@@ -300,8 +300,9 @@ object Queries {
       .events(spark, dir)
       .select("user_id", "event_id", "ts_us", "event_type", "value")
     val root = QueryParams.indexScratch("s5_latest", dir)
-    // v2: _config format gained pinned key/order types (list columns)
-    val stamp = s"s5 v2 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    // v3: generation-manifest layout (atomic manifest commits, full
+    // pinned schema) — stale v2 rename-swap scratch must re-seed
+    val stamp = s"s5 v3 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
     QueryParams.seedOnce(spark, root, stamp) {
       graft.io.LatestUpsert.init(
         spark, root, ev.filter(pmod($"event_id", lit(3)) === 0),

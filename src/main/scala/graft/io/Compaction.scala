@@ -208,19 +208,16 @@ object Compaction {
   def compactIvfPqIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
     compact(spark, path, Seq("cell"), filesPerPartition = filesPerPartition)
 
-  /** Compact a [[LatestUpsert]] artifact: every merge leaves one file
-    * set per task per touched bucket, so a long-running stream grows
-    * many small files per `kb=` dir — this collapses each bucket to
-    * `filesPerPartition` files while preserving the kb layout (probe
-    * pruning still plans on the partition column) and the `_config`
-    * sidecar (it lives at the artifact root, a sibling of `latest/`,
-    * untouched by the swap). Refuses to run over an interrupted commit
-    * (compacting a half-swapped table would bake the damage in):
-    * recovery is rolled forward first — single-writer maintenance
-    * window, same contract as every other compaction here.
+  /** Compact a [[LatestUpsert]] artifact — delegates to
+    * [[LatestUpsert.compact]], which rewrites the current generation's
+    * buckets into a fresh generation and commits it through the SAME
+    * atomic manifest publish as a merge. Unlike the tree-swap
+    * compactions above, this one has NO crash window and no
+    * reader-visible intermediate state: a crash at any point leaves the
+    * previous generation current, and readers racing the compaction see
+    * old or new, never partial. (The other artifacts' two-rename swap
+    * remains the documented single-writer maintenance-window contract.)
     */
-  def compactLatestTable(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
-    LatestUpsert.recover(spark, root)
-    compact(spark, s"$root/latest", Seq("kb"), filesPerPartition = filesPerPartition)
-  }
+  def compactLatestTable(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit =
+    LatestUpsert.compact(spark, root, filesPerPartition)
 }

@@ -18,82 +18,121 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * fine when the WHOLE keyspace is in every batch). This is the
   * incremental form a 100 TB event stream needs: each batch touches a
   * tiny fraction of keys, so rewriting the full latest table per batch
-  * is O(keyspace) wasted IO. Layout: rows partitioned by
-  * `kb = pmod(xxhash64(key), buckets)` with the layout parameters in an
-  * in-root `_config` sidecar (the minhash/IVF index discipline — layout
-  * parameters live WITH the artifact so writer and prober cannot
-  * drift). The sidecar also pins the KEY/ORDER COLUMN TYPES of the
-  * seed: `xxhash64` hashes by physical type, so a batch whose key
-  * column type drifted (INT user_id vs the seed's BIGINT) would bucket
-  * the same key value differently and leave two "latest" rows for one
-  * key across buckets. [[upsert]] validates every batch against the
-  * pinned schema and fails loudly on name or type drift.
+  * is O(keyspace) wasted IO.
+  *
+  * == Layout (generation-manifest) ==
+  *
+  * {{{
+  * root/_config                  # layout + FULL pinned schema sidecar
+  * root/_manifests/m<gen>        # committed manifests (see below)
+  * root/data/g<gen>/kb=<b>/...   # immutable per-generation bucket dirs
+  * }}}
+  *
+  * Rows are bucketed by `kb = pmod(xxhash64(keyCols), buckets)`; each
+  * commit writes the merged TOUCHED buckets into a fresh generation
+  * directory and publishes a manifest `m<gen>` — a tiny file holding the
+  * COMPLETE bucket→directory mapping for that generation (touched
+  * buckets point at the new dirs, untouched buckets keep pointing at
+  * the dirs of earlier generations). The current table is defined by
+  * the highest-numbered manifest; generation data dirs are IMMUTABLE
+  * once written.
+  *
+  * The `_config` sidecar pins the layout (`buckets`, key/order columns)
+  * AND the full seed schema — every column name and type. `xxhash64`
+  * hashes by physical type, so a key-column type drift (INT user_id vs
+  * the seed's BIGINT) would bucket the same key value differently and
+  * leave two "latest" rows for one key; a VALUE-column drift would
+  * persist mixed physical types across generations and fail at a later
+  * scan instead of at upsert. [[upsert]] validates every batch against
+  * the pinned schema and fails loudly on any name or type drift.
+  *
+  * == Commit protocol (atomic manifest publish) ==
   *
   * Per-batch merge, in order:
   *   1. assign each batch row its deterministic key bucket (scan-local);
   *   2. collect the batch's TOUCHED bucket set (bounded by `buckets`,
-  *      a driver-side isin literal — the `ivfTopKIndexed` move);
-  *   3. read ONLY those bucket directories of the existing table
-  *      (planning-time partition pruning, spec-pinned);
+  *      a driver-side collect — the `ivfTopKIndexed` move);
+  *   3. read ONLY those buckets' directories of the current generation
+  *      (path-level pruning: untouched dirs are not even listed);
   *   4. per-key `max_by(row, (orderCols))` over existing ∪ batch —
   *      latest-wins with a TOTAL deterministic order;
-  *   5. `localCheckpoint` (the merge reads the files it is about to
-  *      replace — an eagerly materialized result severs that lineage,
-  *      the [[graft.streaming.DedupIngest.ingestBatch]] hazard);
-  *   6. two-phase swap of just the touched directories (below).
+  *   5. write the merged buckets to the NEXT generation dir,
+  *      repartitioned by bucket (one writing task per touched bucket →
+  *      one right-sized file set per bucket per generation — the table
+  *      never accumulates small files in steady state);
+  *   6. publish manifest `m<gen+1>` — written to a dot-temp and renamed
+  *      into place, so the manifest appears fully formed or not at all;
+  *   7. GC: drop manifests older than the previous generation and any
+  *      data dir no retained manifest references.
   *
-  * Commit protocol (crash-safe, roll-forward): the merged buckets are
-  * fully staged under `root/_stage`, then a `root/_commit` marker
-  * naming the touched buckets is created atomically (temp + rename),
-  * and only then is each touched bucket swapped: current dir renamed
-  * aside to `root/_oldgen`, staged dir renamed in. A crash anywhere
-  * leaves a recoverable state machine:
-  *   - before the marker: the half-written stage is garbage; the next
-  *     [[upsert]] discards it (no bucket was touched yet);
-  *   - after the marker: the stage is complete by construction, so
-  *     recovery ROLLS FORWARD — any bucket still in the stage is
-  *     swapped in, idempotently, and the old generation is dropped
-  *     only after every bucket landed.
-  * [[recover]] runs automatically at the start of every [[upsert]];
-  * [[read]] FAILS LOUDLY if a commit marker is present rather than
-  * serving a half-swapped table. The protocol assumes HDFS-like
-  * directory rename (cheap, atomic per rename) — on an object store,
-  * map the swap step to a manifest/table-format commit instead (the
-  * [[Compaction]] caveat; rename-as-copy would make the crash window
-  * proportional to bucket size). Single-writer by contract (the
-  * reference's Redis processor is one consumer loop); a concurrent
-  * reader during the swap window of a healthy run can observe a bucket
-  * mid-rename — run readers through [[read]] after [[recover]] on a
-  * separate session if the stream crashed.
+  * The commit point is the SINGLE small-file create in step 6. This is
+  * atomic on HDFS/POSIX (file rename) and safe on object stores too —
+  * a new-key PUT of one small object appears fully formed to readers,
+  * unlike the directory rename-swap this replaced (rename-as-copy over
+  * a bucket's data files left a crash window proportional to bucket
+  * size, and a healthy-run reader could observe a bucket mid-rename).
+  * Here a reader NEVER observes partial state on any filesystem: it
+  * resolves the newest manifest and reads only immutable directories
+  * that manifest references. A reader racing a commit sees either the
+  * old generation or the new one, bit-exact.
   *
-  * Replay semantics (for SUCCESSFULLY COMMITTED batches): the merge is
-  * idempotent at the row level (max is associative, commutative,
-  * idempotent), so a replayed batch re-merges to the IDENTICAL bucket
-  * content; batch ORDER between disjoint key sets is immaterial, and
-  * for the same key the (orderCols) max is order-free by construction.
-  * The end state after any interleaving of committed upserts equals the
-  * one-shot latest-per-key over the union of all rows ever upserted —
-  * which is exactly what the DuckDB oracle recomputes. A batch
-  * interrupted MID-COMMIT is not lost either — the marker + complete
-  * stage make the commit re-playable by [[recover]], which is what
-  * upgrades row-level idempotence into crash safety.
+  * Crash recovery is correspondingly trivial — there is no roll-forward
+  * state machine. A crash anywhere before step 6 leaves unreferenced
+  * `data/g<gen+1>` garbage (and possibly a dot-temp manifest), which
+  * [[recover]] deletes; the interrupted batch is simply replayed. A
+  * crash after step 6 is a COMMITTED batch with pending GC, which
+  * [[recover]] finishes idempotently. [[recover]] runs automatically at
+  * the start of every [[upsert]]; [[read]] needs no recovery call ever.
   *
-  * 100 TB shape: the existing-table read scans touched buckets only
-  * (batch-key-spread-bounded IO, never O(keyspace)); the merge
-  * shuffles ONLY those buckets' rows plus the batch (one exchange on
-  * the key); the rewrite IO is the same touched subset. `buckets`
-  * bounds the bucket directory count the way the dedup indexes' bucket
-  * knobs do — size it so a bucket's latest rows fit an executor
-  * comfortably (keyspace/buckets rows, one row per key). Long-running
-  * streams leave one file set per touched bucket per batch — compact
-  * with [[Compaction.compactLatestTable]] during maintenance windows.
+  * Reader grace: GC retains the previous generation's manifest and all
+  * dirs it references, so a reader that resolved its manifest just
+  * before a commit can finish scanning through ONE subsequent commit;
+  * only a reader that lags two or more commits behind can race GC (size
+  * the retention up by keeping more manifests if readers are slower
+  * than the batch cadence — the knob is [[retainedManifests]]).
+  *
+  * Single WRITER by contract (the reference's Redis processor is one
+  * consumer loop); readers are unrestricted.
+  *
+  * == Replay semantics ==
+  *
+  * For committed batches the merge is idempotent at the row level (max
+  * is associative, commutative, idempotent), so a replayed batch
+  * re-merges to identical bucket content; batch ORDER between disjoint
+  * key sets is immaterial, and for the same key the (orderCols) max is
+  * order-free by construction. The end state after any interleaving of
+  * committed upserts equals the one-shot latest-per-key over the union
+  * of all rows ever upserted — exactly what the DuckDB oracle
+  * recomputes. An uncommitted batch is wholly invisible (the manifest
+  * never flipped) and replays from scratch.
+  *
+  * == 100 TB shape ==
+  *
+  * The existing-table read lists and scans touched buckets only
+  * (batch-key-spread-bounded IO, never O(keyspace)); the merge shuffles
+  * ONLY those buckets' rows plus the batch (one exchange on the key,
+  * one on the bucket for file sizing); the rewrite IO is the same
+  * touched subset. Unlike the rename-swap design, the merge never reads
+  * files it is about to replace — generations are immutable and the old
+  * one outlives the commit — so no lineage-severing checkpoint (and its
+  * full materialization) is needed per batch. `buckets` bounds the
+  * directory count; size it so a bucket's latest rows fit an executor
+  * comfortably (keyspace/buckets rows, one row per key). Steady-state
+  * file hygiene is by construction (step 5); [[compact]] exists to
+  * re-coalesce after config experiments and rides the SAME manifest
+  * commit, so it has no crash window either.
   */
 object LatestUpsert {
 
+  /** Manifests (and the generations they reference) retained by GC
+    * beyond the current one — the reader-grace knob (see class doc).
+    */
+  val retainedManifests = 2
+
   /** Initialize the artifact from a seed event set (possibly empty):
-    * latest-per-key of the seed, bucket-partitioned, plus the
-    * `_config` sidecar pinning (buckets, key/order column names AND
-    * types).
+    * latest-per-key of the seed as generation 0, plus the `_config`
+    * sidecar pinning (buckets, key/order columns, and the FULL seed
+    * schema — every column's name and type).
     */
   def init(
       spark: SparkSession,
@@ -109,61 +148,102 @@ object LatestUpsert {
     // start from nothing, seed with the first batch instead
     require(!seed.isEmpty, "seed must be non-empty; bootstrap with the first batch as the seed")
     import spark.implicits._
-    latestPerKey(withBucket(seed, keyCols, buckets), keyCols, orderCols)
-      .write
-      .mode("overwrite")
-      .partitionBy("kb")
-      .parquet(s"$root/latest")
+    val fs = fsOf(spark, root)
+    configCache.remove(root)
+    fs.delete(new Path(s"$root/data"), true)
+    fs.delete(manifestsPath(root), true)
+    val seeded = withBucket(latestPerKey(seed, keyCols, orderCols), keyCols, buckets)
+    val present = writeGeneration(spark, root, 0L, seeded, buckets)
     def types(cols: Seq[String]): Seq[String] =
       cols.map(c => seed.schema(c).dataType.catalogString)
+    val allCols = seed.columns.toSeq
     // list columns, not comma-joined strings: a column name containing
     // a comma must round-trip; types pinned per column
-    Seq((buckets, keyCols, types(keyCols), orderCols, types(orderCols)))
-      .toDF("buckets", "key_cols", "key_types", "order_cols", "order_types")
+    Seq((buckets, keyCols, types(keyCols), orderCols, types(orderCols), allCols, types(allCols)))
+      .toDF("buckets", "key_cols", "key_types", "order_cols", "order_types", "all_cols", "all_types")
       .coalesce(1)
       .write
       .mode("overwrite")
       .parquet(s"$root/_config")
+    publishManifest(fs, root, 0L, present.map(b => b -> relPath(0L, b)).toMap)
   }
 
-  private case class Config(
+  private[graft] case class Config(
       buckets: Int,
       keyCols: Seq[String],
       keyTypes: Seq[String],
       orderCols: Seq[String],
-      orderTypes: Seq[String]
+      orderTypes: Seq[String],
+      allCols: Seq[String],
+      allTypes: Seq[String]
   )
 
-  private def readConfig(spark: SparkSession, root: String): Config = {
-    val r = spark.read.parquet(s"$root/_config").collect().head
+  /** `_config` is immutable for the life of an artifact (only [[init]] /
+    * [[migrate]] rewrite it, and they drop the entry), so cache per
+    * root — upsert/read/compact consult it on every call.
+    */
+  private val configCache = new java.util.concurrent.ConcurrentHashMap[String, Config]()
+
+  private[graft] def readConfig(spark: SparkSession, root: String): Config =
+    configCache.computeIfAbsent(root, _ => readConfigUncached(spark, root))
+
+  private def readConfigUncached(spark: SparkSession, root: String): Config = {
+    val df = spark.read.parquet(s"$root/_config")
+    val isV1 = df.schema.fields.exists(f =>
+      f.name == "key_cols" && f.dataType == org.apache.spark.sql.types.StringType)
+    require(
+      !isV1,
+      s"latest-value table at $root has a v1 _config (comma-joined string columns) — " +
+        "run LatestUpsert.migrate(spark, root) to upgrade the artifact in place")
+    val r = df.collect().head
     Config(
       r.getInt(0),
       r.getSeq[String](1), r.getSeq[String](2),
-      r.getSeq[String](3), r.getSeq[String](4))
+      r.getSeq[String](3), r.getSeq[String](4),
+      r.getSeq[String](5), r.getSeq[String](6))
   }
 
-  /** Fail loudly if `batch` is missing a pinned key/order column or
-    * carries it at a drifted type — type drift would silently corrupt
-    * bucket assignment (xxhash64 hashes by physical type), leaving two
-    * "latest" rows for one key.
+  /** Fail loudly if `batch` drifts from the pinned seed schema in ANY
+    * column — missing, extra, or type-drifted. Key/order drift would
+    * silently corrupt bucket assignment (xxhash64 hashes by physical
+    * type, leaving two "latest" rows for one key); value drift would
+    * persist mixed physical types across generations and fail at a
+    * later scan instead of here.
     */
   private def validateBatch(batch: DataFrame, cfg: Config): Unit = {
-    (cfg.keyCols ++ cfg.orderCols).zip(cfg.keyTypes ++ cfg.orderTypes).foreach {
-      case (c, t) =>
-        val f = batch.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"latest-upsert batch is missing pinned column '$c' (artifact schema: " +
-              s"keys=${cfg.keyCols.mkString(",")} order=${cfg.orderCols.mkString(",")})"))
-        require(
-          f.dataType.catalogString == t,
-          s"latest-upsert batch column '$c' has type ${f.dataType.catalogString} but the " +
-            s"artifact was seeded with $t — type drift changes xxhash64 bucket assignment " +
-            "and would silently duplicate keys across buckets; cast the batch to the seed schema")
+    val pinned = cfg.allCols.zip(cfg.allTypes).toMap
+    batch.schema.fields.foreach { f =>
+      require(
+        pinned.contains(f.name),
+        s"latest-upsert batch carries column '${f.name}' that is not in the pinned artifact " +
+          s"schema (${cfg.allCols.mkString(", ")}) — drop it or re-init the artifact")
+    }
+    cfg.allCols.zip(cfg.allTypes).foreach { case (c, t) =>
+      val f = batch.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"latest-upsert batch is missing pinned column '$c' (artifact schema: " +
+            s"${cfg.allCols.mkString(", ")})"))
+      val role =
+        if (cfg.keyCols.contains(c) || cfg.orderCols.contains(c))
+          "type drift changes xxhash64 bucket assignment and would silently duplicate keys across buckets"
+        else
+          "type drift would persist mixed physical types across generations and fail at a later scan"
+      require(
+        f.dataType.catalogString == t,
+        s"latest-upsert batch column '$c' has type ${f.dataType.catalogString} but the " +
+          s"artifact was seeded with $t — $role; cast the batch to the seed schema")
     }
   }
 
   private def withBucket(df: DataFrame, keyCols: Seq[String], buckets: Int): DataFrame =
     df.withColumn("kb", pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int"))
+
+  /** The pinned row schema (no `kb` — the bucket is directory layout,
+    * not data), so generation scans skip footer-based inference.
+    */
+  private def pinnedSchema(cfg: Config): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      cfg.allCols.zip(cfg.allTypes).map { case (c, t) => s"`$c` $t" }.mkString(", "))
 
   /** One row per key: `max_by(full row, (orderCols struct))`. The order
     * struct must be a TOTAL order per key (e.g. (ts, event_id)) or
@@ -183,92 +263,173 @@ object LatestUpsert {
       .select(keyCols.map(col) ++ payload.map(c => col(s"latest.$c").as(c)): _*)
   }
 
+  // ── generation/manifest mechanics ──────────────────────────────────
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestsPath(root: String) = new Path(s"$root/_manifests")
+  private def genName(gen: Long) = f"g$gen%012d"
+  private def manifestName(gen: Long) = f"m$gen%012d"
+  private def relPath(gen: Long, bucket: Int) = s"data/${genName(gen)}/kb=$bucket"
+
+  /** Refuse to operate on a pre-manifest (rename-swap) artifact — its
+    * `latest/` tree and `_commit` protocol are not understood by this
+    * layout; [[migrate]] upgrades it in place.
+    */
+  private def requireManifestLayout(fs: FileSystem, root: String): Unit =
+    require(
+      !fs.exists(new Path(s"$root/latest")) && !fs.exists(new Path(s"$root/_commit")),
+      s"latest-value table at $root uses the legacy rename-swap layout " +
+        "(latest/ dirs, _commit marker) — run LatestUpsert.migrate(spark, root) to upgrade " +
+        "it in place to the generation-manifest layout")
+
+  /** Highest committed generation, from the manifest listing. None ⇒
+    * uninitialized (or interrupted [[init]] — re-run init).
+    */
+  private[graft] def currentGen(fs: FileSystem, root: String): Option[Long] = {
+    val dir = manifestsPath(root)
+    if (!fs.exists(dir)) None
+    else {
+      val gens = fs.listStatus(dir).map(_.getPath.getName).collect {
+        case n if n.matches("m\\d{12}") => n.stripPrefix("m").toLong
+      }
+      if (gens.isEmpty) None else Some(gens.max)
+    }
+  }
+
+  /** The complete bucket→directory mapping of generation `gen`
+    * (root-relative paths).
+    */
+  private[graft] def readManifest(fs: FileSystem, root: String, gen: Long): Map[Int, String] = {
+    val in = fs.open(new Path(manifestsPath(root), manifestName(gen)))
+    val s =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    s.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(b, p) = line.split("\t", 2)
+      b.toInt -> p
+    }.toMap
+  }
+
+  /** Atomic commit point: the manifest is written to a dot-temp (never
+    * a candidate for [[currentGen]]) and renamed into place as ONE
+    * small file — it appears fully formed or not at all, on any
+    * filesystem (see class doc).
+    */
+  private def publishManifest(fs: FileSystem, root: String, gen: Long, m: Map[Int, String]): Unit = {
+    fs.mkdirs(manifestsPath(root))
+    val tmp = new Path(manifestsPath(root), s".tmp-${manifestName(gen)}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      m.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    require(
+      fs.rename(tmp, new Path(manifestsPath(root), manifestName(gen))),
+      s"latest-upsert: could not publish manifest $gen at $root (concurrent writer?)")
+  }
+
+  /** Write `df` (bucketed rows, `kb` column present) as generation
+    * `gen`, one writing task per bucket (`repartition` on the bucket
+    * column) so each bucket dir gets one right-sized file set. Returns
+    * the buckets present in the written generation.
+    */
+  private def writeGeneration(
+      spark: SparkSession,
+      root: String,
+      gen: Long,
+      df: DataFrame,
+      buckets: Int
+  ): Seq[Int] = {
+    df.repartition(math.min(buckets, 1 << 12), col("kb"))
+      .write
+      .mode("overwrite")
+      .partitionBy("kb")
+      .parquet(s"$root/data/${genName(gen)}")
+    val fs = fsOf(spark, root)
+    fs.listStatus(new Path(s"$root/data/${genName(gen)}"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("kb=") => n.stripPrefix("kb=").toInt }
+      .toSeq
+  }
+
+  /** Delete everything no retained manifest references: manifests older
+    * than `current - retainedManifests + 1`, data dirs (committed-and-
+    * superseded OR staged-and-never-committed) outside the retained
+    * mapping, and dot-temp manifest remnants. Idempotent; every step is
+    * a pure delete of unreferenced state, safe to re-run after a crash
+    * at any point.
+    */
+  private def gc(fs: FileSystem, root: String, current: Long): Unit = {
+    val keepGens = (math.max(0L, current - retainedManifests + 1) to current)
+      .filter(g => fs.exists(new Path(manifestsPath(root), manifestName(g))))
+    val referenced: Set[String] = keepGens.flatMap(g => readManifest(fs, root, g).values).toSet
+    // stale + temp manifests
+    fs.listStatus(manifestsPath(root)).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n.matches("m\\d{12}") && n.stripPrefix("m").toLong < keepGens.min
+      if (stale || n.startsWith(".tmp-")) fs.delete(st.getPath, false)
+    }
+    // unreferenced bucket dirs, then empty generation dirs
+    val data = new Path(s"$root/data")
+    if (fs.exists(data)) fs.listStatus(data).foreach { gen =>
+      if (gen.isDirectory) {
+        val genRel = s"data/${gen.getPath.getName}"
+        fs.listStatus(gen.getPath).foreach { kb =>
+          if (kb.getPath.getName.startsWith("kb=") && !referenced.contains(s"$genRel/${kb.getPath.getName}"))
+            fs.delete(kb.getPath, true)
+        }
+        if (!fs.listStatus(gen.getPath).exists(_.getPath.getName.startsWith("kb=")))
+          fs.delete(gen.getPath, true)
+      }
+    }
+  }
+
+  /** Finish pending GC and discard uncommitted staged state. With the
+    * manifest protocol this is pure garbage collection — there is no
+    * roll-forward: an interrupted commit never flipped the manifest, so
+    * its staged generation is invisible garbage and the batch replays.
+    * Safe to call any time the writer holds the artifact exclusively;
+    * called automatically by [[upsert]]. Readers never need it.
+    */
+  def recover(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
+    currentGen(fs, root).foreach(gc(fs, root, _))
+  }
+
   /** The merge PLAN for one batch (pre-materialization), with the
     * touched bucket set: package-visible so the pruning spec can lint
     * the exact plan [[upsert]] executes. None when the batch is empty.
+    * The existing-side read lists ONLY the touched buckets' current
+    * directories — path-level pruning, untouched dirs never appear in
+    * the scan.
     */
   private[graft] def mergedForBatch(
       spark: SparkSession,
       root: String,
       batch: DataFrame
   ): Option[(DataFrame, Seq[Int])] = {
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
     val cfg = readConfig(spark, root)
     validateBatch(batch, cfg)
     val b = withBucket(batch, cfg.keyCols, cfg.buckets)
     // bounded driver collect: ≤ `buckets` distinct values by construction
-    val touched = b.select("kb").distinct().collect().map(_.getInt(0)).toSeq
+    val touched = b.select("kb").distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) None
     else {
-      val existing = spark.read
-        .parquet(s"$root/latest")
-        .filter(col("kb").isin(touched: _*)) // planning-time partition pruning
-      Some((latestPerKey(existing.unionByName(b), cfg.keyCols, cfg.orderCols), touched))
-    }
-  }
-
-  private def fsOf(spark: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def markerPath(root: String) = new Path(s"$root/_commit")
-  private def stagePath(root: String) = new Path(s"$root/_stage")
-  private def oldgenPath(root: String) = new Path(s"$root/_oldgen")
-
-  /** Atomic marker create: content written to a temp path, renamed into
-    * place — a reader never observes a half-written marker.
-    */
-  private def writeMarker(fs: FileSystem, root: String, touched: Seq[Int]): Unit = {
-    val tmp = new Path(s"$root/_commit.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(touched.mkString(",").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, markerPath(root)), s"latest-upsert: could not publish commit marker at $root")
-  }
-
-  private def readMarker(fs: FileSystem, root: String): Seq[Int] = {
-    val in = fs.open(markerPath(root))
-    val s =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    s.split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-  }
-
-  /** Swap each touched bucket: current dir aside to `_oldgen`, staged
-    * dir in. Idempotent — a bucket whose staged dir is already gone has
-    * already landed (recovery re-run) and is skipped.
-    */
-  private def commitBuckets(fs: FileSystem, root: String, touched: Seq[Int]): Unit = {
-    fs.mkdirs(oldgenPath(root))
-    touched.foreach { b =>
-      val stg = new Path(stagePath(root), s"kb=$b")
-      if (fs.exists(stg)) {
-        val cur = new Path(s"$root/latest/kb=$b")
-        if (fs.exists(cur)) {
-          val old = new Path(oldgenPath(root), s"kb=$b")
-          fs.delete(old, true) // an interrupted PREVIOUS attempt's copy
-          require(fs.rename(cur, old), s"latest-upsert: could not move aside bucket $b at $root")
-        }
-        require(fs.rename(stg, cur), s"latest-upsert: could not swap in bucket $b at $root")
-      }
-    }
-    // every bucket landed — drop the old generation, then the stage
-    // remnants, then the marker LAST (marker present ⇒ re-runnable)
-    fs.delete(oldgenPath(root), true)
-    fs.delete(stagePath(root), true)
-    fs.delete(markerPath(root), true)
-  }
-
-  /** Finish or discard an interrupted commit. Marker present ⇒ the
-    * stage was complete when the crash hit ⇒ roll FORWARD (idempotent
-    * re-run of the bucket swaps). No marker ⇒ any stage/oldgen remnant
-    * is pre-marker garbage ⇒ discard. Safe to call any time the writer
-    * holds the artifact exclusively; called automatically by [[upsert]].
-    */
-  def recover(spark: SparkSession, root: String): Unit = {
-    val fs = fsOf(spark, root)
-    if (fs.exists(markerPath(root))) commitBuckets(fs, root, readMarker(fs, root))
-    else {
-      fs.delete(stagePath(root), true)
-      fs.delete(oldgenPath(root), true)
+      val gen = currentGen(fs, root).getOrElse(
+        throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
+      val manifest = readManifest(fs, root, gen)
+      val existingPaths = touched.flatMap(manifest.get).map(p => s"$root/$p")
+      val existing =
+        if (existingPaths.isEmpty) batch.limit(0) // all-new buckets
+        else spark.read.schema(pinnedSchema(cfg)).parquet(existingPaths: _*)
+      val merged = withBucket(
+        latestPerKey(existing.unionByName(batch), cfg.keyCols, cfg.orderCols),
+        cfg.keyCols, cfg.buckets)
+      Some((merged, touched))
     }
   }
 
@@ -278,43 +439,170 @@ object LatestUpsert {
     * drifted schema fails loudly instead of corrupting buckets.
     */
   def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
-    recover(spark, root) // finish any interrupted commit FIRST
+    recover(spark, root) // drop any uncommitted stage, finish pending GC
     mergedForBatch(spark, root, batch).foreach { case (merged, touched) =>
       val fs = fsOf(spark, root)
-      val m = merged.localCheckpoint() // severs lineage from the files swapped below
-      m.write
-        .mode("overwrite")
-        .partitionBy("kb")
-        .parquet(stagePath(root).toString)
-      graft.Checkpoints.release(m) // checkpoint blocks are write-scoped (Dataset.unpersist is a checkpoint no-op)
-      writeMarker(fs, root, touched) // stage is complete from here on
-      commitBuckets(fs, root, touched)
+      val cfg = readConfig(spark, root)
+      val gen = currentGen(fs, root).get
+      writeGeneration(spark, root, gen + 1, merged, cfg.buckets)
+      val manifest = readManifest(fs, root, gen) ++
+        touched.map(b => b -> relPath(gen + 1, b))
+      publishManifest(fs, root, gen + 1, manifest) // ← the commit point
+      gc(fs, root, gen + 1)
     }
   }
 
-  /** The queryable latest-value table (bucket column dropped — layout is
-    * an implementation detail of the artifact, not its schema). Fails
-    * loudly on an interrupted commit instead of serving a half-swapped
-    * table: run [[recover]] (writer-exclusive) first.
+  /** The queryable latest-value table: the newest committed generation,
+    * read through its manifest. Never observes partial state — the
+    * manifest appeared atomically and references only immutable,
+    * fully-written directories (see class doc for the reader-grace
+    * window vs GC).
     */
   def read(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
+    val gen = currentGen(fs, root).getOrElse(
+      throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
+    val paths = readManifest(fs, root, gen).toSeq.sortBy(_._1).map { case (_, p) => s"$root/$p" }
+    spark.read.schema(pinnedSchema(readConfig(spark, root))).parquet(paths: _*)
+  }
+
+  /** Rewrite the CURRENT generation's buckets into a fresh generation
+    * with `filesPerBucket` files each, committed through the same
+    * atomic manifest publish as [[upsert]] — compaction has no crash
+    * window and no reader-visible intermediate state. Steady-state file
+    * hygiene is already by construction (one writing task per touched
+    * bucket per merge); this is for re-coalescing after
+    * `maxRecordsPerFile`-style splits or layout experiments.
+    */
+  def compact(spark: SparkSession, root: String, filesPerBucket: Int = 1): Unit = {
+    recover(spark, root)
+    val fs = fsOf(spark, root)
+    val cfg = readConfig(spark, root)
+    val gen = currentGen(fs, root).getOrElse(
+      throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
+    val cur = withBucket(read(spark, root), cfg.keyCols, cfg.buckets)
+    val salted =
+      if (filesPerBucket <= 1) cur.repartition(math.min(cfg.buckets, 1 << 12), col("kb"))
+      else cur.repartition(
+        math.min(cfg.buckets * filesPerBucket, 1 << 12),
+        col("kb"),
+        // murmur3 `hash`, NOT xxhash64: kb is xxhash64(keys) mod buckets,
+        // so an xxhash64-derived salt would be constant within a bucket
+        // whenever filesPerBucket divides buckets
+        pmod(hash(cfg.keyCols.map(col): _*), lit(filesPerBucket)))
+    salted.write.mode("overwrite").partitionBy("kb").parquet(s"$root/data/${genName(gen + 1)}")
+    val present = fs.listStatus(new Path(s"$root/data/${genName(gen + 1)}"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("kb=") => n.stripPrefix("kb=").toInt }
+    publishManifest(fs, root, gen + 1, present.map(b => b -> relPath(gen + 1, b)).toMap)
+    gc(fs, root, gen + 1)
+  }
+
+  /** Parquet file count per bucket of the CURRENT generation — the
+    * input to a compaction policy (cheap: lists only current-manifest
+    * dirs, never scans data).
+    */
+  def bucketFileCounts(spark: SparkSession, root: String): Map[Int, Int] = {
+    val fs = fsOf(spark, root)
+    val gen = currentGen(fs, root).getOrElse(return Map.empty)
+    readManifest(fs, root, gen).map { case (b, p) =>
+      b -> fs.listStatus(new Path(s"$root/$p")).count(_.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  /** Threshold-policy maintenance: [[compact]] when any current bucket
+    * exceeds `maxFilesPerBucket` parquet files. Returns true when a
+    * compaction ran. Cheap to call every batch (a listing of ≤
+    * `buckets` dirs); wire it into a streaming `foreachBatch` so a
+    * long-running stream is self-tending.
+    */
+  def maintain(spark: SparkSession, root: String, maxFilesPerBucket: Int = 8): Boolean = {
+    val needs = bucketFileCounts(spark, root).exists(_._2 > maxFilesPerBucket)
+    if (needs) compact(spark, root)
+    needs
+  }
+
+  /** Upgrade a legacy artifact in place to the generation-manifest
+    * layout: reads the old rename-swap `latest/` tree (rolling its
+    * commit protocol forward first if a `_commit` marker is present —
+    * the old marker means the old stage was complete, so the staged
+    * dirs are authoritative) and both `_config` formats (v1 comma-
+    * joined strings, typeless — types are re-derived from the data; v2
+    * list columns with key/order types), then re-inits. The old
+    * protocol's invariant that makes this safe: at any recoverable
+    * point, `latest/kb=b` ∪ `_stage/kb=b` (stage preferred when the
+    * marker names b) holds exactly the committed rows of bucket b.
+    */
+  def migrate(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
     require(
-      !fsOf(spark, root).exists(markerPath(root)),
-      s"latest-value table at $root has an unfinished commit (crash mid-swap) — " +
-        "call LatestUpsert.recover(spark, root) before reading")
-    spark.read.parquet(s"$root/latest").drop("kb")
+      fs.exists(new Path(s"$root/latest")),
+      s"nothing to migrate at $root — no legacy latest/ tree")
+    // roll the legacy commit forward: marker present ⇒ stage complete ⇒
+    // staged buckets are the truth for the buckets the marker names
+    val markerP = new Path(s"$root/_commit")
+    if (fs.exists(markerP)) {
+      val in = fs.open(markerP)
+      val named =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      named.split(",").filter(_.nonEmpty).map(_.toInt).foreach { b =>
+        val stg = new Path(s"$root/_stage/kb=$b")
+        if (fs.exists(stg)) {
+          val cur = new Path(s"$root/latest/kb=$b")
+          fs.delete(cur, true)
+          require(fs.rename(stg, cur), s"migrate: could not land staged bucket $b at $root")
+        }
+      }
+      fs.delete(markerP, false)
+    }
+    Seq("_stage", "_oldgen", "_commit.tmp").foreach(d => fs.delete(new Path(s"$root/$d"), true))
+
+    val old = spark.read.parquet(s"$root/latest").drop("kb")
+    val cfgDf = spark.read.parquet(s"$root/_config")
+    val isV1 = cfgDf.schema.fields.exists(f =>
+      f.name == "key_cols" && f.dataType == org.apache.spark.sql.types.StringType)
+    val r = cfgDf.collect().head
+    val (buckets, keyCols, orderCols) =
+      if (isV1)
+        (r.getInt(r.fieldIndex("buckets")),
+         r.getString(r.fieldIndex("key_cols")).split(",").toSeq,
+         r.getString(r.fieldIndex("order_cols")).split(",").toSeq)
+      else
+        (r.getInt(r.fieldIndex("buckets")),
+         r.getSeq[String](r.fieldIndex("key_cols")),
+         r.getSeq[String](r.fieldIndex("order_cols")))
+    // init rewrites _config at the v3 format (full schema pinned, types
+    // derived from the migrated data's actual physical types) and
+    // publishes generation 0 from the legacy rows
+    val staged = old.localCheckpoint() // init overwrites the dirs `old` reads
+    try init(spark, root, staged, keyCols, orderCols, buckets)
+    finally graft.Checkpoints.release(staged)
+    fs.delete(new Path(s"$root/latest"), true)
   }
 
   /** Streaming entry: maintain the artifact from a stream via
     * `foreachBatch` — the same merge, so streaming ≡ sequential
-    * [[upsert]] calls; an interrupted batch is rolled forward by the
-    * automatic [[recover]] when the restarted stream replays it.
+    * [[upsert]] calls; an interrupted batch never committed (the
+    * manifest is the commit point), so the restarted stream's replay of
+    * it converges to the identical end state. `maxFilesPerBucket`
+    * ≥ 1 adds per-batch threshold [[maintain]]ance so a long-running
+    * stream is self-tending; 0 disables it (steady-state hygiene is by
+    * construction anyway — see [[compact]]).
     */
-  def start(source: DataFrame, root: String, checkpoint: String): StreamingQuery =
+  def start(
+      source: DataFrame,
+      root: String,
+      checkpoint: String,
+      maxFilesPerBucket: Int = 0
+  ): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsert(batch.sparkSession, root, batch)
+        if (maxFilesPerBucket > 0) maintain(batch.sparkSession, root, maxFilesPerBucket)
+        ()
       }
       .start()
 }

@@ -84,17 +84,15 @@ class CompactionSpec extends SparkSpec {
     assert(before.nonEmpty)
   }
 
-  test("latest table: compaction after merges preserves content + kb pruning and collapses files") {
+  test("latest table: compaction after merges preserves content + bucket pruning and collapses files") {
     import graft.io.LatestUpsert
     val ev = Tables
       .events(spark, sf0001)
       .select("user_id", "event_id", "ts_us", "event_type", "value")
     val root = Files.createTempDirectory("latestcompact").toString + "/t"
-    // at production scale each merge leaves one file per writing TASK
-    // per touched bucket; at toy scale AQE coalesces the merge to one
-    // task, so model the accumulation by capping records per file
-    // (composite a2-style key: sf0.001 has only 15 users, too few keys
-    // per bucket for any cap to split)
+    // steady-state file hygiene is by construction (one writing task per
+    // touched bucket per generation), so model an over-split bucket the
+    // way Spark itself produces one: a records-per-file cap
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
     try {
       LatestUpsert.init(
@@ -104,24 +102,29 @@ class CompactionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
 
     def snap() = LatestUpsert.read(spark, root).collect().map(_.toSeq).toSet
+    def currentFiles() = LatestUpsert.bucketFileCounts(spark, root).values.sum
     val before = snap()
-    val (_, filesBefore) = Compaction.dataStats(spark, s"$root/latest")
-    assert(filesBefore > 8, s"5 merges over 8 buckets should exceed one file per bucket ($filesBefore)")
+    val filesBefore = currentFiles()
+    assert(filesBefore > 8, s"capped merges over 8 buckets should exceed one file per bucket ($filesBefore)")
 
     Compaction.compactLatestTable(spark, root)
 
-    val (_, filesAfter) = Compaction.dataStats(spark, s"$root/latest")
+    val filesAfter = currentFiles()
     assert(filesAfter <= 8, s"compaction left $filesAfter files for 8 buckets")
     assert(snap() == before, "compaction changed the latest table's content")
-    // kb layout survived: a post-compaction merge still partition-prunes
+    // bucket layout survived: a post-compaction merge still lists only
+    // the touched bucket's directory (path-level pruning)
     val oneUser = ev.orderBy("user_id", "event_type").limit(1)
       .select("user_id", "event_type").as[(Long, String)].head()
     val oneKey = ev.filter(col("user_id") === oneUser._1 && col("event_type") === oneUser._2)
     val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, oneKey)
     assert(touched.size == 1)
-    val scans = fileScans(merged).filter(_.metadata.getOrElse("Location", "").contains("latestcompact"))
-    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount <= 1),
-      "post-compaction merge read more than the touched bucket")
+    val scans = fileScans(merged)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("latestcompact")))
+    assert(
+      scans.nonEmpty && scans.forall(
+        _.relation.location.rootPaths.forall(_.toString.endsWith(s"kb=${touched.head}"))),
+      "post-compaction merge listed more than the touched bucket dir")
     // and the sidecar still describes the layout (upsert would throw without it)
     LatestUpsert.upsert(spark, root, oneKey)
     assert(snap() == before, "replayed rows changed latest content")

@@ -6,10 +6,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.io.{LatestUpsert, Tables}
 
-/** The incremental latest-value sink (SURVEY S5 at lake scale): merge
-  * semantics, replay/order idempotence, and the two pruning claims —
-  * the existing-table READ plans only touched bucket directories, and
-  * the REWRITE leaves untouched bucket directories physically alone.
+/** The incremental latest-value sink (SURVEY S5 at lake scale) on the
+  * generation-manifest layout: merge semantics, replay/order
+  * idempotence, path-level pruning (the merge lists ONLY touched bucket
+  * dirs), atomic-commit guarantees (a reader racing a commit sees old
+  * or new, never partial — including a reader resolved BEFORE the
+  * commit finishing bit-exact through the grace window), the crash
+  * sweep over every protocol step, bounded on-disk growth under GC, and
+  * legacy-layout migration.
   */
 class LatestUpsertSpec extends SparkSpec {
   import spark.implicits._
@@ -40,6 +44,40 @@ class LatestUpsertSpec extends SparkSpec {
   private def freshRoot(): String =
     Files.createTempDirectory("latestupsert").toString + "/t"
 
+  private def initThirds(root: String, ev: DataFrame, buckets: Int = 16): Unit =
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 3 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = buckets)
+
+  /** All parquet data files under the artifact's data tree, path → size. */
+  private def dataFiles(root: String): Map[String, Long] = {
+    val base = Paths.get(s"$root/data")
+    val walk = Files.walk(base)
+    try walk
+      .filter(p => p.toString.endsWith(".parquet"))
+      .toArray
+      .map { case p: Path => p.toString -> Files.size(p) }
+      .toMap
+    finally walk.close()
+  }
+
+  private def manifestFiles(root: String): Seq[String] = {
+    val dir = Paths.get(s"$root/_manifests")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.toArray.map(_.toString.split('/').last).toSeq.filter(_.matches("m\\d{12}")).sorted
+      finally s.close()
+    }
+  }
+
+  private def genDirs(root: String): Seq[String] = {
+    val dir = Paths.get(s"$root/data")
+    val s = Files.list(dir)
+    try s.toArray.map(_.toString.split('/').last).toSeq.filter(_.startsWith("g")).sorted
+    finally s.close()
+  }
+
   test("empty seed is rejected loudly (a zero-row partitioned write has no readable footers)") {
     val err = intercept[IllegalArgumentException] {
       LatestUpsert.init(
@@ -52,9 +90,7 @@ class LatestUpsertSpec extends SparkSpec {
   test("seed + two merges ≡ one-shot latest-per-key over all events") {
     val ev = events
     val root = freshRoot()
-    LatestUpsert.init(
-      spark, root, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    initThirds(root, ev)
     LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1))
     LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2))
     assert(readSet(root) == oneShotLatest(ev))
@@ -63,10 +99,7 @@ class LatestUpsertSpec extends SparkSpec {
   test("merge is replay-idempotent and batch-order-invariant") {
     val ev = events
     val (r1, r2) = (freshRoot(), freshRoot())
-    for (r <- Seq(r1, r2))
-      LatestUpsert.init(
-        spark, r, ev.filter($"event_id" % 3 === 0),
-        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    for (r <- Seq(r1, r2)) initThirds(r, ev)
     val (b1, b2) = (ev.filter($"event_id" % 3 === 1), ev.filter($"event_id" % 3 === 2))
     // r1: 1 then 2, then REPLAY 2; r2: 2 then 1
     LatestUpsert.upsert(spark, r1, b1)
@@ -79,51 +112,62 @@ class LatestUpsertSpec extends SparkSpec {
     assert(readSet(r2) == afterBoth)
   }
 
-  test("merge READ prunes to touched buckets; REWRITE leaves other dirs untouched") {
+  test("merge READ lists only touched bucket dirs; commit leaves every pre-existing file untouched") {
     val ev = events
     val root = freshRoot()
     LatestUpsert.init(
       spark, root, ev,
       keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
-    val allBuckets = fileScans(spark.read.parquet(s"$root/latest"))
-      .head.selectedPartitions.partitionCount
-    assert(allBuckets > 4, s"seed fills only $allBuckets buckets — pruning unprovable")
+    val allBuckets = genDirs(root).flatMap { g =>
+      val s = Files.list(Paths.get(s"$root/data/$g"))
+      try s.toArray.map(_.toString.split('/').last).toSeq.filter(_.startsWith("kb="))
+      finally s.close()
+    }.distinct
+    assert(allBuckets.size > 4, s"seed fills only ${allBuckets.size} buckets — pruning unprovable")
 
     // a one-user batch touches exactly one bucket
     val oneUser = ev.orderBy("user_id").limit(1).select("user_id").as[Long].head()
     val batch = ev.filter($"user_id" === oneUser)
     val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
     assert(touched.size == 1)
-    val scans = fileScans(merged).filter(_.metadata.getOrElse("Location", "").contains("latestupsert"))
-    assert(scans.nonEmpty, "no scan over the latest table found")
-    scans.foreach { s =>
+    // path-level pruning: the scan over the artifact has ONLY the touched
+    // bucket's directory as a root path — untouched dirs are never listed
+    val artifactScans = fileScans(merged)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("latestupsert")))
+    assert(artifactScans.nonEmpty, "no scan over the latest table found")
+    artifactScans.foreach { s =>
+      val roots = s.relation.location.rootPaths.map(_.toString)
       assert(
-        s.metadata.getOrElse("PartitionFilters", "").contains("kb"),
-        s"no kb partition filter: ${s.metadata.getOrElse("PartitionFilters", "")}")
-      assert(
-        s.selectedPartitions.partitionCount <= 1,
-        s"merge read ${s.selectedPartitions.partitionCount} buckets for a 1-bucket batch")
+        roots.forall(_.endsWith(s"kb=${touched.head}")),
+        s"merge read listed non-touched dirs: $roots")
     }
 
-    // physical stability: files OUTSIDE the touched bucket dir are the
-    // same paths with the same sizes after the rewrite
-    def snapshot(): Map[String, Long] = {
-      val base = Paths.get(s"$root/latest")
-      val walk = Files.walk(base)
-      try walk
-        .filter(p => p.toString.endsWith(".parquet"))
-        .toArray
-        .map { case p: Path => p.toString -> Files.size(p) }
-        .toMap
-      finally walk.close()
-    }
-    val touchedDir = s"kb=${touched.head}"
-    val before = snapshot().filterNot(_._1.contains(touchedDir))
+    // physical stability: generations are immutable and GC retains the
+    // previous manifest's dirs, so EVERY pre-commit file survives the
+    // commit byte-for-byte, and all new files land in the new
+    // generation's touched-bucket dir
+    val before = dataFiles(root)
     LatestUpsert.upsert(spark, root, batch)
-    val after = snapshot().filterNot(_._1.contains(touchedDir))
-    assert(after == before, "bucket swap rewrote untouched bucket directories")
+    val after = dataFiles(root)
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      "commit rewrote or dropped a pre-existing file (generations must be immutable)")
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains(s"kb=${touched.head}")),
+      s"new files outside the touched bucket: $newFiles")
     // and the table still answers correctly
     assert(readSet(root) == oneShotLatest(ev))
+  }
+
+  test("GC bounds on-disk state: many upserts retain ≤2 manifests and ≤3 generation dirs") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    val batch = ev.filter($"event_id" % 3 === 1)
+    (1 to 6).foreach(_ => LatestUpsert.upsert(spark, root, batch)) // replays: content stable
+    assert(manifestFiles(root).size <= 2, s"manifests not GC'd: ${manifestFiles(root)}")
+    // g0 (untouched buckets) + the last two touched generations
+    assert(genDirs(root).size <= 3, s"generation dirs not GC'd: ${genDirs(root)}")
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
   }
 
   test("property: ANY seeded random partition into batches, in ANY order, converges to one-shot latest") {
@@ -146,128 +190,233 @@ class LatestUpsertSpec extends SparkSpec {
     }
   }
 
-  test("batch with drifted key/order column type fails loudly (bucket-assignment corruption guard)") {
+  test("batch drifting from the pinned schema fails loudly — key, value, missing, and extra columns") {
     val ev = events
     val root = freshRoot()
-    LatestUpsert.init(
-      spark, root, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    initThirds(root, ev)
     // INT user_id hashes to a different xxhash64 than the seed's BIGINT
     // for the same key value — must be rejected, not merged
-    val drifted = ev.withColumn("user_id", $"user_id".cast("int"))
-    val err = intercept[IllegalArgumentException] {
-      LatestUpsert.upsert(spark, root, drifted)
+    val keyDrift = intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, ev.withColumn("user_id", $"user_id".cast("int")))
     }
-    assert(err.getMessage.contains("type drift"), err.getMessage)
+    assert(keyDrift.getMessage.contains("type drift"), keyDrift.getMessage)
+    assert(keyDrift.getMessage.contains("bucket assignment"), keyDrift.getMessage)
+    // a drifted VALUE column would persist mixed physical types across
+    // generations and fail at a later scan — reject it here instead
+    val valDrift = intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, ev.withColumn("value", $"value".cast("float")))
+    }
+    assert(valDrift.getMessage.contains("type drift"), valDrift.getMessage)
+    assert(valDrift.getMessage.contains("mixed physical types"), valDrift.getMessage)
     // missing pinned column is equally loud
     val missing = intercept[IllegalArgumentException] {
       LatestUpsert.upsert(spark, root, ev.drop("ts_us"))
     }
     assert(missing.getMessage.contains("missing pinned column"), missing.getMessage)
+    // as is a column the artifact never saw
+    val extra = intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, ev.withColumn("surprise", lit(1)))
+    }
+    assert(extra.getMessage.contains("not in the pinned artifact schema"), extra.getMessage)
     // the artifact is untouched by the rejected batches
     assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
   }
 
-  test("crash BEFORE the commit marker: half-written stage is discarded, next upsert is clean") {
-    val ev = events
-    val root = freshRoot()
-    LatestUpsert.init(
-      spark, root, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
-    // simulate a crash mid-stage-write: stage remnants, NO marker
-    ev.limit(7).withColumn("kb", lit(3))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
-    // marker absent → read serves the intact table
-    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
-    // next upsert discards the garbage stage and commits normally
-    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1))
-    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2))
-    assert(readSet(root) == oneShotLatest(ev))
-    assert(!Files.exists(Paths.get(s"$root/_stage")), "garbage stage not cleaned")
+  /** Reconstruct upsert's exact on-disk progression up to a crash point:
+    * 1 = partial stage (one bucket dir of the new generation), 2 = stage
+    * complete, 3 = stage complete + dot-temp manifest written, 4 =
+    * manifest PUBLISHED (committed) but GC never ran. Returns the staged
+    * generation's expected content.
+    */
+  private def stageUpTo(root: String, batch: DataFrame, crashPoint: Int): Unit = {
+    val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
+    val gen = manifestFiles(root).last.stripPrefix("m").toLong
+    val next = f"g${gen + 1}%012d"
+    if (crashPoint == 1) {
+      merged.filter($"kb" === touched.head)
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$root/data/$next")
+    } else {
+      merged.write.mode("overwrite").partitionBy("kb").parquet(s"$root/data/$next")
+    }
+    if (crashPoint >= 3) {
+      val mf = manifestMap(root, gen) ++ touched.map(b => b -> s"data/$next/kb=$b")
+      val body = mf.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" }.mkString("\n")
+      val name = f"m${gen + 1}%012d"
+      if (crashPoint == 3) Files.writeString(Paths.get(s"$root/_manifests/.tmp-$name"), body)
+      else Files.writeString(Paths.get(s"$root/_manifests/$name"), body)
+    }
   }
 
-  test("crash MID-SWAP (marker present, bucket moved aside): read fails loudly, recover rolls forward") {
+  private def manifestMap(root: String, gen: Long): Map[Int, String] =
+    Files.readString(Paths.get(s"$root/_manifests/" + f"m$gen%012d"))
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }
+      .toMap
+
+  test("crash-point sweep: interruption at EVERY protocol step leaves a readable table and replays to seed+batch") {
+    val ev = events
+    val batch = ev.filter($"event_id" % 3 === 1)
+    val seedOnly = oneShotLatest(ev.filter($"event_id" % 3 === 0))
+    val seedPlusBatch = oneShotLatest(ev.filter($"event_id" % 3 <= 1))
+    for (crashPoint <- 1 to 4) {
+      val root = freshRoot()
+      initThirds(root, ev, buckets = 8)
+      stageUpTo(root, batch, crashPoint)
+      // the table is READABLE at every crash point, with NO recovery
+      // call, and never shows partial state: pre-publish crashes serve
+      // the seed generation bit-exact, a post-publish crash serves the
+      // committed merge bit-exact
+      val expectNow = if (crashPoint <= 3) seedOnly else seedPlusBatch
+      assert(readSet(root) == expectNow, s"crash point $crashPoint served partial state")
+      // replay the batch (what a restarted stream does): recover runs
+      // inside upsert, GC'ing staged garbage / finishing pending GC
+      LatestUpsert.upsert(spark, root, batch)
+      assert(readSet(root) == seedPlusBatch, s"replay after crash point $crashPoint diverged")
+      // artifact is fully tidy again: bounded manifests, no temp files
+      assert(manifestFiles(root).size <= 2, s"crash point $crashPoint left manifests: ${manifestFiles(root)}")
+      val tmps = {
+        val s = Files.list(Paths.get(s"$root/_manifests"))
+        try s.toArray.map(_.toString).toSeq.filter(_.contains(".tmp-"))
+        finally s.close()
+      }
+      assert(tmps.isEmpty, s"crash point $crashPoint left temp manifests: $tmps")
+    }
+  }
+
+  test("a reader resolved BEFORE a commit finishes bit-exact (grace window); two commits later its files are gone") {
     val ev = events
     val root = freshRoot()
-    LatestUpsert.init(
-      spark, root, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    initThirds(root, ev)
+    val seedOnly = oneShotLatest(ev.filter($"event_id" % 3 === 0))
+    // reader resolves the current manifest and its file listing NOW
+    val preReader = LatestUpsert
+      .read(spark, root)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
     val batch = ev.filter($"event_id" % 3 === 1)
-    // reconstruct the exact pre-crash state upsert produces: complete
-    // stage + published marker, then the worst mid-state — one touched
-    // bucket renamed aside (its current dir GONE) with the staged dir
-    // not yet swapped in
-    val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
-    val m = merged.localCheckpoint()
-    m.write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
-    m.unpersist(blocking = false)
+    LatestUpsert.upsert(spark, root, batch)
+    // one commit later: GC retained the previous generation, so the
+    // in-flight reader still scans its immutable files — OLD table,
+    // bit-exact, no error (the concurrent-reader guarantee rename-swap
+    // could not give)
+    assert(preReader.as[Row5].collect().toSet == seedOnly)
+    // a fresh reader sees the new commit
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
+    // two MORE commits later the grace window is over: the stale
+    // reader's files have been GC'd and its scan fails rather than
+    // silently serving partial state (retention knob documented on
+    // LatestUpsert.retainedManifests)
+    LatestUpsert.upsert(spark, root, batch)
+    LatestUpsert.upsert(spark, root, batch)
+    intercept[Exception] { preReader.as[Row5].collect() }
+  }
+
+  test("mid-commit reader: staged-but-unpublished state is invisible, publish flips atomically") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    val batch = ev.filter($"event_id" % 3 === 1)
+    // stage fully + dot-temp manifest — the instant BEFORE the atomic
+    // publish; a reader must see the old generation, bit-exact
+    stageUpTo(root, batch, crashPoint = 3)
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
+    // "rename" the manifest into place (the commit) — the very next
+    // read serves the new generation, bit-exact
+    val tmp = {
+      val s = Files.list(Paths.get(s"$root/_manifests"))
+      try s.toArray.map(_.toString).toSeq.filter(_.contains(".tmp-")).head
+      finally s.close()
+    }
+    Files.move(Paths.get(tmp), Paths.get(tmp.replace(".tmp-", "")))
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
+  }
+
+  test("maintain: threshold policy re-coalesces split buckets through a manifest commit, content identical") {
+    val ev = events
+    val root = freshRoot()
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+    try LatestUpsert.init(
+      spark, root, ev,
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 4)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = readSet(root)
+    assert(LatestUpsert.bucketFileCounts(spark, root).values.max > 1, "premise: no bucket split")
+    assert(LatestUpsert.maintain(spark, root, maxFilesPerBucket = 1), "maintain should have compacted")
+    assert(LatestUpsert.bucketFileCounts(spark, root).values.max == 1)
+    assert(readSet(root) == before, "maintenance changed the latest table's content")
+    assert(!LatestUpsert.maintain(spark, root, maxFilesPerBucket = 1), "second maintain should be a no-op")
+  }
+
+  test("legacy rename-swap artifact: loud detection, in-place migrate (v1 string _config), then normal upserts") {
+    val ev = events
+    val root = freshRoot()
+    val seed = ev.filter($"event_id" % 3 === 0)
+    // construct the pre-manifest layout by hand: latest/kb=... with the
+    // same xxhash64 bucketing, plus a v1 _config (comma-joined strings,
+    // no pinned types)
+    graft.ops.Relational
+      .latestPerKey(seed, Seq("user_id"), "ts_us", "event_id")
+      .withColumn("kb", pmod(xxhash64($"user_id"), lit(16L)).cast("int"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/latest")
+    Seq((16, "user_id", "ts_us,event_id"))
+      .toDF("buckets", "key_cols", "order_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_config")
+    // every entry point refuses the legacy layout by name
+    for (op <- Seq(
+        () => LatestUpsert.read(spark, root),
+        () => LatestUpsert.upsert(spark, root, ev),
+        () => LatestUpsert.recover(spark, root))) {
+      val err = intercept[IllegalArgumentException](op())
+      assert(err.getMessage.contains("migrate"), err.getMessage)
+    }
+    LatestUpsert.migrate(spark, root)
+    assert(!Files.exists(Paths.get(s"$root/latest")), "migrate left the legacy tree")
+    assert(readSet(root) == oneShotLatest(seed))
+    // migrated artifact upserts normally (v3 config was re-pinned from data)
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 =!= 0))
+    assert(readSet(root) == oneShotLatest(ev))
+  }
+
+  test("legacy migrate rolls a marked in-flight commit forward (marker ⇒ stage authoritative)") {
+    val ev = events
+    val root = freshRoot()
+    val seed = ev.filter($"event_id" % 3 === 0)
+    val withKb = (df: DataFrame) =>
+      df.withColumn("kb", pmod(xxhash64($"user_id"), lit(8L)).cast("int"))
+    withKb(graft.ops.Relational.latestPerKey(seed, Seq("user_id"), "ts_us", "event_id"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/latest")
+    Seq((8, "user_id", "ts_us,event_id"))
+      .toDF("buckets", "key_cols", "order_cols")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_config")
+    // legacy crash state: complete merged stage for seed+batch, marker
+    // published, one touched bucket already swapped — migrate must land
+    // the remaining staged buckets before converting
+    val merged = withKb(graft.ops.Relational.latestPerKey(
+      ev.filter($"event_id" % 3 <= 1), Seq("user_id"), "ts_us", "event_id"))
+    val touched = merged.select("kb").distinct().as[Int].collect().toSeq.sorted
+    merged.filter($"kb".isin(touched: _*))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
     Files.writeString(Paths.get(s"$root/_commit"), touched.mkString(","))
     val b0 = touched.head
-    val cur = Paths.get(s"$root/latest/kb=$b0")
-    assert(Files.exists(cur), "test premise: the touched bucket must exist in the seed")
     Files.createDirectories(Paths.get(s"$root/_oldgen"))
-    Files.move(cur, Paths.get(s"$root/_oldgen/kb=$b0"))
-    // an unfinished commit must NOT be silently readable
-    val err = intercept[IllegalArgumentException](LatestUpsert.read(spark, root))
-    assert(err.getMessage.contains("unfinished commit"), err.getMessage)
-    // roll forward: every key that lived in the moved-aside bucket is
-    // preserved, and the end state is exactly seed+batch
-    LatestUpsert.recover(spark, root)
-    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
-    for (d <- Seq("_stage", "_oldgen", "_commit"))
-      assert(!Files.exists(Paths.get(s"$root/$d")), s"$d not cleaned after recovery")
-    // and the interrupted batch can be replayed on top — idempotent
-    LatestUpsert.upsert(spark, root, batch)
-    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
-  }
-
-  test("exhaustive crash-point sweep: interruption after ANY k of n bucket swaps recovers to seed+batch") {
-    val ev = events
-    val batch = ev.filter($"event_id" % 3 === 1)
-    val expected = oneShotLatest(ev.filter($"event_id" % 3 <= 1))
-    // stage the commit once on a template root to learn the touched set
-    val template = freshRoot()
-    LatestUpsert.init(
-      spark, template, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
-    val Some((_, touchedAll)) = LatestUpsert.mergedForBatch(spark, template, batch)
-    val n = touchedAll.size
-    assert(n >= 3, s"test premise: want >= 3 touched buckets, got $n")
-    for (k <- 0 to n) { // crash after k completed swaps (k = n: crash before cleanup)
-      val root = freshRoot()
-      LatestUpsert.init(
-        spark, root, ev.filter($"event_id" % 3 === 0),
-        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
-      val Some((merged, touched)) = LatestUpsert.mergedForBatch(spark, root, batch)
-      val m = merged.localCheckpoint()
-      m.write.mode("overwrite").partitionBy("kb").parquet(s"$root/_stage")
-      Checkpoints.release(m)
-      Files.writeString(Paths.get(s"$root/_commit"), touched.mkString(","))
-      // perform the first k swaps exactly as commitBuckets would
-      Files.createDirectories(Paths.get(s"$root/_oldgen"))
-      touched.take(k).foreach { b =>
-        val cur = Paths.get(s"$root/latest/kb=$b")
-        if (Files.exists(cur)) Files.move(cur, Paths.get(s"$root/_oldgen/kb=$b"))
-        Files.move(Paths.get(s"$root/_stage/kb=$b"), cur)
-      }
-      LatestUpsert.recover(spark, root)
-      assert(readSet(root) == expected, s"crash after $k/$n swaps diverged")
-      for (d <- Seq("_stage", "_oldgen", "_commit"))
-        assert(!Files.exists(Paths.get(s"$root/$d")), s"$d left behind at k=$k")
+    if (Files.exists(Paths.get(s"$root/latest/kb=$b0"))) {
+      Files.move(Paths.get(s"$root/latest/kb=$b0"), Paths.get(s"$root/_oldgen/kb=$b0"))
+      Files.move(Paths.get(s"$root/_stage/kb=$b0"), Paths.get(s"$root/latest/kb=$b0"))
     }
+    LatestUpsert.migrate(spark, root)
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
+    for (d <- Seq("latest", "_stage", "_oldgen", "_commit"))
+      assert(!Files.exists(Paths.get(s"$root/$d")), s"migrate left legacy remnant $d")
   }
 
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
     val ev = events
     val root = freshRoot()
-    LatestUpsert.init(
-      spark, root, ev.filter($"event_id" % 3 === 0),
-      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 16)
+    initThirds(root, ev)
     val src = Files.createTempDirectory("latestsrc").toString
     val chk = Files.createTempDirectory("latestchk").toString
     ev.filter($"event_id" % 3 === 1).write.mode("append").parquet(src)
     val stream = spark.readStream.schema(ev.schema).parquet(src)
-    val q = LatestUpsert.start(stream, root, chk)
+    val q = LatestUpsert.start(stream, root, chk, maxFilesPerBucket = 8)
     q.processAllAvailable()
     ev.filter($"event_id" % 3 === 2).write.mode("append").parquet(src)
     q.processAllAvailable()
