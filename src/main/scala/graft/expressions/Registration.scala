@@ -1,6 +1,9 @@
 package graft.expressions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions.call_function
 
@@ -10,8 +13,31 @@ import org.apache.spark.sql.functions.call_function
   * encoding the FULL parameter content via md5 — a 32-bit hashCode
   * could collide across configurations and silently rebind the
   * registration under a still-lazy DataFrame.
+  *
+  * The registry is BOUNDED per session: content-digested names mean
+  * every distinct parameterization is a distinct registration, so a
+  * long-lived session calling a parameterized operator repeatedly
+  * (e.g. [[graft.text.TextOps.frequentNgramsSketched]] with a fresh
+  * sketch per corpus) would otherwise grow the session function
+  * registry without bound. Registrations are evicted oldest-first past
+  * [[maxLive]]. The window is safe because resolution is EAGER: a
+  * registered name is consumed when the caller applies the returned
+  * Column to a Dataset (analysis resolves `call_function` to the
+  * concrete Expression at Dataset construction, not at execution), so
+  * only a Column held unapplied across `maxLive` subsequent DISTINCT
+  * parameterizations can observe the eviction — and that fails loudly
+  * at analysis (unresolved function), never silently wrong.
   */
 object Registration {
+
+  /** Max live parameterized registrations per session. */
+  val maxLive: Int = 64
+
+  // insertion-ordered live names per session; WeakHashMap so a dropped
+  // session doesn't pin its name list (guarded by `lock` — WeakHashMap
+  // is not thread-safe and Spark sessions are shared across threads)
+  private val live = new java.util.WeakHashMap[SparkSession, mutable.LinkedHashSet[String]]
+  private val lock = new Object
 
   def parameterized(
       prefix: String,
@@ -25,7 +51,24 @@ object Registration {
       .map("%02x".format(_))
       .mkString
     val name = s"${prefix}_$digest"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    // content-digested name ⇒ an existing registration is byte-identical
+    // in meaning; skip the replace (and its registry WARN) on repeats
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    lock.synchronized {
+      val names = {
+        val n = live.get(spark)
+        if (n != null) n
+        else { val n2 = mutable.LinkedHashSet.empty[String]; live.put(spark, n2); n2 }
+      }
+      names.remove(name) // re-registration refreshes recency
+      names.add(name)
+      while (names.size > maxLive) {
+        val oldest = names.head
+        names.remove(oldest)
+        spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(oldest))
+      }
+    }
     call_function(name, args: _*)
   }
 }
