@@ -186,6 +186,156 @@ object Compaction {
     fs.delete(old, true)
   }
 
+  // ---------------------------------------------------------------
+  // Leaf-scoped threshold maintenance — the auto-compaction form the
+  // streaming ingest gates run INSIDE their foreachBatch loop.
+  //
+  // The whole-tree [[compact]]+[[swapIn]] above is a maintenance-window
+  // job: its swap has a crash window (root absent between two renames)
+  // and its cost is proportional to the WHOLE artifact — both fine for
+  // a nightly table service, both wrong inside a streaming loop. The
+  // leaf-scoped form fixes each independently:
+  //
+  //  - cost ∝ touched data: each micro-batch append adds at most one
+  //    file per touched partition leaf, so the leaf that crossed the
+  //    file-count threshold is rewritten ALONE (at 100 TB: a few
+  //    hundred MB per trigger, never the index);
+  //  - crash-recoverable: the per-leaf swap stages the rewritten leaf
+  //    under a dot-hidden sibling name (invisible to partition
+  //    discovery), and every reachable crash state is rolled forward or
+  //    back deterministically by [[recoverLeaf]] — which the
+  //    maintenance walk runs first, and which the gates run once at
+  //    stream start so a probe never reads a tree whose leaf is
+  //    mid-swap from a previous crash.
+  //
+  // Single-writer per artifact remains the contract (the gates satisfy
+  // it by construction: maintenance runs inside the same foreachBatch
+  // serial loop as the appends).
+  // ---------------------------------------------------------------
+
+  private def leafTmp(leaf: Path): Path = new Path(leaf.getParent, s"._cmp_${leaf.getName}")
+  private def leafOld(leaf: Path): Path = new Path(leaf.getParent, s"._oldcmp_${leaf.getName}")
+
+  /** Resolve any interrupted per-leaf swap at `leaf` to a consistent
+    * state. The swap sequence is: write tmp (complete, with _SUCCESS)
+    * → rename leaf→old → rename tmp→leaf → delete old; every
+    * reachable (leaf, tmp, old) presence combination therefore has one
+    * correct resolution:
+    *   - live leaf present: the leaf is authoritative (tmp at most
+    *     partially written, old impossible before the first rename) —
+    *     GC the helpers;
+    *   - leaf absent, tmp present: tmp was COMPLETE before the first
+    *     rename could run — roll FORWARD (tmp becomes the leaf);
+    *   - leaf absent, only old present (unreachable by the protocol,
+    *     defensive): roll back.
+    */
+  def recoverLeaf(fs: FileSystem, leaf: Path): Unit = {
+    val tmp = leafTmp(leaf)
+    val old = leafOld(leaf)
+    (fs.exists(leaf), fs.exists(tmp), fs.exists(old)) match {
+      case (true, t, o) => // healthy or crash before the swap began
+        if (t) fs.delete(tmp, true)
+        if (o) fs.delete(old, true)
+      case (false, true, o) => // crash between the two renames: tmp is complete
+        require(fs.rename(tmp, leaf), s"recoverLeaf: could not roll forward $tmp -> $leaf")
+        if (o) fs.delete(old, true)
+      case (false, false, true) => // defensive: no replacement — restore the original
+        require(fs.rename(old, leaf), s"recoverLeaf: could not roll back $old -> $leaf")
+      case (false, false, false) => () // stale helper name, nothing to do
+    }
+  }
+
+  /** (bytes, file count) of the visible parquet files DIRECTLY in `leaf`. */
+  private def leafStats(fs: FileSystem, leaf: Path): (Long, Int) = {
+    val files = fs.listStatus(leaf).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    (files.map(_.getLen).sum, files.length)
+  }
+
+  /** Rewrite ONE partition leaf directory into ceil(bytes/target)
+    * right-sized files via the recoverable hidden-sibling swap
+    * described above. The leaf's partition values live in its dir NAME,
+    * so the rewrite touches data columns only and the layout (and every
+    * probe's planning-time pruning against it) is preserved exactly.
+    */
+  def compactLeaf(spark: SparkSession, fs: FileSystem, leaf: Path, targetFileBytes: Long = 128L << 20): Unit = {
+    recoverLeaf(fs, leaf)
+    val (bytes, n) = leafStats(fs, leaf)
+    if (n <= 1) return // already compact
+    val tmp = leafTmp(leaf)
+    val old = leafOld(leaf)
+    fs.delete(tmp, true)
+    val k = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(leaf.toString).repartition(k).write.parquet(tmp.toString)
+    require(fs.rename(leaf, old), s"compactLeaf: could not move $leaf aside")
+    require(fs.rename(tmp, leaf), s"compactLeaf: could not swap in rewritten leaf $leaf")
+    fs.delete(old, true)
+  }
+
+  /** Walk a partitioned parquet tree: recover interrupted leaf swaps,
+    * then invoke `onLeaf` for every live partition leaf (a visible
+    * `name=value` directory holding parquet files directly). Nested
+    * partitioning (e.g. `band=X/key_bucket=Y`) walks to the deepest
+    * level. Cost: one listing per directory — the same order of FS
+    * round-trips a probe's partition discovery already pays per batch.
+    */
+  private def walkLeaves(fs: FileSystem, dir: Path)(onLeaf: Path => Unit): Unit = {
+    if (!fs.exists(dir)) return
+    // recover FIRST: a crashed swap's leaf may be absent and only
+    // reappear through its hidden helper names
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("._cmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._cmp_")))
+      else if (n.startsWith("._oldcmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._oldcmp_")))
+    }
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")) {
+        val children = fs.listStatus(st.getPath)
+        if (children.exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
+          onLeaf(st.getPath)
+        else walkLeaves(fs, st.getPath)(onLeaf)
+      }
+    }
+  }
+
+  /** Recover-only walk: resolve every interrupted leaf swap under
+    * `dir`. The gates run this once at stream start so the first
+    * probe after a crash never sees a mid-swap tree.
+    */
+  def recoverPartitioned(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    walkLeaves(fs, root)(_ => ())
+  }
+
+  /** Threshold-policy maintenance over a partitioned tree: compact
+    * every leaf whose visible parquet file count exceeds
+    * `maxFilesPerLeaf`. Returns the number of leaves compacted. Cheap
+    * when nothing is due (pure listings); when due, cost is
+    * proportional to the over-threshold leaves only.
+    */
+  def maintainPartitioned(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerLeaf: Int = 32,
+      targetFileBytes: Long = 128L << 20
+  ): Int = {
+    require(maxFilesPerLeaf >= 1, s"maxFilesPerLeaf must be >= 1, got $maxFilesPerLeaf")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var compacted = 0
+    walkLeaves(fs, root) { leaf =>
+      if (leafStats(fs, leaf)._2 > maxFilesPerLeaf) {
+        compactLeaf(spark, fs, leaf, targetFileBytes)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Compact both legs of a [[graft.dedup.Dedup.writeMinhashIndex]]
     * artifact (the `_config` sidecar rides the swap untouched).
     */

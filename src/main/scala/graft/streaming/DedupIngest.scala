@@ -188,8 +188,52 @@ object DedupIngest {
     Dedup.writeFingerprintIndex(seed, textCol, s"$root/fingerprints")
   }
 
+  /** Threshold-policy self-maintenance for the gate's PROBE-side
+    * artifacts — the three index trees every batch re-reads
+    * (fingerprints, minhash bands, minhash sketches): compact any
+    * partition leaf whose file count exceeded `maxFilesPerLeaf`
+    * (each batch appends at most one file per touched leaf, so the
+    * steady-state bound under a per-batch call is `maxFilesPerLeaf`).
+    * Cost ∝ the over-threshold leaves, never the index — see
+    * [[graft.io.Compaction.maintainPartitioned]]. Returns the number
+    * of leaves compacted.
+    *
+    * The corpus SINK is deliberately not covered: the stream only ever
+    * appends to it (nothing probes it per batch), so its small files
+    * are a scan-side concern for the nightly table service
+    * ([[graft.io.Compaction.compact]]), not for the ingest loop —
+    * and a corpus compaction inside the loop would rewrite the whole
+    * corpus on a file-count trigger.
+    */
+  def maintainIndexes(
+      spark: SparkSession,
+      root: String,
+      maxFilesPerLeaf: Int = 32,
+      targetFileBytes: Long = 128L << 20
+  ): Int =
+    graft.io.Compaction.maintainPartitioned(spark, s"$root/fingerprints", maxFilesPerLeaf, targetFileBytes) +
+      graft.io.Compaction.maintainPartitioned(spark, s"$root/minhash/bands", maxFilesPerLeaf, targetFileBytes) +
+      graft.io.Compaction.maintainPartitioned(spark, s"$root/minhash/sketches", maxFilesPerLeaf, targetFileBytes)
+
+  /** Resolve any leaf swap a crashed [[maintainIndexes]] left mid-swap.
+    * [[start]] runs this before its first batch; a caller probing the
+    * indexes OUTSIDE a stream after a crash must run it first too — a
+    * mid-swap tree is missing the swapping leaf, and a probe against it
+    * would silently treat that leaf's corpus as unseen.
+    */
+  def recoverIndexes(spark: SparkSession, root: String): Unit = {
+    graft.io.Compaction.recoverPartitioned(spark, s"$root/fingerprints")
+    graft.io.Compaction.recoverPartitioned(spark, s"$root/minhash/bands")
+    graft.io.Compaction.recoverPartitioned(spark, s"$root/minhash/sketches")
+  }
+
   /** The streaming entry: gate every micro-batch of `source` through
     * [[ingestBatch]]. `source` must carry `idCol` and `textCol`.
+    * `maxFilesPerLeaf` ≥ 1 makes the stream self-tending — per-batch
+    * [[maintainIndexes]] so a long-running ingest never degrades into
+    * a file-listing-dominated probe; 0 disables (manual table
+    * service). Crash recovery for an interrupted maintenance runs
+    * unconditionally before the first batch.
     */
   def start(
       source: DataFrame,
@@ -198,12 +242,17 @@ object DedupIngest {
       root: String,
       corpusOut: String,
       checkpoint: String,
-      threshold: Double = 0.3
-  ): StreamingQuery =
+      threshold: Double = 0.3,
+      maxFilesPerLeaf: Int = 0
+  ): StreamingQuery = {
+    recoverIndexes(source.sparkSession, root)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch.sparkSession, root, corpusOut, batch, idCol, textCol, threshold)
+        if (maxFilesPerLeaf > 0) maintainIndexes(batch.sparkSession, root, maxFilesPerLeaf)
+        ()
       }
       .start()
+  }
 }

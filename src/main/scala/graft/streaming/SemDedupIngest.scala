@@ -163,12 +163,41 @@ object SemDedupIngest {
       vecCol: String,
       indexPath: String,
       checkpoint: String,
-      threshold: Double
-  ): StreamingQuery =
+      threshold: Double,
+      maxFilesPerLeaf: Int = 0
+  ): StreamingQuery = {
+    recoverIndex(source.sparkSession, indexPath)
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch.sparkSession, indexPath, batch, idCol, vecCol, threshold)
+        if (maxFilesPerLeaf > 0) maintainIndex(batch.sparkSession, indexPath, maxFilesPerLeaf)
+        ()
       }
       .start()
+  }
+
+  /** Threshold-policy self-maintenance for the cell-partitioned index
+    * the gate both probes and appends to — the embedding-space twin of
+    * [[DedupIngest.maintainIndexes]] (same leaf-scoped recoverable
+    * compaction, `_centroids`/`_config` sidecars untouched at the tree
+    * root). Each batch appends at most one file per touched cell, so a
+    * per-batch call bounds every cell directory at `maxFilesPerLeaf`
+    * files. Returns the number of cells compacted.
+    */
+  def maintainIndex(
+      spark: SparkSession,
+      indexPath: String,
+      maxFilesPerLeaf: Int = 32,
+      targetFileBytes: Long = 128L << 20
+  ): Int =
+    graft.io.Compaction.maintainPartitioned(spark, indexPath, maxFilesPerLeaf, targetFileBytes)
+
+  /** Resolve any cell swap a crashed [[maintainIndex]] left mid-swap —
+    * [[start]] runs this before the first batch; out-of-stream probes
+    * after a crash must too (a mid-swap tree is missing the swapping
+    * cell, and the guard would re-admit that cell's corpus as fresh).
+    */
+  def recoverIndex(spark: SparkSession, indexPath: String): Unit =
+    graft.io.Compaction.recoverPartitioned(spark, indexPath)
 }
