@@ -1085,6 +1085,20 @@ object TextOps {
     * bar you care about, or the gate admits tail noise and pass 2
     * degrades toward the exact form's shuffle (never past it).
     *
+    * `eps ≤ 0` (the default) DERIVES the sketch size from the corpus
+    * the way [[graft.similarity.Similarity.lshConfigFor]] derives LSH
+    * shape: one cheap tokenize-and-count aggregate (no gram
+    * materialization) yields the exact window count N, and
+    * [[cmsEpsFor]] sets eps = 2/N — sketch width ≈ N counters, so the
+    * typical per-key inflation stays ≈ 1 occurrence REGARDLESS of
+    * corpus size, instead of a fixed eps whose inflated tail grows
+    * linearly with N. The floor on eps caps the broadcast sketch at a
+    * plan-shippable size; past the cap (N ≫ 2/minEps) the typical
+    * inflation is N·minEps/2, i.e. the gate keeps pruning exactly when
+    * the bar is a RELATIVE frequency above ~minEps — the standard CMS
+    * contract — and degrades to admit-everything (correct, unpruned)
+    * below it.
+    *
     * Cost trade: pays a second corpus scan (tokenize+window is cheap,
     * scan-local, pipelined) to delete the unique tail from the one
     * shuffle — at crawl scale the shuffle, not the scan, is the
@@ -1097,7 +1111,7 @@ object TextOps {
       n: Int = 8,
       minDocs: Long = 2L,
       topK: Int = 100,
-      eps: Double = 1e-4,
+      eps: Double = 0.0,
       confidence: Double = 0.99,
       seed: Int = 42
   ): org.apache.spark.sql.DataFrame = {
@@ -1105,13 +1119,24 @@ object TextOps {
     require(minDocs >= 2, s"minDocs must be >= 2 (1 would emit every window), got $minDocs")
     require(topK >= 1, s"topK must be >= 1, got $topK")
     implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
-    val grams = df
-      .filter(col(textCol).isNotNull)
+    val nonNull = df.filter(col(textCol).isNotNull)
+    val epsR =
+      if (eps > 0) eps
+      else {
+        // exact window count without materializing a single gram:
+        // windows per doc = max(0, tokens - (n-1))
+        val row = nonNull
+          .select(greatest(lit(0), size(tokens(col(textCol))) - lit(n - 1)).cast("long").as("w"))
+          .agg(sum(col("w")).as("nw"))
+          .head()
+        cmsEpsFor(if (row.isNullAt(0)) 0L else row.getLong(0))
+      }
+    val grams = nonNull
       .select(col(idCol), explode(gramTexts(tokens(col(textCol)), n)).as("gram"))
     val cms = grams
       .select(xxhash64(col("gram")).as("h"))
       .stat
-      .countMinSketch("h", eps, confidence, seed)
+      .countMinSketch("h", epsR, confidence, seed)
     val bytes = cms.toByteArray
     val cmsDigest = java.security.MessageDigest
       .getInstance("MD5")
@@ -1135,5 +1160,21 @@ object TextOps {
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
       .limit(topK)
+  }
+
+  /** The derived count-min eps for a corpus of `nWindows` gram windows:
+    * eps = 2/N targets sketch width ≈ N (Spark sizes width =
+    * ceil(2/eps)), i.e. typical per-key inflation ≈ 1 occurrence at any
+    * corpus size. Clamped: `maxEps` keeps a tiny corpus's sketch from
+    * rounding to a handful of counters; `minEps` caps the driver-merged,
+    * plan-shipped sketch (width 2/minEps counters ×
+    * ceil(-log1p(-confidence)/log 2) rows × 8 B — ~11 MB at the
+    * defaults), which bounds gate usefulness to relative-frequency bars
+    * above ~minEps past N = 2/minEps (see
+    * [[frequentNgramsSketched]]'s doc).
+    */
+  def cmsEpsFor(nWindows: Long, minEps: Double = 1e-5, maxEps: Double = 1e-2): Double = {
+    require(minEps > 0 && maxEps >= minEps, s"need 0 < minEps <= maxEps, got $minEps/$maxEps")
+    math.min(maxEps, math.max(minEps, 2.0 / math.max(1L, nWindows).toDouble))
   }
 }

@@ -515,12 +515,28 @@ class DedupSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSeq
       assert(sketched == exact, s"eps=$eps diverged")
     }
+    // the DEFAULT path derives eps from the corpus's window count
+    // (eps = 2/N clamped) — same result, knob-free
+    val derived = TextOps
+      .frequentNgramsSketched(docs, "doc_id", "text", n = 5, minDocs = 2L, topK = 50)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(derived == exact, "derived-eps default diverged")
     // the gate is really in the plan, on the gram stream, codegen'd
     val plan = TextOps
       .frequentNgramsSketched(docs, "doc_id", "text", n = 5, minDocs = 2L, topK = 50)
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_cms_at_least"), s"cms gate missing from plan:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("cmsEpsFor: eps tracks 2/N inside the clamps, width stays plan-shippable") {
+    import graft.text.TextOps
+    assert(TextOps.cmsEpsFor(10) == 1e-2, "tiny corpus clamps to maxEps")
+    assert(TextOps.cmsEpsFor(100000) == 2.0 / 100000, "mid-band tracks 2/N exactly")
+    assert(TextOps.cmsEpsFor(1000000000L) == 1e-5, "huge corpus clamps to minEps (bounded sketch)")
+    // monotone non-increasing in N
+    val es = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(TextOps.cmsEpsFor(_))
+    assert(es == es.sorted.reverse, s"eps not monotone in corpus size: $es")
   }
 
   test("CmsAtLeast: threshold semantics over a known sketch; null key stays null") {
