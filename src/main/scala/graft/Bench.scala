@@ -2,6 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // host-load stamp at both ends of the run (see LoadStamp): an
+    // anomalous rep ships with its own machine-state evidence
+    val loadStart = LoadStamp.json()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
@@ -125,7 +128,8 @@ object Bench {
     val onlyJson = only
       .map(names => s""""only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
+    val loadJson = s"""{"start":$loadStart,"end":${LoadStamp.json()}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"load":$loadJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}""")
     spark.stop()
   }
 }

@@ -140,6 +140,7 @@ object IngestBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val loadStart = LoadStamp.json() // machine-state evidence for the ±20% run-variance note
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "6").toInt
     val factor = sys.env.getOrElse("SPARK_GRAFT_INGEST_LARGE_FACTOR", "10").toInt
@@ -158,7 +159,8 @@ object IngestBench {
     val json =
       s"""{"metric":"ingest_gate_throughput","batches":$nBatches,"sf":"$sfDir","large_factor":$factor,""" +
         s""""small":{"text_gate":$textSmall,"sem_gate":$semSmall,"latest_gate":$upSmall},""" +
-        s""""large":{"text_gate":$textLarge,"sem_gate":$semLarge,"latest_gate":$upLarge}}"""
+        s""""large":{"text_gate":$textLarge,"sem_gate":$semLarge,"latest_gate":$upLarge},""" +
+        s""""load":{"start":$loadStart,"end":${LoadStamp.json()}}}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("INGESTBENCH.json"), json + "\n")
     spark.stop()
