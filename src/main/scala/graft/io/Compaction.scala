@@ -284,11 +284,14 @@ object Compaction {
   private def walkLeaves(fs: FileSystem, dir: Path)(onLeaf: Path => Unit): Unit = {
     if (!fs.exists(dir)) return
     // recover FIRST: a crashed swap's leaf may be absent and only
-    // reappear through its hidden helper names
+    // reappear through its hidden helper names; a crashed BATCHED
+    // maintenance's staging tree is pure garbage (no leaf it hadn't
+    // swapped yet lost anything) — delete it
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("._cmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._cmp_")))
       else if (n.startsWith("._oldcmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._oldcmp_")))
+      else if (n.startsWith("._cmpstage")) fs.delete(st.getPath, true)
     }
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
@@ -316,6 +319,19 @@ object Compaction {
     * `maxFilesPerLeaf`. Returns the number of leaves compacted. Cheap
     * when nothing is due (pure listings); when due, cost is
     * proportional to the over-threshold leaves only.
+    *
+    * Batched: ALL due leaves are rewritten by ONE Spark job (a
+    * partition-pruned read of just those leaves → one `partitionBy`
+    * write into a dot-hidden staging tree), then each leaf lands
+    * through the same recoverable per-leaf swap as [[compactLeaf]].
+    * The per-leaf-job form burned a fixed job launch per leaf, which
+    * dominated the maintenance wave when uniform appends push every
+    * leaf over the threshold in the same batch (measured: a 160-leaf
+    * wave cost ~28 s of almost pure job scheduling); one job makes
+    * the wave cost what the DATA costs. A crash mid-batch leaves
+    * leaves either swapped (compacted) or untouched (still correct,
+    * re-due next round) plus a garbage staging tree the recovery walk
+    * deletes.
     */
   def maintainPartitioned(
       spark: SparkSession,
@@ -326,14 +342,50 @@ object Compaction {
     require(maxFilesPerLeaf >= 1, s"maxFilesPerLeaf must be >= 1, got $maxFilesPerLeaf")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var compacted = 0
+    val due = scala.collection.mutable.ArrayBuffer.empty[Path]
+    var total = 0
     walkLeaves(fs, root) { leaf =>
-      if (leafStats(fs, leaf)._2 > maxFilesPerLeaf) {
-        compactLeaf(spark, fs, leaf, targetFileBytes)
-        compacted += 1
+      total += 1
+      if (leafStats(fs, leaf)._2 > maxFilesPerLeaf) due += leaf
+    }
+    if (due.isEmpty) return 0
+
+    // relative partition specs, e.g. Seq(("band","0"), ("key_bucket","3"))
+    val rootUri = root.toUri.getPath
+    def specOf(leaf: Path): Seq[(String, String)] =
+      leaf.toUri.getPath.stripPrefix(rootUri).split('/').filter(_.nonEmpty).toSeq
+        .map { seg => val i = seg.indexOf('='); (seg.take(i), seg.drop(i + 1)) }
+    val specs = due.map(specOf).toSeq
+    val partCols = specs.head.map(_._1)
+
+    // one pruned read of the due leaves (no filter when ALL leaves are
+    // due — the uniform-append wave); the filter is a disjunction of
+    // partition-column conjunctions, evaluated at listing time
+    val all = spark.read.parquet(dir)
+    val pruned =
+      if (due.size == total) all
+      else all.filter(specs.map(s => s.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)).reduce(_ || _))
+    val stage = new Path(dir, s"._cmpstage_${System.nanoTime()}")
+    // hash-repartition on the partition columns: each leaf's rows land
+    // in one task, partitionBy splits tasks per leaf → one file per leaf
+    pruned.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(stage.toString)
+
+    // land each leaf via the recoverable swap (renames only from here)
+    due.zip(specs).foreach { case (leaf, spec) =>
+      val staged = new Path(stage, spec.map { case (c, v) => s"$c=$v" }.mkString("/"))
+      if (fs.exists(staged)) { // a due leaf can be empty-after-filter only if it vanished
+        val tmp = new Path(leaf.getParent, s"._cmp_${leaf.getName}")
+        val old = new Path(leaf.getParent, s"._oldcmp_${leaf.getName}")
+        fs.delete(tmp, true)
+        require(fs.rename(staged, tmp), s"maintain: could not stage $staged as $tmp")
+        require(fs.rename(leaf, old), s"maintain: could not move $leaf aside")
+        require(fs.rename(tmp, leaf), s"maintain: could not swap in rewritten leaf $leaf")
+        fs.delete(old, true)
       }
     }
-    compacted
+    fs.delete(stage, true)
+    due.size
   }
 
   /** Compact both legs of a [[graft.dedup.Dedup.writeMinhashIndex]]

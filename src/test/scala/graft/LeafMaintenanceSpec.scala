@@ -119,6 +119,15 @@ class LeafMaintenanceSpec extends SparkSpec {
     Compaction.recoverPartitioned(spark, dir)
     assert(rowsOf(dir) == before && !fs.exists(oldP) && noHelpers(dir))
 
+    // crashed BATCHED maintenance: a leftover staging tree is garbage
+    // (unswapped leaves kept their correct multi-file content) and the
+    // recovery walk deletes it
+    val stage = new Path(s"$dir/._cmpstage_123")
+    fs.mkdirs(new Path(stage, "b=0"))
+    fs.create(new Path(stage, "b=0/part-junk.parquet")).close()
+    Compaction.recoverPartitioned(spark, dir)
+    assert(!fs.exists(stage) && rowsOf(dir) == before)
+
     // a maintenance pass over the recovered tree still converges
     Compaction.maintainPartitioned(spark, dir, maxFilesPerLeaf = 1)
     assert(rowsOf(dir) == before)
