@@ -58,26 +58,12 @@ object IngestBench {
       s""""rows_per_sec_steady":$rps,"batch_sec":${times.map(t => r4(t).toString).mkString("[", ",", "]")}}"""
   }
 
-  /** Max parquet-file count over the partition leaves under `dirs`. */
-  private def maxLeafFiles(spark: SparkSession, dirs: Seq[String]): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def walk(fs: org.apache.hadoop.fs.FileSystem, d: org.apache.hadoop.fs.Path): Seq[Int] =
-      fs.listStatus(d).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (!st.isDirectory || n.startsWith("_") || n.startsWith(".") || !n.contains("=")) Nil
-        else {
-          val kids = fs.listStatus(st.getPath)
-          val files = kids.count(c => c.isFile && c.getPath.getName.endsWith(".parquet"))
-          if (files > 0) Seq(files) else walk(fs, st.getPath)
-        }
-      }
-    val counts = dirs.flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) walk(fs, p) else Nil
-    }
-    if (counts.isEmpty) 0 else counts.max
-  }
+  /** Max parquet-file count over the partition leaves under `dirs`
+    * (the shared walker — one definition of "leaf" for policy, bench,
+    * and spec).
+    */
+  private def maxLeafFiles(spark: SparkSession, dirs: Seq[String]): Int =
+    graft.io.Compaction.maxLeafFiles(spark, dirs)
 
   /** Run all three gates over `sfDir` split seed + nBatches frames;
     * returns the three gate JSON fragments (text, semantic, latest).

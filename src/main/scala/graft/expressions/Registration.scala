@@ -51,11 +51,15 @@ object Registration {
       .map("%02x".format(_))
       .mkString
     val name = s"${prefix}_$digest"
-    // content-digested name ⇒ an existing registration is byte-identical
-    // in meaning; skip the replace (and its registry WARN) on repeats
-    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     lock.synchronized {
+      // content-digested name ⇒ an existing registration is
+      // byte-identical in meaning; skip the replace (and its registry
+      // WARN) on repeats. INSIDE the lock: checked outside it, a
+      // concurrent registration could evict `name` between this check
+      // and the LRU re-add below, returning a Column bound to a
+      // function that no longer exists.
+      if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
       val names = {
         val n = live.get(spark)
         if (n != null) n

@@ -342,11 +342,12 @@ object Compaction {
     require(maxFilesPerLeaf >= 1, s"maxFilesPerLeaf must be >= 1, got $maxFilesPerLeaf")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val due = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val due = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     var total = 0
     walkLeaves(fs, root) { leaf =>
       total += 1
-      if (leafStats(fs, leaf)._2 > maxFilesPerLeaf) due += leaf
+      val (bytes, n) = leafStats(fs, leaf)
+      if (n > maxFilesPerLeaf) due += ((leaf, bytes))
     }
     if (due.isEmpty) return 0
 
@@ -355,15 +356,35 @@ object Compaction {
     def specOf(leaf: Path): Seq[(String, String)] =
       leaf.toUri.getPath.stripPrefix(rootUri).split('/').filter(_.nonEmpty).toSeq
         .map { seg => val i = seg.indexOf('='); (seg.take(i), seg.drop(i + 1)) }
-    val specs = due.map(specOf).toSeq
-    val partCols = specs.head.map(_._1)
 
+    // The batched one-job rewrite round-trips partition VALUES through
+    // directory names and partition-type inference (read root →
+    // partitionBy write). That round-trip is bit-exact only for
+    // canonical integers (no leading zeros, no sign quirks, small
+    // enough to infer integral) — a value like "01" would re-infer as
+    // 1 and the staged write would MERGE two distinct leaves, landing
+    // duplicated rows. Canonical ints cover every index layout this
+    // engine writes; anything else takes the per-leaf rewrite, which
+    // never re-derives a leaf's name. Oversized leaves also go
+    // per-leaf: the batched form writes one file per leaf, which is
+    // only "right-sized" under targetFileBytes.
+    val canonical = due.forall { case (leaf, _) =>
+      specOf(leaf).forall { case (_, v) => v.length <= 18 && v.matches("-?(0|[1-9][0-9]*)") }
+    }
+    val (batched, perLeaf) =
+      if (canonical) due.toSeq.partition(_._2 <= targetFileBytes)
+      else (Nil, due.toSeq)
+    perLeaf.foreach { case (leaf, _) => compactLeaf(spark, fs, leaf, targetFileBytes) }
+    if (batched.isEmpty) return due.size
+
+    val specs = batched.map { case (leaf, _) => specOf(leaf) }
+    val partCols = specs.head.map(_._1)
     // one pruned read of the due leaves (no filter when ALL leaves are
     // due — the uniform-append wave); the filter is a disjunction of
     // partition-column conjunctions, evaluated at listing time
     val all = spark.read.parquet(dir)
     val pruned =
-      if (due.size == total) all
+      if (batched.size == total) all
       else all.filter(specs.map(s => s.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)).reduce(_ || _))
     val stage = new Path(dir, s"._cmpstage_${System.nanoTime()}")
     // hash-repartition on the partition columns: each leaf's rows land
@@ -372,11 +393,11 @@ object Compaction {
       .write.partitionBy(partCols: _*).parquet(stage.toString)
 
     // land each leaf via the recoverable swap (renames only from here)
-    due.zip(specs).foreach { case (leaf, spec) =>
+    batched.zip(specs).foreach { case ((leaf, _), spec) =>
       val staged = new Path(stage, spec.map { case (c, v) => s"$c=$v" }.mkString("/"))
       if (fs.exists(staged)) { // a due leaf can be empty-after-filter only if it vanished
-        val tmp = new Path(leaf.getParent, s"._cmp_${leaf.getName}")
-        val old = new Path(leaf.getParent, s"._oldcmp_${leaf.getName}")
+        val tmp = leafTmp(leaf)
+        val old = leafOld(leaf)
         fs.delete(tmp, true)
         require(fs.rename(staged, tmp), s"maintain: could not stage $staged as $tmp")
         require(fs.rename(leaf, old), s"maintain: could not move $leaf aside")
@@ -386,6 +407,21 @@ object Compaction {
     }
     fs.delete(stage, true)
     due.size
+  }
+
+  /** Max parquet-file count over the partition leaves under `dirs` —
+    * the observable a threshold policy bounds ([[maintainPartitioned]])
+    * and the one its benches/specs assert on. Recovers interrupted
+    * swaps as it walks (idempotent).
+    */
+  def maxLeafFiles(spark: SparkSession, dirs: Seq[String]): Int = {
+    var m = 0
+    dirs.foreach { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      walkLeaves(fs, p)(leaf => m = math.max(m, leafStats(fs, leaf)._2))
+    }
+    m
   }
 
   /** Compact both legs of a [[graft.dedup.Dedup.writeMinhashIndex]]

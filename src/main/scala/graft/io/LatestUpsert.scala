@@ -152,6 +152,13 @@ object LatestUpsert {
     configCache.remove(root)
     fs.delete(new Path(s"$root/data"), true)
     fs.delete(manifestsPath(root), true)
+    // init is destructive by contract (it just deleted data/ and
+    // _manifests/); legacy rename-swap remnants go too — leaving them
+    // would produce a hybrid artifact every other entry point refuses,
+    // and the prescribed migrate() would then "repair" it by silently
+    // replacing this very seed with the stale legacy rows
+    Seq("latest", "_stage", "_oldgen", "_commit", "_commit.tmp")
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true))
     val seeded = withBucket(latestPerKey(seed, keyCols, orderCols), keyCols, buckets)
     val present = writeGeneration(spark, root, 0L, seeded, buckets)
     def types(cols: Seq[String]): Seq[String] =
@@ -511,16 +518,60 @@ object LatestUpsert {
     }
   }
 
-  /** Threshold-policy maintenance: [[compact]] when any current bucket
-    * exceeds `maxFilesPerBucket` parquet files. Returns true when a
-    * compaction ran. Cheap to call every batch (a listing of ≤
-    * `buckets` dirs); wire it into a streaming `foreachBatch` so a
-    * long-running stream is self-tending.
+  /** Rewrite ONLY the named buckets into a fresh generation, carrying
+    * every other bucket's manifest entry forward unchanged — the
+    * partial form of [[compact]], committed through the same atomic
+    * manifest publish (no crash window, no reader-visible intermediate
+    * state). Cost ∝ the named buckets, never the keyspace. `kb` is
+    * recomputed from the pinned key columns, which reproduces each
+    * row's bucket exactly (same hash, same pinned types).
+    */
+  def compactBuckets(
+      spark: SparkSession,
+      root: String,
+      which: Seq[Int],
+      filesPerBucket: Int = 1
+  ): Unit = {
+    recover(spark, root)
+    val fs = fsOf(spark, root)
+    val cfg = readConfig(spark, root)
+    val gen = currentGen(fs, root).getOrElse(
+      throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
+    val manifest = readManifest(fs, root, gen)
+    val target = which.distinct.filter(manifest.contains).sorted
+    if (target.isEmpty) return
+    val rows = spark.read
+      .schema(pinnedSchema(cfg))
+      .parquet(target.map(b => s"$root/${manifest(b)}"): _*)
+    val bucketed = withBucket(rows, cfg.keyCols, cfg.buckets)
+    val salted =
+      if (filesPerBucket <= 1) bucketed.repartition(math.min(target.size, 1 << 12), col("kb"))
+      else bucketed.repartition(
+        math.min(target.size * filesPerBucket, 1 << 12),
+        col("kb"),
+        pmod(hash(cfg.keyCols.map(col): _*), lit(filesPerBucket))) // murmur3, see compact
+    salted.write.mode("overwrite").partitionBy("kb").parquet(s"$root/data/${genName(gen + 1)}")
+    val present = fs.listStatus(new Path(s"$root/data/${genName(gen + 1)}"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("kb=") => n.stripPrefix("kb=").toInt }
+    publishManifest(fs, root, gen + 1, manifest ++ present.map(b => b -> relPath(gen + 1, b)))
+    gc(fs, root, gen + 1)
+  }
+
+  /** Threshold-policy maintenance: [[compactBuckets]] over exactly the
+    * buckets whose parquet file count exceeds `maxFilesPerBucket`.
+    * Returns true when a compaction ran. Cheap to call every batch (a
+    * listing of ≤ `buckets` dirs when idle; a rewrite of only the
+    * over-threshold buckets when due — NEVER the full table, which
+    * would put O(keyspace) IO inside the streaming loop this is wired
+    * into); use [[compact]] for deliberate whole-table re-layout.
     */
   def maintain(spark: SparkSession, root: String, maxFilesPerBucket: Int = 8): Boolean = {
-    val needs = bucketFileCounts(spark, root).exists(_._2 > maxFilesPerBucket)
-    if (needs) compact(spark, root)
-    needs
+    val needs = bucketFileCounts(spark, root).collect {
+      case (b, n) if n > maxFilesPerBucket => b
+    }.toSeq
+    if (needs.nonEmpty) compactBuckets(spark, root, needs)
+    needs.nonEmpty
   }
 
   /** Upgrade a legacy artifact in place to the generation-manifest

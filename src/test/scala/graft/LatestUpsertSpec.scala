@@ -346,6 +346,64 @@ class LatestUpsertSpec extends SparkSpec {
     assert(!LatestUpsert.maintain(spark, root, maxFilesPerBucket = 1), "second maintain should be a no-op")
   }
 
+  test("maintain rewrites ONLY over-threshold buckets — untouched buckets keep their files and manifest entries") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8) // gen 0: one fileset per bucket
+    // split ONLY the buckets a small batch touches
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1).filter($"event_id" % 17 === 0))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val counts = LatestUpsert.bucketFileCounts(spark, root)
+    val over = counts.collect { case (b, n) if n > 2 => b }.toSet
+    val under = counts.collect { case (b, n) if n <= 2 => b }.toSet
+    assert(over.nonEmpty && under.nonEmpty, s"premise: PARTIAL split, got $counts")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genBefore = LatestUpsert.currentGen(fs, root).get
+    val manifestBefore = LatestUpsert.readManifest(fs, root, genBefore)
+    val filesBefore = dataFiles(root)
+    val content = readSet(root)
+
+    assert(LatestUpsert.maintain(spark, root, maxFilesPerBucket = 2), "maintain should have compacted")
+
+    assert(readSet(root) == content, "partial compaction changed the latest table's content")
+    assert(LatestUpsert.bucketFileCounts(spark, root).values.max <= 2)
+    val manifestAfter = LatestUpsert.readManifest(fs, root, LatestUpsert.currentGen(fs, root).get)
+    under.foreach { b =>
+      assert(manifestAfter(b) == manifestBefore(b), s"untouched bucket $b was rewritten")
+    }
+    over.foreach { b =>
+      assert(manifestAfter(b) != manifestBefore(b), s"over-threshold bucket $b was NOT rewritten")
+    }
+    // untouched buckets' data files survive bit-identically on disk
+    val filesAfter = dataFiles(root)
+    filesBefore.foreach { case (p, sz) =>
+      if (under.exists(b => p.contains(s"/kb=$b/")) && manifestBefore.exists { case (b2, rel) => under(b2) && p.contains(rel) })
+        assert(filesAfter.get(p).contains(sz), s"untouched file $p changed or vanished")
+    }
+  }
+
+  test("init on a root with legacy remnants clears them — no hybrid artifact, no stale-migrate trap") {
+    val ev = events
+    val root = freshRoot()
+    // a legacy rename-swap artifact sits at root
+    graft.ops.Relational
+      .latestPerKey(ev.filter($"event_id" % 3 === 2), Seq("user_id"), "ts_us", "event_id")
+      .withColumn("kb", pmod(xxhash64($"user_id"), lit(16L)).cast("int"))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/latest")
+    Files.writeString(Paths.get(s"$root/_commit"), "3")
+    Files.createDirectories(Paths.get(s"$root/_stage"))
+    // re-seeding via init must produce a CLEAN manifest artifact, not a
+    // hybrid that read/upsert refuse and migrate would "repair" by
+    // resurrecting the stale legacy rows over this seed
+    initThirds(root, ev)
+    for (d <- Seq("latest", "_commit", "_stage"))
+      assert(!Files.exists(Paths.get(s"$root/$d")), s"init left legacy remnant $d")
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 === 0)))
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 =!= 0))
+    assert(readSet(root) == oneShotLatest(ev))
+  }
+
   test("legacy rename-swap artifact: loud detection, in-place migrate (v1 string _config), then normal upserts") {
     val ev = events
     val root = freshRoot()

@@ -85,6 +85,49 @@ class LeafMaintenanceSpec extends SparkSpec {
     assert(fs.listStatus(new Path(s"$dir2/b=1")).map(_.getPath.getName).sorted.toSeq == namesBefore)
   }
 
+  test("oversized leaves honor targetFileBytes (per-leaf sizing, not one monolith file)") {
+    val dir = tmp("leafsize")
+    buildTree(dir, 6)
+    val before = rowsOf(dir)
+    val leafBytes = fs.listStatus(new Path(s"$dir/b=0"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // a target below the leaf's size forces the right-sized path:
+    // ceil(bytes/target) > 1 output files, never a single monolith
+    val target = leafBytes / 2 + 1
+    Compaction.maintainPartitioned(spark, dir, maxFilesPerLeaf = 4, targetFileBytes = target)
+    assert(rowsOf(dir) == before)
+    (0 to 2).foreach { b =>
+      val n = leafFiles(new Path(s"$dir/b=$b"))
+      assert(n >= 2, s"leaf b=$b collapsed to $n file(s) despite bytes > targetFileBytes")
+      assert(n <= 4, s"leaf b=$b still over threshold: $n")
+    }
+  }
+
+  test("non-canonical partition values take the per-leaf path — no inference round-trip, no row merging") {
+    val dir = tmp("leafnoncanon")
+    // two DISTINCT leaves whose dir values collide under partition-type
+    // inference ("01" and "1" both re-infer as int 1): the batched
+    // root-read rewrite would merge them; the value guard must route
+    // them per-leaf, where a leaf's name is never re-derived
+    (1 to 5).foreach { i =>
+      Seq.tabulate(4)(j => i * 10L + j).toDF("v").repartition(1)
+        .write.mode("append").parquet(s"$dir/b=01")
+      Seq.tabulate(4)(j => i * 1000L + j).toDF("v").repartition(1)
+        .write.mode("append").parquet(s"$dir/b=1")
+    }
+    def leafVals(name: String): Seq[Long] =
+      spark.read.parquet(s"$dir/$name").select("v").as[Long].collect().sorted.toSeq
+    val before01 = leafVals("b=01")
+    val before1 = leafVals("b=1")
+    assert(before01 != before1 && before01.nonEmpty)
+
+    val n = Compaction.maintainPartitioned(spark, dir, maxFilesPerLeaf = 2)
+    assert(n == 2)
+    assert(leafVals("b=01") == before01, "leaf b=01 gained/lost rows through inference round-trip")
+    assert(leafVals("b=1") == before1, "leaf b=1 gained/lost rows through inference round-trip")
+    assert(leafFiles(new Path(s"$dir/b=01")) == 1 && leafFiles(new Path(s"$dir/b=1")) == 1)
+  }
+
   test("crash-state sweep: every reachable per-leaf swap state recovers to the exact rows") {
     val dir = tmp("leafcrash")
     buildTree(dir, 5)
