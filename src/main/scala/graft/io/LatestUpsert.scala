@@ -474,6 +474,39 @@ object LatestUpsert {
     spark.read.schema(pinnedSchema(readConfig(spark, root))).parquet(paths: _*)
   }
 
+  /** The committed generations currently readable — the retention
+    * window GC maintains ([[retainedManifests]]), oldest first. Each is
+    * a full immutable snapshot of the table at its commit.
+    */
+  def generations(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
+    if (!fs.exists(manifestsPath(root))) Seq.empty
+    else fs.listStatus(manifestsPath(root)).map(_.getPath.getName).collect {
+      case n if n.matches("m\\d{12}") => n.stripPrefix("m").toLong
+    }.toSeq.sorted
+  }
+
+  /** Time-travel read: the table EXACTLY as generation `gen` committed
+    * it. Free by construction — a manifest is an immutable snapshot
+    * (complete bucket→dir map over immutable directories), and GC
+    * retains the last [[retainedManifests]] of them — so "compare the
+    * latest table before/after a batch" needs no copy and no lock.
+    * Fails loudly for a generation outside the retention window; raise
+    * [[retainedManifests]] for deeper history at the cost of keeping
+    * superseded bucket dirs alive.
+    */
+  def readAt(spark: SparkSession, root: String, gen: Long): DataFrame = {
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
+    require(
+      fs.exists(new Path(manifestsPath(root), manifestName(gen))),
+      s"generation $gen of $root is not in the retention window " +
+        s"(readable: ${generations(spark, root).mkString(", ")}) — raise retainedManifests to keep more history")
+    val paths = readManifest(fs, root, gen).toSeq.sortBy(_._1).map { case (_, p) => s"$root/$p" }
+    spark.read.schema(pinnedSchema(readConfig(spark, root))).parquet(paths: _*)
+  }
+
   /** Rewrite the CURRENT generation's buckets into a fresh generation
     * with `filesPerBucket` files each, committed through the same
     * atomic manifest publish as [[upsert]] — compaction has no crash

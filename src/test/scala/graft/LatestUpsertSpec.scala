@@ -346,6 +346,27 @@ class LatestUpsertSpec extends SparkSpec {
     assert(!LatestUpsert.maintain(spark, root, maxFilesPerBucket = 1), "second maintain should be a no-op")
   }
 
+  test("time travel: readAt serves each retained generation bit-exact; outside the window fails loudly") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev)
+    val afterSeed = readSet(root)
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1))
+    val afterFirst = readSet(root)
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2))
+    // retention window: last 2 manifests → generations 1 and 2 (gen 0 GC'd)
+    assert(LatestUpsert.generations(spark, root) == Seq(1L, 2L))
+    def at(g: Long): Set[Row5] =
+      LatestUpsert.readAt(spark, root, g)
+        .select("user_id", "event_id", "ts_us", "event_type", "value").as[Row5].collect().toSet
+    assert(at(1L) == afterFirst, "readAt(previous gen) is not the pre-batch snapshot")
+    assert(at(2L) == oneShotLatest(ev))
+    assert(at(2L) == readSet(root), "readAt(current) must equal read")
+    val err = intercept[IllegalArgumentException](LatestUpsert.readAt(spark, root, 0L))
+    assert(err.getMessage.contains("retention window"), err.getMessage)
+    assert(afterSeed == oneShotLatest(ev.filter($"event_id" % 3 === 0))) // premise sanity
+  }
+
   test("maintain rewrites ONLY over-threshold buckets — untouched buckets keep their files and manifest entries") {
     val ev = events
     val root = freshRoot()
