@@ -281,13 +281,16 @@ object Compaction {
     * level. Cost: one listing per directory — the same order of FS
     * round-trips a probe's partition discovery already pays per batch.
     */
-  private def walkLeaves(fs: FileSystem, dir: Path)(onLeaf: Path => Unit): Unit = {
+  private def walkLeaves(fs: FileSystem, dir: Path, recover: Boolean = true)(onLeaf: Path => Unit): Unit = {
     if (!fs.exists(dir)) return
-    // recover FIRST: a crashed swap's leaf may be absent and only
-    // reappear through its hidden helper names; a crashed BATCHED
-    // maintenance's staging tree is pure garbage (no leaf it hadn't
-    // swapped yet lost anything) — delete it
-    fs.listStatus(dir).foreach { st =>
+    // recover FIRST (writer-side walks only): a crashed swap's leaf may
+    // be absent and only reappear through its hidden helper names; a
+    // crashed BATCHED maintenance's staging tree is pure garbage (no
+    // leaf it hadn't swapped yet lost anything) — delete it.
+    // `recover = false` is the OBSERVER walk: pure listings, never
+    // touches helper state, safe to run concurrently with the single
+    // writer's in-flight maintenance.
+    if (recover) fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("._cmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._cmp_")))
       else if (n.startsWith("._oldcmp_")) recoverLeaf(fs, new Path(dir, n.stripPrefix("._oldcmp_")))
@@ -299,7 +302,7 @@ object Compaction {
         val children = fs.listStatus(st.getPath)
         if (children.exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
           onLeaf(st.getPath)
-        else walkLeaves(fs, st.getPath)(onLeaf)
+        else walkLeaves(fs, st.getPath, recover)(onLeaf)
       }
     }
   }
@@ -343,12 +346,13 @@ object Compaction {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val due = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
-    var total = 0
+    val allLeaves = scala.collection.mutable.ArrayBuffer.empty[Path]
     walkLeaves(fs, root) { leaf =>
-      total += 1
+      allLeaves += leaf
       val (bytes, n) = leafStats(fs, leaf)
       if (n > maxFilesPerLeaf) due += ((leaf, bytes))
     }
+    val total = allLeaves.size
     if (due.isEmpty) return 0
 
     // relative partition specs, e.g. Seq(("band","0"), ("key_bucket","3"))
@@ -360,16 +364,21 @@ object Compaction {
     // The batched one-job rewrite round-trips partition VALUES through
     // directory names and partition-type inference (read root →
     // partitionBy write). That round-trip is bit-exact only for
-    // canonical integers (no leading zeros, no sign quirks, small
-    // enough to infer integral) — a value like "01" would re-infer as
-    // 1 and the staged write would MERGE two distinct leaves, landing
-    // duplicated rows. Canonical ints cover every index layout this
-    // engine writes; anything else takes the per-leaf rewrite, which
-    // never re-derives a leaf's name. Oversized leaves also go
-    // per-leaf: the batched form writes one file per leaf, which is
-    // only "right-sized" under targetFileBytes.
-    val canonical = due.forall { case (leaf, _) =>
-      specOf(leaf).forall { case (_, v) => v.length <= 18 && v.matches("-?(0|[1-9][0-9]*)") }
+    // canonical integers (no leading zeros, no "-0", small enough to
+    // infer integral) — a value like "01" would re-infer as 1 and the
+    // staged write would MERGE two distinct leaves, landing duplicated
+    // rows. The guard must hold for EVERY leaf of the tree, not just
+    // the due ones: inference and the pruning filter span the whole
+    // root, so one exotic NON-due leaf ("b=01" next to due "b=1", or a
+    // "b=2.5" that shifts the inferred type to double) can contaminate
+    // a due leaf's rewrite or re-spell the staged dir names. Canonical
+    // ints everywhere cover every index layout this engine writes;
+    // anything else takes the per-leaf rewrite, which never re-derives
+    // a leaf's name. Oversized leaves also go per-leaf: the batched
+    // form writes one file per leaf, which is only "right-sized" under
+    // targetFileBytes.
+    val canonical = allLeaves.forall { leaf =>
+      specOf(leaf).forall { case (_, v) => v.length <= 18 && v.matches("0|-?[1-9][0-9]*") }
     }
     val (batched, perLeaf) =
       if (canonical) due.toSeq.partition(_._2 <= targetFileBytes)
@@ -411,15 +420,17 @@ object Compaction {
 
   /** Max parquet-file count over the partition leaves under `dirs` —
     * the observable a threshold policy bounds ([[maintainPartitioned]])
-    * and the one its benches/specs assert on. Recovers interrupted
-    * swaps as it walks (idempotent).
+    * and the one its benches/specs assert on. READ-ONLY (the observer
+    * walk): pure listings, never recovers or deletes helper state, so
+    * a monitoring thread may call it concurrently with the single
+    * writer's in-flight maintenance without destroying its staging.
     */
   def maxLeafFiles(spark: SparkSession, dirs: Seq[String]): Int = {
     var m = 0
     dirs.foreach { d =>
       val p = new Path(d)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      walkLeaves(fs, p)(leaf => m = math.max(m, leafStats(fs, leaf)._2))
+      walkLeaves(fs, p, recover = false)(leaf => m = math.max(m, leafStats(fs, leaf)._2))
     }
     m
   }

@@ -444,18 +444,48 @@ object LatestUpsert {
     * their pinned types, and the bucket count come from the sidecar —
     * the caller cannot drift from the layout, and a batch with a
     * drifted schema fails loudly instead of corrupting buckets.
+    *
+    * `maxFilesPerBucket` > 0 additionally compacts any over-threshold
+    * bucket INSIDE this same commit (the due buckets' rows ride the
+    * same generation write, their manifest entries flip in the same
+    * publish). In-commit, not a follow-up [[maintain]] call, because a
+    * second commit per batch would halve the documented reader grace:
+    * GC retains [[retainedManifests]] manifests, so a reader resolved
+    * just before a two-commit batch would find its generation GC'd
+    * MID-batch — with the fold, one batch is one commit, always.
     */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame): Unit = {
+  def upsert(spark: SparkSession, root: String, batch: DataFrame, maxFilesPerBucket: Int = 0): Unit = {
     recover(spark, root) // drop any uncommitted stage, finish pending GC
-    mergedForBatch(spark, root, batch).foreach { case (merged, touched) =>
-      val fs = fsOf(spark, root)
-      val cfg = readConfig(spark, root)
-      val gen = currentGen(fs, root).get
-      writeGeneration(spark, root, gen + 1, merged, cfg.buckets)
-      val manifest = readManifest(fs, root, gen) ++
-        touched.map(b => b -> relPath(gen + 1, b))
-      publishManifest(fs, root, gen + 1, manifest) // ← the commit point
-      gc(fs, root, gen + 1)
+    mergedForBatch(spark, root, batch) match {
+      case Some((merged, touched)) =>
+        val fs = fsOf(spark, root)
+        val cfg = readConfig(spark, root)
+        val gen = currentGen(fs, root).get
+        val manifest = readManifest(fs, root, gen)
+        val extra =
+          if (maxFilesPerBucket <= 0) Seq.empty[Int]
+          else bucketFileCounts(spark, root).collect {
+            case (b, n) if n > maxFilesPerBucket && !touched.contains(b) => b
+          }.toSeq.sorted
+        val toWrite =
+          if (extra.isEmpty) merged
+          else {
+            // due buckets are already latest-per-key — pure rewrite,
+            // no re-merge; kb recomputed from pinned keys (exact)
+            val extraRows = spark.read
+              .schema(pinnedSchema(cfg))
+              .parquet(extra.map(b => s"$root/${manifest(b)}"): _*)
+            merged.unionByName(withBucket(extraRows, cfg.keyCols, cfg.buckets))
+          }
+        writeGeneration(spark, root, gen + 1, toWrite, cfg.buckets)
+        publishManifest(fs, root, gen + 1,
+          manifest ++ (touched ++ extra).map(b => b -> relPath(gen + 1, b))) // ← the commit point
+        gc(fs, root, gen + 1)
+      case None =>
+        // empty batch: nothing to merge — threshold maintenance still
+        // runs, as its own (single) commit
+        if (maxFilesPerBucket > 0) maintain(spark, root, maxFilesPerBucket)
+        ()
     }
   }
 
@@ -470,8 +500,7 @@ object LatestUpsert {
     requireManifestLayout(fs, root)
     val gen = currentGen(fs, root).getOrElse(
       throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
-    val paths = readManifest(fs, root, gen).toSeq.sortBy(_._1).map { case (_, p) => s"$root/$p" }
-    spark.read.schema(pinnedSchema(readConfig(spark, root))).parquet(paths: _*)
+    readAt(spark, root, gen) // current table = time travel to the newest generation
   }
 
   /** The committed generations currently readable — the retention
@@ -518,25 +547,11 @@ object LatestUpsert {
   def compact(spark: SparkSession, root: String, filesPerBucket: Int = 1): Unit = {
     recover(spark, root)
     val fs = fsOf(spark, root)
-    val cfg = readConfig(spark, root)
     val gen = currentGen(fs, root).getOrElse(
       throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
-    val cur = withBucket(read(spark, root), cfg.keyCols, cfg.buckets)
-    val salted =
-      if (filesPerBucket <= 1) cur.repartition(math.min(cfg.buckets, 1 << 12), col("kb"))
-      else cur.repartition(
-        math.min(cfg.buckets * filesPerBucket, 1 << 12),
-        col("kb"),
-        // murmur3 `hash`, NOT xxhash64: kb is xxhash64(keys) mod buckets,
-        // so an xxhash64-derived salt would be constant within a bucket
-        // whenever filesPerBucket divides buckets
-        pmod(hash(cfg.keyCols.map(col): _*), lit(filesPerBucket)))
-    salted.write.mode("overwrite").partitionBy("kb").parquet(s"$root/data/${genName(gen + 1)}")
-    val present = fs.listStatus(new Path(s"$root/data/${genName(gen + 1)}"))
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("kb=") => n.stripPrefix("kb=").toInt }
-    publishManifest(fs, root, gen + 1, present.map(b => b -> relPath(gen + 1, b)).toMap)
-    gc(fs, root, gen + 1)
+    // the whole table is just "every current-manifest bucket" — one
+    // commit machinery ([[compactBuckets]]), not a second copy of it
+    compactBuckets(spark, root, readManifest(fs, root, gen).keys.toSeq, filesPerBucket)
   }
 
   /** Parquet file count per bucket of the CURRENT generation — the
@@ -671,9 +686,11 @@ object LatestUpsert {
     * [[upsert]] calls; an interrupted batch never committed (the
     * manifest is the commit point), so the restarted stream's replay of
     * it converges to the identical end state. `maxFilesPerBucket`
-    * ≥ 1 adds per-batch threshold [[maintain]]ance so a long-running
-    * stream is self-tending; 0 disables it (steady-state hygiene is by
-    * construction anyway — see [[compact]]).
+    * ≥ 1 adds per-batch threshold compaction so a long-running stream
+    * is self-tending — folded INTO each merge's commit (one commit per
+    * batch; a separate follow-up commit would halve the reader grace
+    * window, see [[upsert]]); 0 disables it (steady-state hygiene is
+    * by construction anyway — see [[compact]]).
     */
   def start(
       source: DataFrame,
@@ -684,8 +701,7 @@ object LatestUpsert {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsert(batch.sparkSession, root, batch)
-        if (maxFilesPerBucket > 0) maintain(batch.sparkSession, root, maxFilesPerBucket)
+        upsert(batch.sparkSession, root, batch, maxFilesPerBucket)
         ()
       }
       .start()

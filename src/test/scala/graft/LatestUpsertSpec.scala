@@ -404,6 +404,38 @@ class LatestUpsertSpec extends SparkSpec {
     }
   }
 
+  test("in-commit maintenance: a maintaining batch is ONE commit, and the pre-batch reader grace survives it") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    // split some buckets so the next batch has maintenance work
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1).filter($"event_id" % 17 === 0))
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert(LatestUpsert.bucketFileCounts(spark, root).values.max > 1, "premise: buckets due for compaction")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genBefore = LatestUpsert.currentGen(fs, root).get
+    // a reader resolves the CURRENT generation just before the batch
+    val preContent = readSet(root)
+    val reader = LatestUpsert.read(spark, root)
+    val preBatch = reader.select("user_id", "event_id", "ts_us", "event_type", "value").as[Row5]
+
+    // merge + compaction must land as ONE commit (two would GC the
+    // reader's generation mid-batch: retention is 2 manifests)
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 2), maxFilesPerBucket = 1)
+    assert(
+      LatestUpsert.currentGen(fs, root).get == genBefore + 1,
+      "a maintaining batch advanced more than one generation — reader grace halved")
+    assert(LatestUpsert.bucketFileCounts(spark, root).values.max == 1, "maintenance did not compact")
+    // the pre-batch reader still scans bit-exact (grace window held)
+    assert(preBatch.collect().toSet == preContent)
+    // and the table is correct: seed ∪ the %17 subset ∪ the final third
+    assert(readSet(root) == oneShotLatest(
+      ev.filter($"event_id" % 3 === 0)
+        .unionByName(ev.filter($"event_id" % 3 === 1).filter($"event_id" % 17 === 0))
+        .unionByName(ev.filter($"event_id" % 3 === 2))))
+  }
+
   test("init on a root with legacy remnants clears them — no hybrid artifact, no stale-migrate trap") {
     val ev = events
     val root = freshRoot()

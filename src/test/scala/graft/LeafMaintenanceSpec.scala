@@ -126,6 +126,25 @@ class LeafMaintenanceSpec extends SparkSpec {
     assert(leafVals("b=01") == before01, "leaf b=01 gained/lost rows through inference round-trip")
     assert(leafVals("b=1") == before1, "leaf b=1 gained/lost rows through inference round-trip")
     assert(leafFiles(new Path(s"$dir/b=01")) == 1 && leafFiles(new Path(s"$dir/b=1")) == 1)
+
+    // the guard must consider the WHOLE tree, not just the due leaves:
+    // here only b=1 is due, but the non-due b=01 shares its inferred
+    // value — a batched root-read rewrite would fold b=01's rows into
+    // b=1's staged dir and duplicate them
+    val dir2 = tmp("leafnoncanon2")
+    (1 to 5).foreach { i =>
+      Seq.tabulate(4)(j => i * 1000L + j).toDF("v").repartition(1)
+        .write.mode("append").parquet(s"$dir2/b=1") // 5 files: due at max=2
+    }
+    Seq.tabulate(4)(j => 7000L + j).toDF("v").repartition(1)
+      .write.mode("append").parquet(s"$dir2/b=01") // 1 file: NOT due
+    def vals2(name: String): Seq[Long] =
+      spark.read.parquet(s"$dir2/$name").select("v").as[Long].collect().sorted.toSeq
+    val b1 = vals2("b=1")
+    val b01 = vals2("b=01")
+    assert(Compaction.maintainPartitioned(spark, dir2, maxFilesPerLeaf = 2) == 1)
+    assert(vals2("b=1") == b1, "due leaf absorbed the non-due colliding leaf's rows")
+    assert(vals2("b=01") == b01, "non-due leaf changed")
   }
 
   test("crash-state sweep: every reachable per-leaf swap state recovers to the exact rows") {
