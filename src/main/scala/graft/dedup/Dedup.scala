@@ -731,6 +731,12 @@ object Dedup {
   /** Fold an increment into the index (after the caller has dropped the
     * batch rows it rejects): dynamic-partition append of the batch's
     * banded rows plus its sketches, under the index's own config.
+    *
+    * Resolves any interrupted compaction leaf swap FIRST (the writer
+    * invariant [[graft.io.Compaction.recoverLeaf]] depends on): an
+    * append that recreated a mid-swap leaf would make the next
+    * recovery read the recreated leaf as authoritative and GC the
+    * complete hidden tmp still holding that leaf's pre-crash rows.
     */
   def appendToMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -739,6 +745,8 @@ object Dedup {
       idCol: String,
       textCol: String
   ): Unit = {
+    graft.io.Compaction.recoverPartitioned(spark, s"$path/bands")
+    graft.io.Compaction.recoverPartitioned(spark, s"$path/sketches")
     val (hashed, banded) = batchSignatures(spark, path, batch, idCol, textCol)
     appendToMinhashIndexPre(path, hashed, banded)
   }
@@ -748,6 +756,11 @@ object Dedup {
     * to the accepted ids and appends those — never shingling twice).
     * Sub-buckets are derived here under the index's own recorded
     * config, so an append can never drift the bucketed layout.
+    *
+    * Contract: the CALLER owns crash recovery
+    * ([[graft.streaming.DedupIngest.start]] recovers before its first
+    * batch and each maintenance walk recovers again) — this form skips
+    * the per-call recovery walk the convenience form pays.
     */
   def appendToMinhashIndexPre(path: String, hashed: DataFrame, banded: DataFrame): Unit = {
     val keyBuckets = readMinhashKeyBuckets(banded.sparkSession, path)
@@ -826,7 +839,15 @@ object Dedup {
     * duplicates would not break [[novelOnly]] (an anti-join is
     * insensitive to right-side multiplicity), only waste index bytes.
     */
-  def appendToFingerprintIndex(batch: DataFrame, textCol: String, path: String): Unit = {
+  def appendToFingerprintIndex(batch: DataFrame, textCol: String, path: String, recoverFirst: Boolean = true): Unit = {
+    // writer invariant: resolve any interrupted leaf swap before
+    // writing (see appendToMinhashIndex's doc); one listing walk,
+    // the same order of FS round-trips the append's own commit pays.
+    // `recoverFirst = false` is the caller-owns-recovery contract the
+    // `*Pre` forms document — the ingest gate recovers at stream start
+    // and at every maintenance walk, and skips paying the walk (real
+    // listing latency on an object store) again per batch.
+    if (recoverFirst) graft.io.Compaction.recoverPartitioned(batch.sparkSession, path)
     val buckets = readFingerprintBuckets(batch.sparkSession, path)
     batch
       .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))

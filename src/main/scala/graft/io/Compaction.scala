@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, floor, greatest, hash, least, lit, max, min, pmod, shiftleft, shiftright, struct}
+import org.apache.spark.sql.functions.{col, floor, greatest, least, lit, max, min, shiftleft, shiftright}
 
 /** Small-file compaction for append-grown parquet artifacts.
   *
@@ -14,12 +14,31 @@ import org.apache.spark.sql.functions.{col, floor, greatest, hash, least, lit, m
   * row groups, no effective column-statistics pruning). Compaction
   * rewrites the SAME rows into right-sized files, preserving the
   * partition layout and any `_`-prefixed sidecar dirs (`_config`,
-  * `_centroids`), then atomically swaps the rewritten tree in.
+  * `_centroids`).
   *
-  * Maintenance op, single-writer by contract: run it when no append is
-  * in flight (the swap is two renames; a concurrent append could land
-  * between them and be dropped with the old tree). At 100 TB this is
-  * the nightly table-service job every lake runs; on a transactional
+  * Two regimes, by tree shape:
+  *
+  *  - '''Partitioned trees''' (every probed index — minhash bands/
+  *    sketches, IVF / IVF-PQ cells, LSH buckets): compacted LEAF BY
+  *    LEAF through the crash-recoverable hidden-sibling swap
+  *    ([[compactPartitioned]] / [[maintainPartitioned]]). No
+  *    whole-tree rename, so the root never disappears, sidecars are
+  *    never touched, and an interrupted run resolves deterministically
+  *    ([[recoverLeaf]]) — the next compaction or the gates' start-up
+  *    recovery finishes or unwinds it.
+  *  - '''Flat trees''' (the append-only corpus sink, never probed):
+  *    whole-tree rewrite + two-rename swap ([[compact]] /
+  *    [[compactClustered]]) — a maintenance-window job with a
+  *    documented crash window (root absent between the renames), which
+  *    is the honest cost of re-laying-out a tree that HAS no leaf
+  *    granularity to recover at.
+  *
+  * Single-writer per artifact by contract in both regimes (a
+  * concurrent append could land a file in a leaf between its two
+  * renames and be dropped with the old leaf). The streaming gates
+  * satisfy it by construction — maintenance runs inside the same
+  * serial foreachBatch loop as the appends. At 100 TB this is the
+  * nightly table-service job every lake runs; on a transactional
   * table format the swap is a commit instead.
   */
 object Compaction {
@@ -44,30 +63,19 @@ object Compaction {
     (bytes, n)
   }
 
-  /** Rewrite the parquet tree at `dir` into right-sized files.
+  /** Rewrite a FLAT parquet tree at `dir` into right-sized files: one
+    * shuffle into ceil(bytes / targetFileBytes) tasks → that many
+    * output files, then the two-rename swap (see the class doc's flat
+    * regime — partitioned trees take [[compactPartitioned]] instead,
+    * whose per-leaf swap is crash-recoverable).
     *
-    * Flat layout (`partitionCols` empty): one shuffle into
-    * ceil(bytes / targetFileBytes) tasks → that many output files.
-    *
-    * Partitioned layout: rows shuffle on (partitionCols, salt) where
-    * salt = hash of the whole row mod `filesPerPartition` — every
-    * partition directory collapses to exactly `filesPerPartition`
-    * files (deterministic, no round-robin nondeterminism). The caller
-    * sizes `filesPerPartition` from its own bytes-per-partition
-    * knowledge (an index partition is ~corpus/partitions, which the
-    * index owner knows; 1 is right until a partition outgrows a
-    * row-group-friendly file).
-    *
-    * Sidecar dirs (`_config`, `_centroids`, ...) are carried into the
-    * rewritten tree before the swap, so a compacted index stays
-    * self-describing.
+    * Sidecar dirs (`_config`, ...) are carried into the rewritten tree
+    * before the swap, so a compacted artifact stays self-describing.
     */
   def compact(
       spark: SparkSession,
       dir: String,
-      partitionCols: Seq[String] = Nil,
-      targetFileBytes: Long = 128L << 20,
-      filesPerPartition: Int = 1
+      targetFileBytes: Long = 128L << 20
   ): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,19 +83,39 @@ object Compaction {
     val df = spark.read.parquet(dir)
     val tmp = new Path(dir + ".__compacting")
     fs.delete(tmp, true)
-    if (partitionCols.nonEmpty) {
-      val dataCols = df.columns.filterNot(partitionCols.contains)
-      val salt = pmod(hash(struct(dataCols.map(col): _*)), lit(filesPerPartition))
-      df.repartition((partitionCols.map(col) :+ salt): _*)
-        .write
-        .partitionBy(partitionCols: _*)
-        .parquet(tmp.toString)
-    } else {
-      val k = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      df.repartition(k).write.parquet(tmp.toString)
-    }
+    val k = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.repartition(k).write.parquet(tmp.toString)
     swapIn(fs, root, tmp)
   }
+
+  /** Compact a PARTITIONED parquet tree leaf by leaf: every leaf
+    * holding more than one visible parquet file is rewritten into
+    * ceil(bytes / targetFileBytes) files through the recoverable
+    * hidden-sibling swap ([[maintainPartitioned]] at threshold 1 —
+    * all due leaves in ONE Spark job, then per-leaf renames).
+    *
+    * Versus the old whole-tree rewrite+swap this form is
+    *  - crash-recoverable: the root never disappears; an interrupted
+    *    run leaves each leaf either swapped or untouched plus helper
+    *    state [[recoverLeaf]] resolves deterministically;
+    *  - sidecar-safe: `_config`/`_centroids`/`_codebook` dirs are
+    *    never moved, so there is no moment when the tree is missing
+    *    its own description;
+    *  - incremental: already-compact leaves (one file) cost a listing,
+    *    nothing else — re-running after a crash only redoes the
+    *    unfinished leaves.
+    *
+    * Reader visibility: a concurrent reader races ONE leaf's two
+    * renames (that leaf alone can appear empty for that instant)
+    * instead of the whole root's — still a maintenance-window job by
+    * contract, but the blast radius of a badly-timed read shrinks from
+    * the artifact to a leaf. Returns the number of leaves rewritten.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L << 20
+  ): Int = maintainPartitioned(spark, dir, maxFilesPerLeaf = 1, targetFileBytes = targetFileBytes)
 
   /** Z-ORDER clustered compaction of a flat parquet tree: same rewrite
     * +swap as [[compact]], but rows are laid out along a Z-order
@@ -188,13 +216,15 @@ object Compaction {
 
   // ---------------------------------------------------------------
   // Leaf-scoped threshold maintenance — the auto-compaction form the
-  // streaming ingest gates run INSIDE their foreachBatch loop.
+  // streaming ingest gates run INSIDE their foreachBatch loop, and
+  // (at threshold 1, via [[compactPartitioned]]) the full-compaction
+  // form every partitioned index artifact uses.
   //
-  // The whole-tree [[compact]]+[[swapIn]] above is a maintenance-window
+  // The flat-tree [[compact]]+[[swapIn]] above is a maintenance-window
   // job: its swap has a crash window (root absent between two renames)
   // and its cost is proportional to the WHOLE artifact — both fine for
-  // a nightly table service, both wrong inside a streaming loop. The
-  // leaf-scoped form fixes each independently:
+  // a nightly table service over a leafless tree, both wrong inside a
+  // streaming loop. The leaf-scoped form fixes each independently:
   //
   //  - cost ∝ touched data: each micro-batch append adds at most one
   //    file per touched partition leaf, so the leaf that crossed the
@@ -223,7 +253,14 @@ object Compaction {
     * correct resolution:
     *   - live leaf present: the leaf is authoritative (tmp at most
     *     partially written, old impossible before the first rename) —
-    *     GC the helpers;
+    *     GC the helpers. This resolution is what makes the WRITER
+    *     invariant load-bearing: every writer (the append entry
+    *     points, the gates at stream start, every maintenance walk)
+    *     resolves helper state BEFORE writing, so a live leaf next to
+    *     a complete tmp can only mean a crash before the first rename
+    *     — never an append that recreated a mid-swap leaf, which this
+    *     branch would mis-read by GC'ing the tmp with the leaf's
+    *     pre-crash rows;
     *   - leaf absent, tmp present: tmp was COMPLETE before the first
     *     rename could run — roll FORWARD (tmp becomes the leaf);
     *   - leaf absent, only old present (unreachable by the protocol,
@@ -436,36 +473,37 @@ object Compaction {
   }
 
   /** Compact both legs of a [[graft.dedup.Dedup.writeMinhashIndex]]
-    * artifact (the `_config` sidecar rides the swap untouched).
+    * artifact (the `_config` sidecar is never touched — per-leaf swaps
+    * only move leaf data).
     */
   def compactMinhashIndex(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit = {
-    compact(spark, s"$path/bands", Seq("band", "key_bucket"), targetFileBytes)
-    compact(spark, s"$path/sketches", Seq("id_bucket"), targetFileBytes)
+    compactPartitioned(spark, s"$path/bands", targetFileBytes)
+    compactPartitioned(spark, s"$path/sketches", targetFileBytes)
   }
 
   /** Compact a [[graft.similarity.Similarity.writeIvfIndex]] artifact. */
-  def compactIvfIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
-    compact(spark, path, Seq("cell"), filesPerPartition = filesPerPartition)
+  def compactIvfIndex(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit =
+    compactPartitioned(spark, path, targetFileBytes)
 
   /** Compact a [[graft.similarity.Similarity.writeLshIndex]] artifact. */
-  def compactLshIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
-    compact(spark, path, Seq("tbl", "bucket"), filesPerPartition = filesPerPartition)
+  def compactLshIndex(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit =
+    compactPartitioned(spark, path, targetFileBytes)
 
   /** Compact a [[graft.similarity.Similarity.writeIvfPqIndex]] artifact
-    * (both `_centroids` and `_codebook` sidecars ride the swap).
+    * (the `_centroids` and `_codebook` sidecars are never touched).
     */
-  def compactIvfPqIndex(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit =
-    compact(spark, path, Seq("cell"), filesPerPartition = filesPerPartition)
+  def compactIvfPqIndex(spark: SparkSession, path: String, targetFileBytes: Long = 128L << 20): Unit =
+    compactPartitioned(spark, path, targetFileBytes)
 
   /** Compact a [[LatestUpsert]] artifact — delegates to
     * [[LatestUpsert.compact]], which rewrites the current generation's
     * buckets into a fresh generation and commits it through the SAME
-    * atomic manifest publish as a merge. Unlike the tree-swap
-    * compactions above, this one has NO crash window and no
-    * reader-visible intermediate state: a crash at any point leaves the
-    * previous generation current, and readers racing the compaction see
-    * old or new, never partial. (The other artifacts' two-rename swap
-    * remains the documented single-writer maintenance-window contract.)
+    * atomic manifest publish as a merge: NO crash window and no
+    * reader-visible intermediate state — readers racing the compaction
+    * see old or new, never partial. (The index compactions above are
+    * crash-recoverable per leaf; only the flat-tree [[compact]] /
+    * [[compactClustered]] keep the two-rename maintenance-window
+    * contract.)
     */
   def compactLatestTable(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit =
     LatestUpsert.compact(spark, root, filesPerPartition)

@@ -1121,12 +1121,21 @@ object Similarity {
       batch: DataFrame,
       idCol: String,
       vecCol: String
-  ): Unit =
+  ): Unit = {
+    // writer invariant: resolve any interrupted compaction leaf swap
+    // before writing — an append recreating a mid-swap cell dir would
+    // make the next recovery GC the complete hidden tmp still holding
+    // that cell's pre-crash rows ([[graft.io.Compaction.recoverLeaf]])
+    graft.io.Compaction.recoverPartitioned(spark, path)
     appendToIvfIndexPre(assignedBatch(spark, path, batch, idCol, vecCol), path)
+  }
 
   /** [[appendToIvfIndex]] for a batch ALREADY in index geometry
     * ([[assignedBatch]] columns) — the ingest gate appends the rows it
     * assigned for the probe instead of re-running the assignment.
+    * Contract: the CALLER owns crash recovery
+    * ([[graft.streaming.SemDedupIngest.start]] recovers before its
+    * first batch and each maintenance walk recovers again).
     */
   def appendToIvfIndexPre(assigned: DataFrame, path: String): Unit =
     assigned
@@ -1355,6 +1364,9 @@ object Similarity {
       idCol: String,
       vecCol: String
   ): Unit = {
+    // writer invariant: resolve interrupted leaf swaps before writing
+    // (see appendToIvfIndex's note)
+    graft.io.Compaction.recoverPartitioned(spark, path)
     val cfg = spark.read.parquet(s"$path/_config").collect().head
     val (bits, tables, seed, dim) = (cfg.getInt(0), cfg.getInt(1), cfg.getLong(2), cfg.getInt(3))
     val v = batch

@@ -153,7 +153,10 @@ object DedupIngest {
     val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
       // indexes BEFORE corpus — see the ordering note above
-      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints")
+      // recoverFirst = false: this loop owns recovery (start() before
+      // the first batch, every maintenance walk) — see the writer
+      // invariant in appendToMinhashIndex's doc
+      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
       // append the PROBE's signatures filtered to the accepted ids —
       // row-local signatures restricted to keep ⊆ novel are exactly
       // appendToMinhashIndex(keep)'s rows, minus the second shingling

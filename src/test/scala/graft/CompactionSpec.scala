@@ -55,6 +55,86 @@ class CompactionSpec extends SparkSpec {
     assert(before.nonEmpty)
   }
 
+  test("index compaction is crash-recoverable: fabricated mid-swap states resolve and the probe is identical") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf001)
+    val path = Files.createTempDirectory("mhcrash").toString + "/index"
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+    Dedup.appendToMinhashIndex(spark, path, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    def probe() = Dedup
+      .incrementalLshPairs(spark, path, batch, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+      .toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+
+    // fabricate every reachable crash state of the per-leaf protocol on
+    // REAL leaves of the nested bands tree:
+    //  (a) crash between the two renames — leaf absent, COMPLETE tmp
+    //      present (the live leaf renamed to its hidden tmp name IS that
+    //      state: tmp is complete by construction);
+    //  (b) the defensive old-only state — leaf moved aside, no tmp;
+    //  (c) a garbage staging tree from a crashed batched wave.
+    val bands = new Path(s"$path/bands")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandDirs = fs.listStatus(bands).map(_.getPath).filter(_.getName.startsWith("band=")).sortBy(_.getName)
+    assert(bandDirs.length >= 2, "need two band dirs to fabricate both crash states")
+    def leafOf(band: Path) =
+      fs.listStatus(band).map(_.getPath).filter(_.getName.startsWith("key_bucket=")).minBy(_.getName)
+    val leafA = leafOf(bandDirs(0))
+    val leafB = leafOf(bandDirs(1))
+    assert(fs.rename(leafA, new Path(leafA.getParent, s"._cmp_${leafA.getName}")))
+    assert(fs.rename(leafB, new Path(leafB.getParent, s"._oldcmp_${leafB.getName}")))
+    fs.mkdirs(new Path(bands, "._cmpstage_crashed"))
+
+    // compaction's first act is the recovery walk — both leaves come
+    // back, the stage garbage goes, then the rewrite proceeds
+    Compaction.compactMinhashIndex(spark, path)
+
+    assert(fs.exists(leafA) && fs.exists(leafB), "recovery did not restore the mid-swap leaves")
+    val helpers = fs.listStatus(bands).map(_.getPath.getName) ++
+      bandDirs.flatMap(d => fs.listStatus(d).map(_.getPath.getName))
+    assert(!helpers.exists(n => n.startsWith("._cmp") || n.startsWith("._oldcmp")), s"helper state survived: ${helpers.mkString(",")}")
+    assert(probe() == before, "probe diverged after crash recovery + compaction")
+    // and the compaction itself happened: one file per leaf
+    val (_, bandFiles) = Compaction.dataStats(spark, s"$path/bands")
+    val bandLeafs = spark.read.parquet(s"$path/bands").select("band", "key_bucket").distinct().count()
+    assert(bandFiles == bandLeafs, s"expected one file per leaf ($bandLeafs), got $bandFiles")
+  }
+
+  test("appends are recovery-safe: an append to a mid-swap tree restores the hidden leaf instead of stranding it") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf001)
+    val path = Files.createTempDirectory("mhappendcrash").toString + "/index"
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+
+    // full index content = what a later probe depends on
+    def sketchIds() = spark.read.parquet(s"$path/sketches").select("id").as[Long].collect().toSet
+    val seeded = sketchIds()
+
+    // fabricate the crash-between-renames state on a sketches leaf:
+    // leaf absent, complete hidden tmp holding its rows
+    val sketches = new Path(s"$path/sketches")
+    val fs = sketches.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = fs.listStatus(sketches).map(_.getPath).filter(_.getName.startsWith("id_bucket=")).minBy(_.getName)
+    assert(fs.rename(leaf, new Path(leaf.getParent, s"._cmp_${leaf.getName}")))
+
+    // a DIRECT append with no manual recovery: the writer invariant
+    // says this must resolve the swap first — without it, the append
+    // would recreate the leaf and the next recovery would GC the tmp
+    // (silently losing the leaf's pre-crash rows)
+    Dedup.appendToMinhashIndex(spark, path, docs.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+    Compaction.compactMinhashIndex(spark, path)
+
+    val afterIds = sketchIds()
+    assert(seeded.subsetOf(afterIds), s"pre-crash rows lost: ${(seeded -- afterIds).take(5)}")
+    assert(afterIds.size > seeded.size, "append itself landed")
+  }
+
   test("ivf index: compaction preserves the partition-pruned probe and the centroid sidecar") {
     val emb = Tables.embeddings(spark, sf001)
     val half1 = emb.filter($"vec_id" % 2 === 0)
