@@ -109,6 +109,9 @@ object SparkEntry {
     "f1_normalize"       -> (Queries.f1Normalize _),
     "f2_symbol_munge"    -> (Queries.f2SymbolMunge _),
     "f6_occ_roundtrip"   -> (Queries.f6OccRoundtrip _),
+    "f7_scalar_effects"  -> (Queries.f7ScalarEffects _),
+    "f19_time_display"   -> (Queries.f19TimeDisplay _),
+    "p5_session_filter"  -> (Queries.p5SessionFilter _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -2186,6 +2189,87 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  /** F5/F7/F8/F9/F17/F18 — the row-local scalar helpers as one carrier
+    * over orders (references `messages.py:189-203` interval floor,
+    * `positions.py:32-43` apply_effect, `metrics.py:167-172` mid price,
+    * `positions.py:710-721` dollar theta, `option_chains.py:22-29`
+    * futures detect/strip, `orchestrator.py:145-152` safe_float). Every
+    * input is synthesized from o_orderkey/o_totalprice deterministically;
+    * float surfaces stay off rounding edges (mid derives from integer
+    * cents so the 4dp round is identity on the decimal value, theta is
+    * shifted off zero so no -0.0 can arise).
+    */
+  def f7ScalarEffects(spark: SparkSession, dir: String): DataFrame = {
+    val k = $"o_orderkey"
+    val effect = when(pmod(k, lit(2L)) === 0, "Credit").otherwise("Debit")
+    val bidCents = pmod(k, lit(10000L))
+    val askCents = bidCents + pmod(k, lit(200L)) + lit(1L)
+    val theta = -(pmod(k, lit(50L)) + 1) / 1000.0
+    val signedQty = (when(pmod(k, lit(4L)) < 2, 1L).otherwise(-1L) * (pmod(k, lit(3L)) + 1)).cast("double")
+    val sym = when(pmod(k, lit(3L)) === 0, concat(lit("/ES"), pmod(k, lit(10L)).cast("string")))
+      .otherwise(concat(lit("SPY"), pmod(k, lit(10L)).cast("string")))
+    val floatStr = when(pmod(k, lit(5L)) === 0, lit("n/a"))
+      .when(pmod(k, lit(5L)) === 1, lit(""))
+      .when(pmod(k, lit(5L)) === 2, lit(null).cast("string"))
+      .otherwise($"o_totalprice".cast("string"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        k.as("o_orderkey"),
+        Funcs.applyEffect($"o_totalprice", effect).as("signed_amount"),
+        Funcs.midPrice(bidCents / 100.0, askCents / 100.0).as("mid"),
+        Funcs.dollarTheta(theta, signedQty, lit(100.0)).as("dollar_theta"),
+        sym.as("sym"),
+        Funcs.isFutures(sym).cast("int").as("is_fut"),
+        Funcs.stripFuturesPrefix(sym).as("product"),
+        Funcs.safeFloat(floatStr).as("parsed_price"),
+        Funcs.floorToInterval(k * 61234L + 17L, lit(300000L)).as("bar_ms")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  /** P5 — ET session-window gate as a relational filter (reference
+    * `analytics/engines/hull_macd.py:31-33`): keep events whose UTC
+    * timestamp falls in [10:00, 15:00) Eastern wall-clock. The same rule
+    * rides g1's oracle row-locally; this is the direct filter form with
+    * its own oracle (timezone('America/New_York', ...) on the DuckDB
+    * side), so the predicate itself is hash-pinned, not just its signal
+    * consumers.
+    */
+  def p5SessionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .filter(Funcs.inEtSession($"ts_t"))
+      .select($"event_id", $"ts_us", $"user_id", $"event_type")
+      .orderBy("event_id")
+
+  /** F11/F12/F19 — the time-display helpers as one carrier over events
+    * (references `charting/server.py:36-60` ET shift, `helpers.py:16-30`
+    * last-weekday, `subscription/orchestrator.py:49-59` +
+    * `subscription/status.py:41-53` uptime/age humanization). Uptime and
+    * age are synthesized from event_id with coprime multipliers so every
+    * display branch (d/h/m shapes; s/m/h/d buckets + the null→"unknown"
+    * row) occurs at every scale.
+    */
+  def f19TimeDisplay(spark: SparkSession, dir: String): DataFrame = {
+    val up = pmod($"event_id" * 7919L, lit(500000L))
+    val age = when(pmod($"event_id", lit(11L)) === 0, lit(null).cast("long"))
+      .otherwise(pmod($"event_id" * 104729L, lit(200000L)))
+    val epochSec = floor($"ts_us" / 1000000L).cast("long")
+    Tables
+      .events(spark, dir)
+      .select(
+        $"event_id",
+        up.as("uptime_s"),
+        Funcs.formatUptime(up).as("uptime"),
+        age.as("age_s"),
+        Funcs.ageDisplay(age).as("age"),
+        Funcs.utcEpochToEtShiftedEpoch(epochSec).as("et_epoch"),
+        date_format(Funcs.lastWeekday(to_date($"ts_t")), "yyyy-MM-dd").as("last_wd")
+      )
+      .orderBy("event_id")
+  }
+
   /** J3 — left join with fallback synthesis when the dimension row is
     * missing (reference `strategies/classifier.py:40-62` instrument
     * fallback parse).
@@ -3707,6 +3791,56 @@ object Oracles {
         |       THEN CAST(regexp_extract(occ, '(\d{6})([CP])(.+)$', 3) AS DOUBLE) / 1000.0
         |       ELSE CAST(regexp_extract(occ, '(\d{6})([CP])(.+)$', 3) AS DOUBLE) END AS strike
         |FROM o ORDER BY p_partkey""".stripMargin,
+    "f7_scalar_effects" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice ELSE -o_totalprice END AS signed_amount,
+        |  round((CAST(o_orderkey % 10000 AS DOUBLE) / CAST(100 AS DOUBLE)
+        |         + CAST(o_orderkey % 10000 + o_orderkey % 200 + 1 AS DOUBLE) / CAST(100 AS DOUBLE)) / CAST(2 AS DOUBLE), 4) AS mid,
+        |  (-((CAST(o_orderkey % 50 AS DOUBLE) + 1) / CAST(1000 AS DOUBLE)))
+        |    * CAST((CASE WHEN o_orderkey % 4 < 2 THEN 1 ELSE -1 END) * (o_orderkey % 3 + 1) AS DOUBLE)
+        |    * CAST(100 AS DOUBLE) AS dollar_theta,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN concat('/ES', CAST(o_orderkey % 10 AS VARCHAR))
+        |       ELSE concat('SPY', CAST(o_orderkey % 10 AS VARCHAR)) END AS sym,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS is_fut,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN concat('ES', CAST(o_orderkey % 10 AS VARCHAR))
+        |       ELSE concat('SPY', CAST(o_orderkey % 10 AS VARCHAR)) END AS product,
+        |  CASE WHEN o_orderkey % 5 IN (0, 1, 2) THEN NULL ELSE o_totalprice END AS parsed_price,
+        |  ((o_orderkey * 61234 + 17) // 300000) * 300000 AS bar_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p5_session_filter" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM events
+        |WHERE hour(timezone('America/New_York', timezone('UTC', ts))) * 60
+        |      + minute(timezone('America/New_York', timezone('UTC', ts))) >= 600
+        |  AND hour(timezone('America/New_York', timezone('UTC', ts))) * 60
+        |      + minute(timezone('America/New_York', timezone('UTC', ts))) < 900
+        |ORDER BY event_id""".stripMargin,
+    "f19_time_display" ->
+      """WITH t AS (
+        |  SELECT event_id, epoch_us(ts) // 1000000 AS es,
+        |    (event_id * 7919) % 500000 AS up,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE (event_id * 104729) % 200000 END AS a
+        |  FROM events)
+        |SELECT event_id,
+        |  up AS uptime_s,
+        |  CASE WHEN up // 86400 > 0 THEN concat(CAST(up // 86400 AS VARCHAR), 'd ',
+        |           CAST((up % 86400) // 3600 AS VARCHAR), 'h ', CAST((up % 3600) // 60 AS VARCHAR), 'm')
+        |       WHEN (up % 86400) // 3600 > 0 THEN concat(CAST((up % 86400) // 3600 AS VARCHAR), 'h ',
+        |           CAST((up % 3600) // 60 AS VARCHAR), 'm')
+        |       ELSE concat(CAST((up % 3600) // 60 AS VARCHAR), 'm') END AS uptime,
+        |  a AS age_s,
+        |  CASE WHEN a IS NULL THEN 'unknown'
+        |       WHEN a < 60 THEN concat(CAST((a * 2 + 1) // 2 AS VARCHAR), 's ago')
+        |       WHEN a < 3600 THEN concat(CAST((a * 2 + 60) // 120 AS VARCHAR), 'm ago')
+        |       WHEN a < 86400 THEN concat(CAST(((a * 20 + 3600) // 7200) // 10 AS VARCHAR), '.',
+        |           CAST(((a * 20 + 3600) // 7200) % 10 AS VARCHAR), 'h ago')
+        |       ELSE concat(CAST(((a * 20 + 86400) // 172800) // 10 AS VARCHAR), '.',
+        |           CAST(((a * 20 + 86400) // 172800) % 10 AS VARCHAR), 'd ago') END AS age,
+        |  epoch_us(timezone('America/New_York', timezone('UTC', make_timestamp(es * 1000000)))) // 1000000 AS et_epoch,
+        |  strftime(CASE WHEN isodow(CAST(ts AS DATE)) = 7 THEN CAST(ts AS DATE) - 2
+        |                WHEN isodow(CAST(ts AS DATE)) = 6 THEN CAST(ts AS DATE) - 1
+        |                ELSE CAST(ts AS DATE) END, '%Y-%m-%d') AS last_wd
+        |FROM t JOIN events USING (event_id) ORDER BY event_id""".stripMargin,
     "j3_coalesce_join" ->
       """SELECT o_orderkey,
         |  coalesce(c_name, concat('CUST-', CAST(o_custkey AS VARCHAR))) AS display_name

@@ -140,6 +140,54 @@ object Functions {
     */
   def safeFloat(s: Column): Column = s.try_cast("double")
 
+  /** F19a — uptime humanization (reference
+    * `subscription/orchestrator.py:49-59` format_uptime): whole-second
+    * divmod into days/hours/minutes with the reference's three display
+    * shapes (`3d 4h 5m` / `4h 5m` / `5m`). Pure integer arithmetic on a
+    * non-negative duration, so the string is engine-independent by
+    * construction (no float formatting anywhere).
+    */
+  def formatUptime(seconds: Column): Column = {
+    val total = seconds.cast("long")
+    val days = floor(total / 86400L).cast("long")
+    val hours = floor(pmod(total, lit(86400L)) / 3600L).cast("long")
+    val minutes = floor(pmod(total, lit(3600L)) / 60L).cast("long")
+    val hm = concat(hours.cast("string"), lit("h "), minutes.cast("string"), lit("m"))
+    when(days > 0, concat(days.cast("string"), lit("d "), hm))
+      .when(hours > 0, hm)
+      .otherwise(concat(minutes.cast("string"), lit("m")))
+  }
+
+  /** F19b — age humanization (reference `subscription/status.py:41-53`
+    * age_display): null → "unknown", then `Ns ago` / `Nm ago` /
+    * `N.Nh ago` / `N.Nd ago` buckets. The shown value rounds HALF-UP on
+    * the exact rational age/divisor via integer arithmetic — the one
+    * observable deviation from the reference, whose CPython f-string
+    * formats the binary double with round-half-even (differs only at
+    * exact ties, e.g. 150 s → our `3m ago` vs its `2m ago`); integer
+    * arithmetic is what makes the string identical across engines.
+    */
+  def ageDisplay(ageSeconds: Column): Column = {
+    val a = ageSeconds.cast("long")
+    // half-up integer division: floor((2n + d) / 2d); all magnitudes
+    // here are far below 2^53 so the double-typed `/` is exact enough
+    // for floor to agree with true integer division
+    def up0(den: Long) = floor((a * 2 + den) / (2.0 * den)).cast("long").cast("string")
+    def up1(den: Long) = {
+      val tenths = floor((a * 20 + den) / (2.0 * den)).cast("long")
+      concat(
+        floor(tenths / 10L).cast("long").cast("string"),
+        lit("."),
+        pmod(tenths, lit(10L)).cast("string")
+      )
+    }
+    when(a.isNull, lit("unknown"))
+      .when(a < 60, concat(up0(1), lit("s ago")))
+      .when(a < 3600, concat(up0(60), lit("m ago")))
+      .when(a < 86400, concat(up1(3600), lit("h ago")))
+      .otherwise(concat(up1(86400), lit("d ago")))
+  }
+
   /** W9 — snapshot-complete bitmask gate: SNAPSHOT_END(0x08) |
     * SNAPSHOT_SNIP(0x10) (reference `snapshot.py:6-26,82`).
     */

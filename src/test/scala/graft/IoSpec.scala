@@ -89,6 +89,31 @@ class IoSpec extends SparkSpec {
     assert(shifted == orig - 5 * 3600)
   }
 
+  test("F19: uptime and age humanization pin every display branch") {
+    // format_uptime (reference subscription/orchestrator.py:49-59):
+    // divmod shapes "Xd Yh Zm" / "Yh Zm" / "Zm"
+    val ups = Seq(0L, 59L, 60L, 3600L, 3725L, 86400L, 90061L).toDF("s")
+    val upOut = ups.select(F.formatUptime($"s")).as[String].collect()
+    assert(upOut.sameElements(Array("0m", "0m", "1m", "1h 0m", "1h 2m", "1d 0h 0m", "1d 1h 1m")))
+
+    // age_display (reference subscription/status.py:41-53): null →
+    // unknown, then s/m/h/d buckets; shown value half-up on the exact
+    // rational (deviates from CPython's half-even ONLY at exact ties —
+    // 150 s here: ours "3m ago", CPython "2m ago" — documented in the
+    // Scaladoc)
+    val ages = Seq[Option[Long]](
+      None, Some(0L), Some(45L), Some(59L), Some(60L), Some(90L), Some(150L),
+      Some(3599L), Some(3600L), Some(5400L), Some(8100L), Some(86399L),
+      Some(86400L), Some(129600L), Some(172800L)
+    ).toDF("a")
+    val ageOut = ages.select(F.ageDisplay($"a")).as[String].collect()
+    assert(ageOut.sameElements(Array(
+      "unknown", "0s ago", "45s ago", "59s ago", "1m ago", "2m ago", "3m ago",
+      "60m ago", "1.0h ago", "1.5h ago", "2.3h ago", "24.0h ago",
+      "1.0d ago", "1.5d ago", "2.0d ago"
+    )), s"got: ${ageOut.mkString(", ")}")
+  }
+
   test("normalizeFloat nulls NaN/Inf and keeps 10dp") {
     val df = Seq(1.23456789012345, Double.NaN, Double.PositiveInfinity).toDF("x")
     val out = df.select(F.normalizeFloat($"x").as("n")).collect().map(r => Option(r.get(0)))
