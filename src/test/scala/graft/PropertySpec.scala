@@ -33,6 +33,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("F19 differential: column humanization == a direct Scala model on random durations") {
+    // Scala model of the column expressions' CONTRACT (reference
+    // format_uptime divmod shapes; age_display buckets with half-up on
+    // the exact rational — the documented CPython-ties deviation)
+    def upModel(s: Long): String = {
+      val d = s / 86400; val h = s % 86400 / 3600; val m = s % 3600 / 60
+      if (d > 0) s"${d}d ${h}h ${m}m" else if (h > 0) s"${h}h ${m}m" else s"${m}m"
+    }
+    def ageModel(a: Option[Long]): String = a match {
+      case None => "unknown"
+      case Some(a) =>
+        def up0(den: Long) = (2 * a + den) / (2 * den)
+        def up1(den: Long) = { val t = (20 * a + den) / (2 * den); s"${t / 10}.${t % 10}" }
+        if (a < 60) s"${up0(1)}s ago"
+        else if (a < 3600) s"${up0(60)}m ago"
+        else if (a < 86400) s"${up1(3600)}h ago"
+        else s"${up1(86400)}d ago"
+    }
+    val rng = new Random(19)
+    // log-uniform draw so every branch (s/m/h/d, all three uptime
+    // shapes) gets real mass, plus the exact bucket boundaries ±1
+    val edges = Seq(0L, 59L, 60L, 3599L, 3600L, 86399L, 86400L)
+    val draws = (1 to 2000).map(_ => math.floor(math.pow(10, rng.nextDouble() * 7)).toLong) ++
+      edges ++ edges.map(_ + 1) ++ edges.filter(_ > 0).map(_ - 1)
+    val ages = draws.map(v => if (rng.nextInt(20) == 0) None else Some(v))
+    val got = draws.zip(ages).toDF("up", "age")
+      .select(
+        graft.functions.Functions.formatUptime($"up").as("u"),
+        graft.functions.Functions.ageDisplay($"age").as("a"))
+      .as[(String, String)]
+      .collect()
+    draws.zip(ages).zip(got).foreach { case ((up, age), (gu, ga)) =>
+      assert(gu == upModel(up), s"uptime $up: got $gu want ${upModel(up)}")
+      assert(ga == ageModel(age), s"age $age: got $ga want ${ageModel(age)}")
+    }
+  }
+
   test("LIFO conservation: consumed quantity exactly accounts the position") {
     val rng = new Random(42)
     (1 to 50).foreach { trial =>
