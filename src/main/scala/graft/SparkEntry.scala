@@ -112,6 +112,7 @@ object SparkEntry {
     "f7_scalar_effects"  -> (Queries.f7ScalarEffects _),
     "f19_time_display"   -> (Queries.f19TimeDisplay _),
     "p5_session_filter"  -> (Queries.p5SessionFilter _),
+    "t3_stream_candles"  -> (Queries.t3StreamCandles _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -1201,6 +1202,61 @@ object Queries {
       .novelOnly(spark, path, docs.filter(col("doc_id") % 3 === 0), "text")
       .select("doc_id", "source")
       .orderBy("doc_id")
+  }
+
+  /** T1/T3/W5 — a REAL Structured Streaming run whose end state is
+    * oracle-checked: events split into three parquet files (scratch,
+    * [[QueryParams.seedOnce]]), replayed as three micro-batches through
+    * a file source (`maxFilesPerTrigger=1`, `Trigger.AvailableNow`),
+    * aggregated into 5-minute event-time candles per user in COMPLETE
+    * output mode (reference `processors/default.py:71-75` leading-edge
+    * bars; `messages.py:189-203` boundary floor). Complete mode makes
+    * the end state equal the one-shot batch aggregate regardless of
+    * micro-batch arrival order, which is exactly the contract the
+    * DuckDB oracle states relationally. StreamingSpec pins streaming ≡
+    * batch bit-parity for windowed aggs; this row hash-pins the SAME
+    * semantics against a second engine, end to end through a real
+    * stream. The float sum is rounded on both sides (the partial-agg
+    * ordering discipline); the window bucket is pure integer division.
+    *
+    * Scale note: COMPLETE mode is the oracle vehicle, not the 100 TB
+    * path — its state is every window ever seen. The production form is
+    * watermark + append ([[graft.streaming.Streams.windowedAgg]], W5),
+    * whose streaming ≡ batch parity StreamingSpec pins; this query
+    * exists to hash-pin the shared window/agg semantics cross-engine.
+    */
+  def t3StreamCandles(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t3_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t3 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Tables.events(spark, dir).select($"event_id", $"ts_us", $"user_id", $"value")
+      (0 to 2).foreach { i =>
+        ev.filter(pmod($"event_id", lit(3L)) === i).coalesce(1).write.mode("append").parquet(src)
+      }
+    }
+    val qn = "t3_candles_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("bucket_us", expr("(ts_us div 300000000) * 300000000"))
+      .groupBy($"user_id", $"bucket_us")
+      .agg(
+        count("*").as("n"),
+        round(sum($"value"), 4).as("sum_v"),
+        max($"event_id").as("last_event")
+      )
+    val ckpt = java.nio.file.Files.createTempDirectory("t3ckpt").toString
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("user_id", "bucket_us")
   }
 
   /** d13 — the streaming dedup-ingest END-STATE: seed the corpus + both
@@ -3807,6 +3863,14 @@ object Oracles {
         |  CASE WHEN o_orderkey % 5 IN (0, 1, 2) THEN NULL ELSE o_totalprice END AS parsed_price,
         |  ((o_orderkey * 61234 + 17) // 300000) * 300000 AS bar_ms
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t3_stream_candles" ->
+      """SELECT user_id,
+        |  (epoch_us(ts) // 300000000) * 300000000 AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_v,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM events GROUP BY user_id, bucket_us
+        |ORDER BY user_id, bucket_us""".stripMargin,
     "p5_session_filter" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         |FROM events
