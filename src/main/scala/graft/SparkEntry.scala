@@ -113,6 +113,7 @@ object SparkEntry {
     "f19_time_display"   -> (Queries.f19TimeDisplay _),
     "p5_session_filter"  -> (Queries.p5SessionFilter _),
     "t3_stream_candles"  -> (Queries.t3StreamCandles _),
+    "t6_stream_dedup"    -> (Queries.t6StreamDedup _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -1257,6 +1258,74 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.table(qn).orderBy("user_id", "bucket_us")
+  }
+
+  /** T6 — stateful streaming dedup END-STATE through a real stream
+    * (reference `orchestrator.py:339-371` seen-fill_id set; dedup is by
+    * ID ALONE, first arrival wins even when payloads differ). Events
+    * become three micro-batches (`fill_id = event_id div 3`, batch `i =
+    * event_id mod 3` — so a fill can recur ACROSS batches but is unique
+    * WITHIN each, which is what makes "first arrival" deterministic
+    * under Spark's intra-batch shuffle). Batch order is pinned by
+    * explicit strictly-increasing file mtimes (the file source batches
+    * in timestamp order — same-millisecond writes would otherwise fall
+    * back to path order over nondeterministic part-file names).
+    * `dropDuplicates("fill_id")` in append mode then emits exactly the
+    * earliest batch's row per fill, i.e. the row with `min(event_id)`
+    * per div-3 group — which the DuckDB oracle states relationally. The
+    * payload column rides along, so a wrong-arrival keeper flips the
+    * hash, pinning the ORDERING contract, not just the key set.
+    *
+    * Scale note: unbounded keys ⇒ the production form is the
+    * watermarked [[graft.streaming.Streams.dedupByIds]] (state TTL);
+    * this bounded replay exists to hash-pin the keep-first semantics
+    * cross-engine.
+    */
+  def t6StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t6_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t6 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Tables
+        .events(spark, dir)
+        .select(
+          expr("event_id div 3").as("fill_id"),
+          $"event_id",
+          $"event_type".as("payload")
+        )
+      (0 to 2).foreach { i =>
+        ev.filter(pmod($"event_id", lit(3L)) === i).coalesce(1).write.mode("append").parquet(src)
+      }
+      // pin arrival order: the file source batches by mtime, and three
+      // back-to-back writes can land in the same millisecond
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy { st =>
+          // recover which batch a part file holds from its contents
+          spark.read.parquet(st.getPath.toString).select(pmod(min($"event_id"), lit(3L))).head().getLong(0)
+        }
+        .zipWithIndex
+        .foreach { case (st, i) => fs.setTimes(st.getPath, base + i * 1000L, -1) }
+    }
+    val qn = "t6_dedup_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .dropDuplicates("fill_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("t6ckpt").toString
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).select($"fill_id", $"event_id", $"payload").orderBy("fill_id")
   }
 
   /** d13 — the streaming dedup-ingest END-STATE: seed the corpus + both
@@ -3871,6 +3940,11 @@ object Oracles {
         |  CAST(max(event_id) AS BIGINT) AS last_event
         |FROM events GROUP BY user_id, bucket_us
         |ORDER BY user_id, bucket_us""".stripMargin,
+    "t6_stream_dedup" ->
+      """SELECT event_id // 3 AS fill_id,
+        |  min(event_id) AS event_id,
+        |  arg_min(event_type, event_id) AS payload
+        |FROM events GROUP BY 1 ORDER BY fill_id""".stripMargin,
     "p5_session_filter" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         |FROM events
