@@ -106,6 +106,63 @@ class CompactionSpec extends SparkSpec {
     assert(bandFiles == bandLeafs, s"expected one file per leaf ($bandLeafs), got $bandFiles")
   }
 
+  test("randomized multi-leaf crash states: any seeded combination of swap states recovers with identical probes") {
+    import org.apache.hadoop.fs.Path
+    import scala.util.Random
+    val docs = Tables.documents(spark, sf001)
+    val path = Files.createTempDirectory("mhfuzz").toString + "/index"
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def probe() = Dedup
+      .incrementalLshPairs(spark, path, batch, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+      .toSeq
+    val before = probe()
+    assert(before.nonEmpty)
+
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(tree: String): Seq[Path] = {
+      val root = new Path(s"$path/$tree")
+      fs.listStatus(root).map(_.getPath).flatMap { p =>
+        if (p.getName.startsWith("_")) Seq.empty[Path]
+        else if (fs.listStatus(p).exists(_.getPath.getName.startsWith("key_bucket=")))
+          fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("key_bucket=")).toSeq
+        else Seq(p)
+      }.toSeq.sortBy(_.toString)
+    }
+    (1 to 3).foreach { trial =>
+      val rng = new Random(100 + trial)
+      // the deterministic sweep covers each state singly; here a seeded
+      // RANDOM SUBSET of leaves across both trees lands in a random
+      // reachable state simultaneously (multi-leaf crash combinations)
+      Seq("bands", "sketches").foreach { tree =>
+        leaves(tree).foreach { leaf =>
+          rng.nextInt(3) match {
+            case 0 => assert(fs.rename(leaf, new Path(leaf.getParent, s"._cmp_${leaf.getName}")))
+            case 1 => assert(fs.rename(leaf, new Path(leaf.getParent, s"._oldcmp_${leaf.getName}")))
+            case _ => () // leaf untouched this trial
+          }
+        }
+        fs.mkdirs(new Path(s"$path/$tree/._cmpstage_crash$trial"))
+      }
+      Compaction.compactMinhashIndex(spark, path)
+      assert(probe() == before, s"trial $trial: probe diverged after randomized crash recovery")
+      val helperLeft = Seq("bands", "sketches").flatMap { tree =>
+        fs.listStatus(new Path(s"$path/$tree")).flatMap { st =>
+          val self = if (st.getPath.getName.startsWith("._")) Seq(st.getPath) else Seq.empty
+          val kids =
+            if (st.isDirectory && !st.getPath.getName.startsWith("_"))
+              fs.listStatus(st.getPath).map(_.getPath).filter(_.getName.startsWith("._")).toSeq
+            else Seq.empty
+          self ++ kids
+        }
+      }
+      assert(helperLeft.isEmpty, s"trial $trial: helper state survived recovery: ${helperLeft.mkString(",")}")
+    }
+  }
+
   test("appends are recovery-safe: an append to a mid-swap tree restores the hidden leaf instead of stranding it") {
     import org.apache.hadoop.fs.Path
     val docs = Tables.documents(spark, sf001)
