@@ -100,6 +100,30 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  /** Queries whose defining behavior is projection pruning at the scan:
+    * each must read EXACTLY the named columns — a wider ReadSchema means
+    * the scan ships bytes the query never uses, the first thing that
+    * hurts at 100 TB. (The round-10 scalar/filter carriers synthesize
+    * everything else from these columns, so any regression that drags a
+    * extra column into the scan is a pruning bug, not a feature.)
+    */
+  private val mustPruneColumns: Map[String, Set[String]] = Map(
+    "f7_scalar_effects" -> Set("o_orderkey", "o_totalprice"),
+    "f19_time_display"  -> Set("event_id", "ts"),
+    "p5_session_filter" -> Set("event_id", "ts", "user_id", "event_type")
+  )
+
+  test("projection-pruned queries read exactly their needed columns") {
+    mustPruneColumns.foreach { case (name, want) =>
+      val scans = plans(name).collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      val got = scans.map(_.requiredSchema.fieldNames.toSet)
+      assert(
+        got.contains(want),
+        s"$name: no scan reads exactly ${want.mkString(",")} (scans read: ${got.map(_.mkString(",")).mkString("; ")})")
+    }
+  }
+
   test("every query plans without error and reads at least one source") {
     plans.foreach { case (name, ns) =>
       assert(ns.nonEmpty, s"$name produced an empty physical plan")
