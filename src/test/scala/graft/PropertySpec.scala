@@ -70,6 +70,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("parse helpers are ANSI-safe on arbitrary junk: null on non-matching shape, never a throw") {
+    // Spark 4 runs ANSI mode by default, where a bare cast of a failed
+    // regex extract THROWS — every parse helper guards with try_cast or
+    // a match-gate (Functions.scala occ* doc). Pin that contract on
+    // random garbage: evaluation completes, and non-matching inputs are
+    // null, not errors.
+    val rng = new Random(23)
+    val junkChars = "ABC019{}=/\\.$^ -%sCP"
+    val junk = (1 to 400).map { _ =>
+      val len = rng.nextInt(24)
+      (1 to len).map(_ => junkChars(rng.nextInt(junkChars.length))).mkString
+    } ++ Seq("", "260320C", "123456X99", "{=}", "{=1}", "/", "1w", "99zz", "SPY   260320C00510000")
+    val F = graft.functions.Functions
+    val out = junk.toDF("s")
+      .select(
+        $"s",
+        F.occExpiry($"s").as("exp"),
+        F.occType($"s").as("typ"),
+        F.occStrike($"s").as("strike"),
+        F.intervalToMillis($"s").as("ms"),
+        F.candleTicker(F.stripCandleInterval($"s")).as("ticker"),
+        F.safeFloat($"s").as("sf")
+      )
+      .collect() // the assertion: ANSI evaluation completes on every row
+    assert(out.length == junk.length)
+    val occShaped = """.*(\d{6})([CP])(.+)$""".r
+    out.foreach { r =>
+      val s = r.getString(0)
+      if (occShaped.findFirstIn(s).isEmpty)
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), s"non-OCC '$s' parsed to non-null")
+      if (!s.matches(""".*\d.*""") && !s.matches(""".*[smhdw]$"""))
+        assert(r.isNullAt(4), s"junk interval '$s' produced millis ${r.get(4)}")
+    }
+    // and the canonical OCC symbol still parses through the same path
+    val occ = out.find(_.getString(0).endsWith("C00510000")).get
+    assert(!occ.isNullAt(1) && occ.getString(2) == "C" && occ.getDouble(3) == 510.0)
+  }
+
   test("LIFO conservation: consumed quantity exactly accounts the position") {
     val rng = new Random(42)
     (1 to 50).foreach { trial =>
