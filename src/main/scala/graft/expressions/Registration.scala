@@ -27,11 +27,29 @@ import org.apache.spark.sql.functions.call_function
   * only a Column held unapplied across `maxLive` subsequent DISTINCT
   * parameterizations can observe the eviction — and that fails loudly
   * at analysis (unresolved function), never silently wrong.
+  *
+  * Diagnosing that failure: an analysis error naming an undefined
+  * function of the form `<prefix>_<32 hex chars>` means the bounded
+  * registry evicted the registration behind a Column that was held
+  * unapplied while ≥ `maxLive` other DISTINCT parameterizations were
+  * registered. Apply returned Columns promptly, or raise the window
+  * for the session via the `spark.graft.registration.maxLive` conf
+  * (read per call, so it can be raised mid-session before the burst
+  * that would evict).
   */
 object Registration {
 
-  /** Max live parameterized registrations per session. */
+  /** Default max live parameterized registrations per session;
+    * override per session with the `spark.graft.registration.maxLive`
+    * conf for workloads that hold unapplied Columns long-lived.
+    */
   val maxLive: Int = 64
+
+  private def maxLiveFor(spark: SparkSession): Int = {
+    val v = spark.conf.get("spark.graft.registration.maxLive", maxLive.toString).toInt
+    require(v >= 1, s"spark.graft.registration.maxLive must be >= 1, got $v")
+    v
+  }
 
   // insertion-ordered live names per session; WeakHashMap so a dropped
   // session doesn't pin its name list (guarded by `lock` — WeakHashMap
@@ -67,7 +85,8 @@ object Registration {
       }
       names.remove(name) // re-registration refreshes recency
       names.add(name)
-      while (names.size > maxLive) {
+      val bound = maxLiveFor(spark)
+      while (names.size > bound) {
         val oldest = names.head
         names.remove(oldest)
         spark.sessionState.functionRegistry.dropFunction(FunctionIdentifier(oldest))

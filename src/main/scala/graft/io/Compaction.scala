@@ -372,6 +372,11 @@ object Compaction {
     * leaves either swapped (compacted) or untouched (still correct,
     * re-due next round) plus a garbage staging tree the recovery walk
     * deletes.
+    *
+    * The returned count is leaves ACTUALLY rewritten-and-landed (the
+    * gates and INGESTBENCH publish it) — a due leaf whose staged dir
+    * came out absent (vanished between listing and rewrite) is not
+    * counted.
     */
   def maintainPartitioned(
       spark: SparkSession,
@@ -421,7 +426,7 @@ object Compaction {
       if (canonical) due.toSeq.partition(_._2 <= targetFileBytes)
       else (Nil, due.toSeq)
     perLeaf.foreach { case (leaf, _) => compactLeaf(spark, fs, leaf, targetFileBytes) }
-    if (batched.isEmpty) return due.size
+    if (batched.isEmpty) return perLeaf.size
 
     val specs = batched.map { case (leaf, _) => specOf(leaf) }
     val partCols = specs.head.map(_._1)
@@ -431,7 +436,19 @@ object Compaction {
     val all = spark.read.parquet(dir)
     val pruned =
       if (batched.size == total) all
-      else all.filter(specs.map(s => s.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)).reduce(_ || _))
+      else {
+        // cast each literal to the column's INFERRED partition type so
+        // the pruning comparison is exact by construction: comparing an
+        // int/long partition column against a string literal coerces
+        // both sides through double, and distinct 17–18 digit leaf
+        // values above 2^53 would collide (over-matching — benign here
+        // since only `batched` leaves land, but it stages extra rows
+        // and wastes IO). Canonical ints ≤ 18 digits always fit the
+        // inferred integral type, so the cast never nulls.
+        all.filter(specs.map(s => s.map { case (c, v) =>
+          col(c) === lit(v).cast(all.schema(c).dataType)
+        }.reduce(_ && _)).reduce(_ || _))
+      }
     val stage = new Path(dir, s"._cmpstage_${System.nanoTime()}")
     // hash-repartition on the partition columns: each leaf's rows land
     // in one task, partitionBy splits tasks per leaf → one file per leaf
@@ -439,6 +456,7 @@ object Compaction {
       .write.partitionBy(partCols: _*).parquet(stage.toString)
 
     // land each leaf via the recoverable swap (renames only from here)
+    var landed = 0
     batched.zip(specs).foreach { case ((leaf, _), spec) =>
       val staged = new Path(stage, spec.map { case (c, v) => s"$c=$v" }.mkString("/"))
       if (fs.exists(staged)) { // a due leaf can be empty-after-filter only if it vanished
@@ -449,10 +467,11 @@ object Compaction {
         require(fs.rename(leaf, old), s"maintain: could not move $leaf aside")
         require(fs.rename(tmp, leaf), s"maintain: could not swap in rewritten leaf $leaf")
         fs.delete(old, true)
+        landed += 1
       }
     }
     fs.delete(stage, true)
-    due.size
+    perLeaf.size + landed
   }
 
   /** Max parquet-file count over the partition leaves under `dirs` —

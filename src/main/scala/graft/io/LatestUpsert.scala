@@ -477,9 +477,26 @@ object LatestUpsert {
               .parquet(extra.map(b => s"$root/${manifest(b)}"): _*)
             merged.unionByName(withBucket(extraRows, cfg.keyCols, cfg.buckets))
           }
-        writeGeneration(spark, root, gen + 1, toWrite, cfg.buckets)
+        val present = writeGeneration(spark, root, gen + 1, toWrite, cfg.buckets)
+        // publish from the buckets ACTUALLY written, not the planned
+        // `touched ++ extra` set: a nondeterministic batch (limit over
+        // unordered input, rand-derived rows) can re-evaluate into a
+        // different bucket set at write time, and a planned-set publish
+        // would then commit manifest entries pointing at directories
+        // that were never written. A written bucket OUTSIDE the planned
+        // set is the dangerous direction — its existing rows were never
+        // read into the merge, so committing it would drop keys — fail
+        // loudly instead; a planned bucket that came out empty just
+        // keeps its prior manifest entry (correct: nothing changed).
+        val planned = (touched ++ extra).toSet
+        val rogue = present.filterNot(planned)
+        require(
+          rogue.isEmpty,
+          s"latest-upsert: batch re-evaluated nondeterministically — buckets ${rogue.sorted.mkString(", ")} " +
+            "were written but not in the planned touched set, so their existing rows were never merged; " +
+            "localCheckpoint/persist the batch (or make it deterministic) and retry")
         publishManifest(fs, root, gen + 1,
-          manifest ++ (touched ++ extra).map(b => b -> relPath(gen + 1, b))) // ← the commit point
+          manifest ++ present.map(b => b -> relPath(gen + 1, b))) // ← the commit point
         gc(fs, root, gen + 1)
       case None =>
         // empty batch: nothing to merge — threshold maintenance still
@@ -534,6 +551,55 @@ object LatestUpsert {
         s"(readable: ${generations(spark, root).mkString(", ")}) — raise retainedManifests to keep more history")
     val paths = readManifest(fs, root, gen).toSeq.sortBy(_._1).map { case (_, p) => s"$root/$p" }
     spark.read.schema(pinnedSchema(readConfig(spark, root))).parquet(paths: _*)
+  }
+
+  /** CDC read over the manifest history: every key whose latest row
+    * was ADDED or UPDATED between committed generations `genA` and
+    * `genB` (genA < genB, both in the retention window), as genB sees
+    * it, with a `change` column (`added` | `updated`). Keys are never
+    * deleted from a latest-value table, so added/updated is the whole
+    * change surface.
+    *
+    * Cost ∝ CHANGED buckets, never the keyspace: two manifests are a
+    * complete bucket→dir map each, so the buckets whose entries match
+    * are bit-identical (dirs are immutable) and are never listed or
+    * scanned — only buckets whose dirs differ are read, on both sides.
+    * A bucket rewritten without row changes (compaction riders) scans
+    * but emits nothing: rows are compared by value, not by location.
+    * The comparison is null-safe on the full payload struct, so a
+    * payload column that is null on both sides compares equal.
+    */
+  def changesBetween(spark: SparkSession, root: String, genA: Long, genB: Long): DataFrame = {
+    require(genA < genB, s"changesBetween needs genA < genB, got $genA >= $genB")
+    val fs = fsOf(spark, root)
+    requireManifestLayout(fs, root)
+    Seq(genA, genB).foreach { g =>
+      require(
+        fs.exists(new Path(manifestsPath(root), manifestName(g))),
+        s"generation $g of $root is not in the retention window " +
+          s"(readable: ${generations(spark, root).mkString(", ")}) — raise retainedManifests to keep more history")
+    }
+    val cfg = readConfig(spark, root)
+    val mA = readManifest(fs, root, genA)
+    val mB = readManifest(fs, root, genB)
+    val changed = mB.collect { case (b, p) if !mA.get(b).contains(p) => b }.toSeq.sorted
+    val payload = cfg.allCols.filterNot(cfg.keyCols.contains)
+    val after = {
+      val paths = changed.map(b => s"$root/${mB(b)}")
+      if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pinnedSchema(cfg))
+      else spark.read.schema(pinnedSchema(cfg)).parquet(paths: _*)
+    }
+    val beforePaths = changed.flatMap(mA.get).map(p => s"$root/$p")
+    val before =
+      if (beforePaths.isEmpty) after.limit(0)
+      else spark.read.schema(pinnedSchema(cfg)).parquet(beforePaths: _*)
+    val bSide = before
+      .select(cfg.keyCols.map(col) :+ struct(payload.map(col): _*).as("_old"): _*)
+    after
+      .join(bSide, cfg.keyCols, "left")
+      .where(col("_old").isNull || !(struct(payload.map(col): _*) <=> col("_old")))
+      .withColumn("change", when(col("_old").isNull, lit("added")).otherwise(lit("updated")))
+      .select(cfg.allCols.map(col) :+ col("change"): _*)
   }
 
   /** Rewrite the CURRENT generation's buckets into a fresh generation

@@ -61,6 +61,50 @@ class RegistrationSpec extends SparkSpec {
     assert(!live.contains(digestName("pad:1")), "oldest entry survived past the window")
   }
 
+  test("concurrent registrations: immediately-applied Columns never observe eviction, registry stays bounded") {
+    // The lock's contract under contention: N threads × M distinct
+    // digests (N*M > maxLive) racing register→apply. A Column applied
+    // IMMEDIATELY resolves eagerly at Dataset construction, and the
+    // eviction window (maxLive distinct registrations between register
+    // and apply) cannot close in the handful of registrations other
+    // threads can interleave — so every apply must succeed with the
+    // right value, no lost registrations, no unresolved-function
+    // surprises, and the registry ends bounded.
+    val prefix = "graft_regspec_conc"
+    val nThreads = 8
+    val perThread = 20
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { i =>
+            val v = t * 1000 + i
+            val c = Registration.parameterized(prefix, s"conc:$t:$i", constBuilder(v), col("x"))
+            val got = Seq(0).toDF("x").select(c.as("v")).head().getInt(0)
+            if (got != v) throw new AssertionError(s"thread $t digest $i: got $got, want $v")
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent registration failure: ${errors.peek()}")
+    assert(liveNames("graft_regspec").size <= Registration.maxLive)
+  }
+
+  test("maxLive is session-configurable via spark.graft.registration.maxLive") {
+    val prefix = "graft_regspec_conf"
+    spark.conf.set("spark.graft.registration.maxLive", "8")
+    try {
+      (1 to 12).foreach { i =>
+        val c = Registration.parameterized(prefix, s"cfg:$i", constBuilder(i), col("x"))
+        assert(Seq(0).toDF("x").select(c.as("v")).head().getInt(0) == i)
+      }
+      // the lowered bound applies globally to the session's live set
+      assert(liveNames("graft_regspec").size <= 8)
+    } finally spark.conf.unset("spark.graft.registration.maxLive")
+  }
+
   test("an identical parameterization reuses one registration (no growth on repeat calls)") {
     val prefix = "graft_regspec_stable"
     (1 to 20).foreach { _ =>
