@@ -113,6 +113,7 @@ object SparkEntry {
     "f19_time_display"   -> (Queries.f19TimeDisplay _),
     "p5_session_filter"  -> (Queries.p5SessionFilter _),
     "t3_stream_candles"  -> (Queries.t3StreamCandles _),
+    "t3b_stream_candles_append" -> (Queries.t3bStreamCandlesAppend _),
     "t6_stream_dedup"    -> (Queries.t6StreamDedup _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
@@ -1251,6 +1252,99 @@ object Queries {
     val ckpt = java.nio.file.Files.createTempDirectory("t3ckpt").toString
     val q = stream.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("user_id", "bucket_us")
+  }
+
+  /** T3b — the SCALE path's emission semantics hash-pinned: the same
+    * event stream as t3, but through watermark + APPEND mode (the
+    * [[graft.streaming.Streams.windowedAgg]] form that runs at 100 TB
+    * — bounded state, windows emitted once when the watermark closes
+    * them, late rows dropped). Determinism construction:
+    *
+    *  - the three micro-batch files are TIME-ORDERED tertiles (ntile
+    *    over (ts_us, event_id)), so no real row is ever late — each
+    *    batch's min event time exceeds the previous batch's max, and
+    *    the watermark (10 min behind the running max) can never
+    *    overtake an unseen row. The no-late-drops contract is thereby
+    *    stated BY CONSTRUCTION, and the oracle needs no drop clause.
+    *  - a sentinel "flusher" row (user_id = -1) rides at the end of
+    *    the LAST file, mid-window two windows past the last real one:
+    *    ts = ((max div W) + 2)·W + W/2. The final watermark lands at
+    *    (max div W)·W + W/2 — STRICTLY INSIDE the last real window,
+    *    150 s from either boundary, so the emitted set is immune to
+    *    the engine's ≤-vs-< eviction boundary and to the internal
+    *    micros→millis watermark floor. Closed (emitted): every window
+    *    strictly before the last real one. Withheld: the last real
+    *    window (it has data — a wrong eager emission flips the hash)
+    *    and the flusher's own window (a sentinel leak flips it too).
+    *  - batch order is pinned by explicit strictly-increasing file
+    *    mtimes, set per write (the t6 technique, without content
+    *    recovery: each file's mtime is stamped as it lands).
+    *
+    * The oracle states the same set relationally: group-by candles
+    * over events restricted to buckets strictly before the last one.
+    * `spark.sql.streaming.noDataMicroBatches.enabled` (default true)
+    * is pinned explicitly — the final no-data batch is what lets the
+    * flusher-advanced watermark evict the closed windows under
+    * `Trigger.AvailableNow`.
+    */
+  def t3bStreamCandlesAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t3b_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t3b v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Tables.events(spark, dir).select($"event_id", $"ts_us", $"user_id", $"value")
+      val maxTs = ev.agg(max($"ts_us")).head().getLong(0)
+      val flusherTs = ((maxTs / 300000000L) + 2L) * 300000000L + 150000000L
+      val tiled = ev.withColumn(
+        "_t",
+        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy($"ts_us", $"event_id")))
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        val part = tiled.filter($"_t" === i).drop("_t")
+        val withFlush =
+          if (i == 3)
+            part.unionByName(spark.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(-1L, flusherTs, -1L, 0.0)),
+              part.schema))
+          else part
+        withFlush.coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val qn = "t3b_candles_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"user_id")
+      .agg(
+        count("*").as("n"),
+        round(sum($"value"), 4).as("sum_v"),
+        max($"event_id").as("last_event")
+      )
+      .select(
+        $"user_id",
+        unix_micros($"window.start").as("bucket_us"),
+        $"n", $"sum_v", $"last_event")
+    val ckpt = java.nio.file.Files.createTempDirectory("t3bckpt").toString
+    val q = stream.writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(qn)
       .option("checkpointLocation", ckpt)
@@ -3939,6 +4033,25 @@ object Oracles {
         |  round(sum(value), 4) AS sum_v,
         |  CAST(max(event_id) AS BIGINT) AS last_event
         |FROM events GROUP BY user_id, bucket_us
+        |ORDER BY user_id, bucket_us""".stripMargin,
+    "t3b_stream_candles_append" ->
+      // append-mode emission contract: ONLY windows the final
+      // watermark closed. The flusher sentinel (not in the events
+      // table) parks the watermark strictly inside the LAST real
+      // window, so "closed" = every bucket strictly before the last —
+      // stated here as bucket < (max ts_us div W)·W. Late-row drops
+      // are zero BY CONSTRUCTION (time-ordered tertile batches), so no
+      // drop clause is needed.
+      """WITH cutoff AS (
+        |  SELECT (max(epoch_us(ts)) // 300000000) * 300000000 AS c FROM events)
+        |SELECT user_id,
+        |  (epoch_us(ts) // 300000000) * 300000000 AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_v,
+        |  CAST(max(event_id) AS BIGINT) AS last_event
+        |FROM events, cutoff
+        |WHERE (epoch_us(ts) // 300000000) * 300000000 < c
+        |GROUP BY user_id, bucket_us
         |ORDER BY user_id, bucket_us""".stripMargin,
     "t6_stream_dedup" ->
       """SELECT event_id // 3 AS fill_id,
