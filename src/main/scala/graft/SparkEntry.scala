@@ -115,6 +115,7 @@ object SparkEntry {
     "t3_stream_candles"  -> (Queries.t3StreamCandles _),
     "t3b_stream_candles_append" -> (Queries.t3bStreamCandlesAppend _),
     "t6_stream_dedup"    -> (Queries.t6StreamDedup _),
+    "t8_stream_resume"   -> (Queries.t8StreamResume _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -1420,6 +1421,91 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.table(qn).select($"fill_id", $"event_id", $"payload").orderBy("fill_id")
+  }
+
+  /** T8 — checkpoint/resume END-STATE hash-pinned through a REAL
+    * stop-and-restart: the stream runs TWICE against the same
+    * checkpoint (two `Trigger.AvailableNow` executions — a clean stop
+    * after the first, a genuine state-store + offset-log recovery into
+    * the second), deduping fills by id with keep-first semantics
+    * across the restart boundary.
+    *
+    * Construction (fill_id = event_id div 2, so every fill has an
+    * even and an odd member):
+    *  - run 1, file 1: the EVEN member of every even fill; file 2:
+    *    the ODD member of those same fills — an in-run duplicate,
+    *    dropped by in-memory state (arrival pinned by mtimes, the t6
+    *    technique, so the even member is always the keeper);
+    *  - run 2, file 3: the odd member of every even fill AGAIN (a
+    *    duplicate that can only be dropped if the seen-set was
+    *    RESTORED from the checkpoint — broken recovery emits a second
+    *    row per even fill and fails the row-count gate) plus the even
+    *    member of every odd fill (novel keys after resume, which
+    *    broken recovery could also lose — both failure directions
+    *    flip the result).
+    *
+    * The sink is `foreachBatch` appending to a per-invocation scratch
+    * dir (the memory sink does not recover from a checkpoint in
+    * append mode), so the final table is the union of both runs'
+    * emissions. The DuckDB oracle states the end state relationally:
+    * arg-min per fill over exactly the replayed subset (all events
+    * except the never-delivered odd members of odd fills).
+    */
+  def t8StreamResume(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t8_stream", dir)
+    val stamp = s"t8 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Tables
+        .events(spark, dir)
+        .select(expr("event_id div 2").as("fill_id"), $"event_id", $"event_type".as("payload"))
+      val even = $"event_id" % 2 === 0
+      val evenFill = expr("event_id div 2") % 2 === 0
+      Seq(
+        ev.filter(even && evenFill),            // f1: keeper rows, run 1
+        ev.filter(!even && evenFill),           // f2: in-run duplicates
+        ev.filter((even && !evenFill) || (!even && evenFill)) // f3: run 2
+      ).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/f${i + 1}")
+      }
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("t8src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("t8ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("t8out").toString + "/rows"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(streamDir).getFileSystem(conf)
+    val base = System.currentTimeMillis()
+    def addFile(i: Int): Unit = {
+      val srcPart = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$root/f$i"))
+        .map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"t8 seed f$i has no part file"))
+      val dst = new org.apache.hadoop.fs.Path(s"$streamDir/f$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcPart, fs, dst, false, conf)
+      fs.setTimes(dst, base + i * 1000L, -1) // arrival order pinned
+    }
+    val sch = spark.read.parquet(s"$root/f1").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .dropDuplicates("fill_id")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    addFile(1); addFile(2)
+    runOnce() // run 1: two micro-batches, clean stop
+    addFile(3)
+    runOnce() // run 2: recovery from the checkpoint — state restored
+    spark.read.parquet(out).orderBy("fill_id")
   }
 
   /** d13 — the streaming dedup-ingest END-STATE: seed the corpus + both
@@ -4058,6 +4144,18 @@ object Oracles {
         |  min(event_id) AS event_id,
         |  arg_min(event_type, event_id) AS payload
         |FROM events GROUP BY 1 ORDER BY fill_id""".stripMargin,
+    "t8_stream_resume" ->
+      // the replayed subset: all events except the odd members of odd
+      // fills, which the resume harness never delivers; keep-first per
+      // fill over that subset = arg-min, the same contract as t6 but
+      // spanning a genuine checkpoint restart on the Spark side
+      """WITH replayed AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (event_id % 2 = 1 AND (event_id // 2) % 2 = 1))
+        |SELECT event_id // 2 AS fill_id,
+        |  min(event_id) AS event_id,
+        |  arg_min(event_type, event_id) AS payload
+        |FROM replayed GROUP BY 1 ORDER BY fill_id""".stripMargin,
     "p5_session_filter" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         |FROM events
