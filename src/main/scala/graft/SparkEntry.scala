@@ -116,6 +116,7 @@ object SparkEntry {
     "t3b_stream_candles_append" -> (Queries.t3bStreamCandlesAppend _),
     "t6_stream_dedup"    -> (Queries.t6StreamDedup _),
     "t8_stream_resume"   -> (Queries.t8StreamResume _),
+    "t2_stream_latest"   -> (Queries.t2StreamLatest _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -319,6 +320,69 @@ object Queries {
     graft.io.LatestUpsert.upsert(spark, root, ev.filter(pmod($"event_id", lit(3)) === 2))
     graft.io.LatestUpsert
       .read(spark, root)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** T2/S5 — the keep-last upsert END-STATE through a REAL stream and
+    * the PRODUCTION entry point: two event micro-batches replayed from
+    * a file source (`maxFilesPerTrigger=1`) into
+    * [[graft.io.LatestUpsert.start]] — the streaming foreachBatch gate
+    * with per-batch self-maintenance on (`maxFilesPerBucket=4`, the
+    * deployed configuration) — then the committed lake table read
+    * back. s5 pins the same end state through DIRECT upsert calls;
+    * this row pins it through the streaming machinery itself
+    * (checkpointed foreachBatch, batch boundaries from the file
+    * source), so a regression in the stream wiring — not just the
+    * merge — flips the hash. The merge is row-level idempotent and
+    * batch-order-free (max over a total per-key order), so re-running
+    * the stream against the shared scratch table converges to the
+    * identical end state (LatestUpsertSpec replay property), and the
+    * oracle is the one-shot latest-per-key over all events — a1's SQL
+    * verbatim, the reference's late/duplicate-bar resolution contract
+    * (`processors/default.py:80-91`: keep-last on the key, no
+    * lateness bound).
+    */
+  def t2StreamLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+    val root = QueryParams.indexScratch("t2_stream", dir)
+    val stamp = s"t2 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      graft.io.LatestUpsert.init(
+        spark, s"$root/table", ev.filter(pmod($"event_id", lit(3)) === 0),
+        keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 32)
+      (1 to 2).foreach { i =>
+        ev.filter(pmod($"event_id", lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/b$i")
+      }
+    }
+    // fresh stream plumbing per invocation (the table is shared scratch
+    // — replays converge); mtimes pinned for reproducible batch
+    // boundaries even though the merge is order-free
+    val streamDir = java.nio.file.Files.createTempDirectory("t2src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("t2ckpt").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(streamDir).getFileSystem(conf)
+    val base = System.currentTimeMillis()
+    (1 to 2).foreach { i =>
+      val srcPart = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$root/b$i"))
+        .map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"t2 seed b$i has no part file"))
+      val dst = new org.apache.hadoop.fs.Path(s"$streamDir/b$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcPart, fs, dst, false, conf)
+      fs.setTimes(dst, base + i * 1000L, -1)
+    }
+    val sch = spark.read.parquet(s"$root/b1").schema
+    val src = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = graft.io.LatestUpsert.start(src, s"$root/table", ckpt, maxFilesPerBucket = 4)
+    q.processAllAvailable()
+    q.stop()
+    graft.io.LatestUpsert
+      .read(spark, s"$root/table")
       .select("user_id", "event_id", "ts_us", "event_type", "value")
       .orderBy("user_id")
   }
@@ -3840,6 +3904,12 @@ object Oracles {
     // states the contract; the query earns it incrementally through
     // bucket-pruned rewrites).
     "s5_latest_upsert" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // T2 through the REAL stream entry (LatestUpsert.start): same
+    // end-state contract, a1's SQL verbatim — see t2StreamLatest.
+    "t2_stream_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
