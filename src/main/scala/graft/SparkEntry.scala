@@ -117,6 +117,7 @@ object SparkEntry {
     "t6_stream_dedup"    -> (Queries.t6StreamDedup _),
     "t8_stream_resume"   -> (Queries.t8StreamResume _),
     "t2_stream_latest"   -> (Queries.t2StreamLatest _),
+    "s6_stream_history"  -> (Queries.s6StreamHistory _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -385,6 +386,62 @@ object Queries {
       .read(spark, s"$root/table")
       .select("user_id", "event_id", "ts_us", "event_type", "value")
       .orderBy("user_id")
+  }
+
+  /** S6 — the time-series history sink END-STATE through the NATIVE
+    * parquet file sink ([[graft.io.Sinks.streamHistory]]: partitioned
+    * append, `_spark_metadata` commit log), exactly-once pinned ACROSS
+    * A RESTART: run 1 streams the first half of events (AvailableNow,
+    * clean stop), run 2 resumes from the same checkpoint with the
+    * second half added — mis-restored offsets would re-commit run 1's
+    * rows and double them (the commit log is what makes the file sink
+    * exactly-once; a reader sees only log-committed files). The oracle
+    * is the whole events table: every row exactly once, partition
+    * round-trip included (`event_type` rides as the partition dir and
+    * must come back value-exact). Unlike t8 (foreachBatch, state-store
+    * recovery) this pins the NATIVE sink's own transaction log.
+    */
+  def s6StreamHistory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select("event_id", "ts_us", "user_id", "value", "event_type")
+    val root = QueryParams.indexScratch("s6_stream", dir)
+    val stamp = s"s6 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      (0 to 1).foreach { i =>
+        ev.filter(pmod($"event_id", lit(2)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/f${i + 1}")
+      }
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("s6src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s6ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("s6out").toString + "/history"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(streamDir).getFileSystem(conf)
+    val base = System.currentTimeMillis()
+    def addFile(i: Int): Unit = {
+      val srcPart = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$root/f$i"))
+        .map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"s6 seed f$i has no part file"))
+      val dst = new org.apache.hadoop.fs.Path(s"$streamDir/f$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcPart, fs, dst, false, conf)
+      fs.setTimes(dst, base + i * 1000L, -1)
+    }
+    val sch = spark.read.parquet(s"$root/f1").schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(streamDir)
+      val q = graft.io.Sinks.streamHistory(src, out, ckpt, Seq("event_type")).start()
+      q.awaitTermination()
+    }
+    addFile(1)
+    runOnce() // run 1: half the history, clean stop
+    addFile(2)
+    runOnce() // run 2: commit-log resume — run 1's files must NOT re-commit
+    spark.read.parquet(out)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .orderBy("event_id")
   }
 
   /** A2/T6 — keep-last upsert on a composite key (candle dedup,
@@ -3907,6 +3964,12 @@ object Oracles {
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // S6 native file-sink history with an exactly-once restart: the
+    // end state is simply every event exactly once (see
+    // s6StreamHistory — a double-committed batch doubles rows).
+    "s6_stream_history" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // T2 through the REAL stream entry (LatestUpsert.start): same
     // end-state contract, a1's SQL verbatim — see t2StreamLatest.
     "t2_stream_latest" ->
