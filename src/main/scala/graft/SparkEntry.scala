@@ -118,6 +118,7 @@ object SparkEntry {
     "t8_stream_resume"   -> (Queries.t8StreamResume _),
     "t2_stream_latest"   -> (Queries.t2StreamLatest _),
     "s6_stream_history"  -> (Queries.s6StreamHistory _),
+    "s5b_changes_between" -> (Queries.s5bChangesBetween _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -442,6 +443,37 @@ object Queries {
     spark.read.parquet(out)
       .select("event_id", "ts_us", "user_id", "event_type", "value")
       .orderBy("event_id")
+  }
+
+  /** S5 CDC — [[graft.io.LatestUpsert.changesBetween]] hash-pinned
+    * cross-engine (the spec pins diff ≡ snapshot-compare and the
+    * changed-bucket scan pruning; this row pins the emitted rows
+    * against DuckDB): a FRESH latest table per invocation (generation
+    * numbers must be deterministic — replays against shared scratch
+    * converge and would diff empty), seeded with the mod-0 events,
+    * upserted with mod-1 (gen 1) then mod-2 (gen 2); the diff of the
+    * last two generations is every user whose latest row CHANGED in
+    * the second batch. The oracle states it relationally: latest over
+    * mod ≤ 1 vs latest over all, left-joined on the key, kept where
+    * the winning event differs (event_id is unique, so payload
+    * difference ⇔ winner difference). The per-invocation init is the
+    * price of generation determinism — bounded by the seed subset,
+    * and the diff itself stays ∝ changed buckets (spec-pinned).
+    */
+  def s5bChangesBetween(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("s5b_changes").toString + "/t"
+    graft.io.LatestUpsert.init(
+      spark, root, ev.filter(pmod($"event_id", lit(3)) === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 32)
+    graft.io.LatestUpsert.upsert(spark, root, ev.filter(pmod($"event_id", lit(3)) === 1))
+    graft.io.LatestUpsert.upsert(spark, root, ev.filter(pmod($"event_id", lit(3)) === 2))
+    graft.io.LatestUpsert
+      .changesBetween(spark, root, 1L, 2L)
+      .select("user_id", "event_id", "ts_us", "event_type", "value", "change")
+      .orderBy("user_id")
   }
 
   /** A2/T6 — keep-last upsert on a composite key (candle dedup,
@@ -3964,6 +3996,23 @@ object Oracles {
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // S5 CDC diff: users whose latest row changed in the mod-2 batch —
+    // latest over mod<=1 vs latest over all, kept where the winning
+    // event differs ('added' = a user whose only events are mod 2).
+    "s5b_changes_between" ->
+      """WITH a1 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE event_id % 3 <= 1) t WHERE rn = 1),
+        |a2 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) t WHERE rn = 1)
+        |SELECT a2.user_id, a2.event_id, a2.ts_us, a2.event_type, a2.value,
+        |  CASE WHEN a1.user_id IS NULL THEN 'added' ELSE 'updated' END AS change
+        |FROM a2 LEFT JOIN a1 ON a2.user_id = a1.user_id
+        |WHERE a1.user_id IS NULL OR a2.event_id != a1.event_id
+        |ORDER BY a2.user_id""".stripMargin,
     // S6 native file-sink history with an exactly-once restart: the
     // end state is simply every event exactly once (see
     // s6StreamHistory — a double-committed batch doubles rows).
