@@ -119,6 +119,7 @@ object SparkEntry {
     "t2_stream_latest"   -> (Queries.t2StreamLatest _),
     "s6_stream_history"  -> (Queries.s6StreamHistory _),
     "s5b_changes_between" -> (Queries.s5bChangesBetween _),
+    "t5_stream_signals"  -> (Queries.t5StreamSignals _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -2141,6 +2142,78 @@ object Queries {
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
+  /** T5/W5 — the FLAGSHIP signal engine through a REAL stream: g1's
+    * deduped candle feed replayed as three TIME-ORDERED tertile
+    * micro-batches (global ntile over (ts_us, symbol), mtime-pinned
+    * arrival — cross-batch order is the file source's contract, and
+    * the tertile split guarantees every symbol's candles arrive in
+    * time order across batches; within a batch the engine sorts) into
+    * [[graft.streaming.Streams.detectSignalsStream]] — the keyed
+    * `flatMapGroupsWithState` incremental fold — with the emitted
+    * signals accumulated in append mode. StreamingSpec pins streaming
+    * ≡ batch bit-parity engine-to-engine; this row pins the streaming
+    * fold's OUTPUT against a second engine: the oracle re-derives the
+    * signal set relationally with g1's own CTE chain, projected to the
+    * streaming engine's output columns. A drift anywhere — indicator
+    * recursion, seeding, state carry-over between micro-batches,
+    * signal arming/confluence — flips the hash.
+    */
+  def t5StreamSignals(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t5_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t5 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Relational
+        .latestPerKeyAgg(
+          Tables
+            .events(spark, dir)
+            .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value", $"event_id")
+            .filter($"value".isNotNull),
+          Seq("symbol", "ts_us"),
+          $"event_id",
+          Seq("value")
+        )
+        .select("symbol", "ts_us", "value")
+      val tiled = ev.withColumn(
+        "_t",
+        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy($"ts_us", $"symbol")))
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        tiled.filter($"_t" === i).drop("_t").coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    val qn = "t5_signals_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    implicit val candleEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.CandleIn] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Streams.CandleIn]
+    val candles = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+      .as[graft.streaming.Streams.CandleIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("t5ckpt").toString
+    val q = graft.streaming.Streams
+      .detectSignalsStream(candles)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
+      .orderBy("symbol", "time_us", "signal_type", "direction")
+  }
+
   /** §2.11 legs synthesis, shared VERBATIM with [[GenS11Fixture]] so the
     * fixture generator and the live query cannot drift (the same
     * coupling discipline as Multimodal.packDocuments for m1).
@@ -3346,6 +3419,21 @@ object Oracles {
        |FROM parsed p JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
        |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
 
+  // T5 — g1's engine CTEs projected to the STREAMING engine's output
+  // columns (SignalOut carries the signal row + close, not the full
+  // indicator surface): same src dedup, same fold, stated once.
+  private val t5Sql: String =
+    s"""WITH src AS (
+       |  SELECT symbol, ts_us, value FROM (
+       |    SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value,
+       |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+       |    FROM events WHERE value IS NOT NULL) t
+       |  WHERE rn = 1),
+       |${signalEngineCtes("src", hullLength = 20, fast = 12, slow = 26, signalLen = 9)}
+       |SELECT p.symbol, p.time_us, p.signal_type, p.direction, p.trigger, c.close_price
+       |FROM parsed p JOIN candles c ON p.symbol = c.symbol AND p.time_us = c.ts_us
+       |ORDER BY p.symbol, p.time_us, p.signal_type, p.direction""".stripMargin
+
   // B1 — the FULL backtest slice: 30-minute signal candles (latest event
   // per bucket, stamped at the bucket start) → the same fold at
   // Hull(8)/MACD(4,8,3) → each signal enriched with its as-of entry
@@ -3832,6 +3920,7 @@ object Oracles {
 
   val sql: Map[String, String] = Map(
     "g1_signal_engine" -> g1Sql,
+    "t5_stream_signals" -> t5Sql,
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
     "n2_buckets" -> n2BucketsSql,
