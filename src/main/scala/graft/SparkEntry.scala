@@ -120,6 +120,7 @@ object SparkEntry {
     "s6_stream_history"  -> (Queries.s6StreamHistory _),
     "s5b_changes_between" -> (Queries.s5bChangesBetween _),
     "t5_stream_signals"  -> (Queries.t5StreamSignals _),
+    "t7_snapshot_completions" -> (Queries.t7SnapshotCompletions _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
     "w12_jitter"         -> (Queries.w12Jitter _),
@@ -2826,6 +2827,82 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** T7 — the snapshot-completion handshake through a REAL stream
+    * ([[graft.streaming.Streams.snapshotCompletions]], reference
+    * `messaging/processors/snapshot.py:30-100`): per REGISTERED
+    * symbol, exactly one completion at the first event carrying
+    * SNAPSHOT_END|SNAPSHOT_SNIP (flags & 0x18), later flagged
+    * re-deliveries swallowed by the per-symbol done state,
+    * unregistered symbols ignored. Flags synthesized as w9 does
+    * (`event_id % 32`); registered = users with id % 3 ≠ 2 (the
+    * ignore path is on the hash). Determinism: batches are
+    * time-ordered tertiles (mtime-pinned), the detector sorts within
+    * a batch and emits only (symbol, min flagged time) — so the
+    * output is the GLOBAL min flagged time per registered symbol
+    * regardless of tie placement at tertile boundaries, which is
+    * exactly what the oracle states relationally. A detector that
+    * forgot the done state (duplicate completions), missed the
+    * registered filter, or picked a non-first flagged event all flip
+    * the result.
+    */
+  def t7SnapshotCompletions(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t7_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t7 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Tables
+        .events(spark, dir)
+        .select(
+          $"user_id".cast("string").as("symbol"),
+          $"ts_us".as("timeUs"),
+          pmod($"event_id", lit(32)).cast("int").as("flags"))
+      val tiled = ev.withColumn(
+        "_t",
+        ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy($"timeUs", $"symbol", $"flags")))
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        tiled.filter($"_t" === i).drop("_t").coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    // bounded driver collect: one string per registered user
+    val registered: Set[String] = Tables
+      .events(spark, dir)
+      .filter(pmod($"user_id", lit(3)) =!= 2)
+      .select($"user_id".cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val qn = "t7_completions_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    implicit val fe: org.apache.spark.sql.Encoder[graft.streaming.Streams.FlaggedEvent] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Streams.FlaggedEvent]
+    val events = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .select($"symbol", $"timeUs", $"flags")
+      .as[graft.streaming.Streams.FlaggedEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("t7ckpt").toString
+    val q = graft.streaming.Streams
+      .snapshotCompletions(events, registered)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).select($"symbol", $"completed_at_us").orderBy("symbol")
+  }
+
   /** W12 — deterministic sha-derived dedup jitter (reference
     * `visualizations/models.py:130-147`).
     */
@@ -4470,6 +4547,14 @@ object Oracles {
     "w9_flags_filter" ->
       """SELECT event_id, CAST(event_id % 32 AS INTEGER) AS flags, event_type
         |FROM events WHERE ((event_id % 32) & 24) <> 0 ORDER BY event_id""".stripMargin,
+    // T7 — one completion per registered symbol at its first
+    // snapshot-end-flagged event (global min over time-ordered
+    // batches; see t7SnapshotCompletions determinism note).
+    "t7_snapshot_completions" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol, min(epoch_us(ts)) AS completed_at_us
+        |FROM events
+        |WHERE ((event_id % 32) & 24) <> 0 AND user_id % 3 <> 2
+        |GROUP BY 1 ORDER BY symbol""".stripMargin,
     "w12_jitter" ->
       """SELECT doc_id,
         |  ('0x' || substr(sha256(concat(source, '|', CAST(doc_id AS VARCHAR))), 1, 6))::BIGINT % 1000 AS jitter_us
