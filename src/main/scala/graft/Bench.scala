@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // load GATE before anything is timed (r11 verdict ask #4): the
+    // A/B experiment proved hot-host reps inflate 1.25–1.57× on the
+    // sensitive family; rather than attributing after the fact, wait
+    // (bounded) for the host to go idle. Proceed-and-stamp on timeout
+    // — the stamp keeps attribution possible when the gate gives up.
+    val gateWaitSec = LoadStamp.awaitIdle(
+      threshold = sys.env.getOrElse("SPARK_GRAFT_LOADGATE", "3.0").toDouble)
     // host-load stamp at both ends of the run (see LoadStamp): an
     // anomalous rep ships with its own machine-state evidence
     val loadStart = LoadStamp.json()
@@ -128,17 +135,22 @@ object Bench {
     val onlyJson = only
       .map(names => s""""only":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""")
       .getOrElse("")
-    val loadJson = s"""{"start":$loadStart,"end":${LoadStamp.json()}}"""
+    val loadJson =
+      s"""{"start":$loadStart,"end":${LoadStamp.json()},"gate_wait_sec":${math.round(gateWaitSec * 10) / 10.0}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"load":$loadJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}"""
     println(line)
     // the builder's OWN durable copy of the COMPLETE artifact: the
     // driver archives a bounded tail of stdout and has truncated the
     // medians map mid-object (r10) — cross-round comparison must never
-    // depend on that buffer. Full-suite runs only: a filtered run
-    // would overwrite the headline artifact with a partial one.
+    // depend on that buffer. Full-suite CLEAN runs only: a filtered
+    // run would overwrite the headline artifact with a partial one,
+    // and a run with failed queries would clobber the last good
+    // complete artifact — those land on a `.failed` side path instead.
     if (only.isEmpty) {
+      val anyFailed = timed.exists(_._2.isEmpty)
+      val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full.json")
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full.json"))
+        if (anyFailed) base.stripSuffix(".json") + ".failed.json" else base)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(out, line + "\n")
     }

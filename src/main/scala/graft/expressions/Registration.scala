@@ -46,7 +46,14 @@ object Registration {
   val maxLive: Int = 64
 
   private def maxLiveFor(spark: SparkSession): Int = {
-    val v = spark.conf.get("spark.graft.registration.maxLive", maxLive.toString).toInt
+    val raw = spark.conf.get("spark.graft.registration.maxLive", maxLive.toString)
+    val v =
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.registration.maxLive must be an integer >= 1, got '$raw'")
+      }
     require(v >= 1, s"spark.graft.registration.maxLive must be >= 1, got $v")
     v
   }

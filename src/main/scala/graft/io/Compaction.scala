@@ -297,10 +297,10 @@ object Compaction {
     * so the rewrite touches data columns only and the layout (and every
     * probe's planning-time pruning against it) is preserved exactly.
     */
-  def compactLeaf(spark: SparkSession, fs: FileSystem, leaf: Path, targetFileBytes: Long = 128L << 20): Unit = {
+  def compactLeaf(spark: SparkSession, fs: FileSystem, leaf: Path, targetFileBytes: Long = 128L << 20): Boolean = {
     recoverLeaf(fs, leaf)
     val (bytes, n) = leafStats(fs, leaf)
-    if (n <= 1) return // already compact
+    if (n <= 1) return false // already compact (or vanished) — no swap happened
     val tmp = leafTmp(leaf)
     val old = leafOld(leaf)
     fs.delete(tmp, true)
@@ -309,6 +309,7 @@ object Compaction {
     require(fs.rename(leaf, old), s"compactLeaf: could not move $leaf aside")
     require(fs.rename(tmp, leaf), s"compactLeaf: could not swap in rewritten leaf $leaf")
     fs.delete(old, true)
+    true
   }
 
   /** Walk a partitioned parquet tree: recover interrupted leaf swaps,
@@ -425,8 +426,11 @@ object Compaction {
     val (batched, perLeaf) =
       if (canonical) due.toSeq.partition(_._2 <= targetFileBytes)
       else (Nil, due.toSeq)
-    perLeaf.foreach { case (leaf, _) => compactLeaf(spark, fs, leaf, targetFileBytes) }
-    if (batched.isEmpty) return perLeaf.size
+    // count only leaves whose swap actually happened (compactLeaf
+    // no-ops when the leaf shrank to <=1 file or vanished between
+    // listing and rewrite) — both paths honor the documented contract
+    val perLeafLanded = perLeaf.count { case (leaf, _) => compactLeaf(spark, fs, leaf, targetFileBytes) }
+    if (batched.isEmpty) return perLeafLanded
 
     val specs = batched.map { case (leaf, _) => specOf(leaf) }
     val partCols = specs.head.map(_._1)
@@ -471,7 +475,7 @@ object Compaction {
       }
     }
     fs.delete(stage, true)
-    perLeaf.size + landed
+    perLeafLanded + landed
   }
 
   /** Max parquet-file count over the partition leaves under `dirs` —

@@ -92,7 +92,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * than the batch cadence — the knob is [[retainedManifests]]).
   *
   * Single WRITER by contract (the reference's Redis processor is one
-  * consumer loop); readers are unrestricted.
+  * consumer loop); readers are unrestricted. The contract is ENFORCED,
+  * not prose: every writing entry point takes a `_writerlock` lease via
+  * an atomic create-exclusive before touching any state, so a second
+  * concurrent writer (a misconfigured second stream on the same root)
+  * fails fast with [[ConcurrentWriterException]] — loudly, and before
+  * it stages a single byte. The CAS primitive is `O_EXCL` file create
+  * (atomic on POSIX via NIO `CREATE_NEW`; atomic on HDFS at the
+  * namenode; on an object store it needs conditional-PUT semantics —
+  * without them, keep the single-writer guarantee at the orchestration
+  * layer). A writer that CRASHES while holding the lease leaves the
+  * lock file behind; the documented recovery is [[breakLock]] after
+  * confirming the holder is dead (the lock content names writer id,
+  * pid, host, and acquisition time for exactly that diagnosis). The
+  * manifest protocol itself needs no lock for crash-safety — the lease
+  * only serializes LIVE writers.
   *
   * == Replay semantics ==
   *
@@ -122,12 +136,104 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * re-coalesce after config experiments and rides the SAME manifest
   * commit, so it has no crash window either.
   */
+/** A second live writer raced a writing entry point on the same
+  * latest-value table root. The message names the current holder
+  * (writer id, pid, host, acquisition time) read from its lock file.
+  * The loser has staged NOTHING when this throws — the lease is taken
+  * before any state is touched — so there is nothing to clean up;
+  * retry after the holder finishes, or fix the misconfiguration that
+  * pointed two writers at one root.
+  */
+class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
+
 object LatestUpsert {
 
   /** Manifests (and the generations they reference) retained by GC
     * beyond the current one — the reader-grace knob (see class doc).
     */
   val retainedManifests = 2
+
+  // ── single-writer lease ────────────────────────────────────────────
+
+  private def lockPath(root: String) = new Path(s"$root/_writerlock")
+
+  /** Atomic create-exclusive of `p` with `bytes` as content. Local FS
+    * goes through NIO `CREATE_NEW` (true `O_EXCL` — Hadoop's
+    * RawLocalFileSystem `create(overwrite=false)` is check-then-act and
+    * two racers can both pass the check); HDFS-like filesystems use
+    * `fs.create(p, false)`, atomic at the namenode. Returns false when
+    * the path already exists (lost the race).
+    */
+  private def casCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(local, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes)
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("exist") => false
+      }
+
+  // lease reentrancy per (thread, root): upsert's empty-batch path calls
+  // maintain, maintain calls compactBuckets — inner entry points must
+  // not self-deadlock on the lease the outer one already holds
+  private val heldRoots = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
+    () => scala.collection.mutable.Set.empty[String])
+
+  /** Run `body` holding the root's writer lease. Fail-fast semantics:
+    * if another live writer holds it, throw [[ConcurrentWriterException]]
+    * naming the holder — BEFORE any state is touched. The lease is
+    * released on every exit (success or thrown body); only a process
+    * crash leaves it behind, and [[breakLock]] is the recovery.
+    */
+  private def withWriterLock[T](fs: FileSystem, root: String)(body: => T): T = {
+    if (heldRoots.get.contains(root)) return body // reentrant: outer call holds it
+    val info =
+      s"writer=${java.util.UUID.randomUUID()} pid=${ProcessHandle.current().pid()} " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} epochMs=${System.currentTimeMillis()}"
+    val p = lockPath(root)
+    if (!casCreate(fs, p, info.getBytes(StandardCharsets.UTF_8))) {
+      val holder =
+        try {
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable — racing acquisition or just released>" }
+      throw new ConcurrentWriterException(
+        s"latest-value table at $root already has a live writer [$holder] — this table is " +
+          "single-writer by contract (two streams on one root is a misconfiguration); if the " +
+          "holder crashed, verify it is dead and run LatestUpsert.breakLock(spark, root)")
+    }
+    heldRoots.get += root
+    try body
+    finally {
+      heldRoots.get -= root
+      fs.delete(p, false)
+    }
+  }
+
+  /** Operator recovery for a writer that CRASHED holding the lease:
+    * deletes the lock file so the next writer can acquire. Call only
+    * after confirming the recorded holder (pid/host in the lock file,
+    * surfaced by [[ConcurrentWriterException]]) is dead — breaking a
+    * LIVE writer's lease reintroduces exactly the race the lease
+    * exists to prevent. The artifact itself needs no repair: an
+    * interrupted commit never flipped the manifest, and the next
+    * [[upsert]]'s [[recover]] deletes its staged garbage.
+    */
+  def breakLock(spark: SparkSession, root: String): Unit = {
+    fsOf(spark, root).delete(lockPath(root), false)
+    ()
+  }
 
   /** Initialize the artifact from a seed event set (possibly empty):
     * latest-per-key of the seed as generation 0, plus the `_config`
@@ -149,6 +255,7 @@ object LatestUpsert {
     require(!seed.isEmpty, "seed must be non-empty; bootstrap with the first batch as the seed")
     import spark.implicits._
     val fs = fsOf(spark, root)
+    withWriterLock(fs, root) {
     configCache.remove(root)
     fs.delete(new Path(s"$root/data"), true)
     fs.delete(manifestsPath(root), true)
@@ -173,6 +280,7 @@ object LatestUpsert {
       .mode("overwrite")
       .parquet(s"$root/_config")
     publishManifest(fs, root, 0L, present.map(b => b -> relPath(0L, b)).toMap)
+    }
   }
 
   private[graft] case class Config(
@@ -454,9 +562,24 @@ object LatestUpsert {
     * just before a two-commit batch would find its generation GC'd
     * MID-batch — with the fold, one batch is one commit, always.
     */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame, maxFilesPerBucket: Int = 0): Unit = {
+  def upsert(spark: SparkSession, root: String, batch: DataFrame, maxFilesPerBucket: Int = 0): Unit =
+    withWriterLock(fsOf(spark, root), root) {
     recover(spark, root) // drop any uncommitted stage, finish pending GC
-    mergedForBatch(spark, root, batch) match {
+    // Pin the batch ONCE (r11 ask #5): the merge evaluates the batch
+    // frame three times (touched-set collect, existing∪batch merge,
+    // generation write), and a nondeterministic batch (limit over
+    // unordered input, rand-derived rows) re-evaluating differently at
+    // write time was the class of defect the r11 rogue-bucket guard
+    // caught reactively. A local checkpoint makes planned == written
+    // BY CONSTRUCTION — every evaluation reads the same materialized
+    // rows — converting a loud retryable error into impossibility. It
+    // is also not a tax at gate batch sizes: the triple evaluation of
+    // the batch lineage is replaced by one materialization + three
+    // block reads (INGESTBENCH r12 measured the gates flat-to-faster
+    // with it). The guard below stays as a zero-cost backstop.
+    val pinned = batch.localCheckpoint(true)
+    try {
+    mergedForBatch(spark, root, pinned) match {
       case Some((merged, touched)) =>
         val fs = fsOf(spark, root)
         val cfg = readConfig(spark, root)
@@ -478,16 +601,13 @@ object LatestUpsert {
             merged.unionByName(withBucket(extraRows, cfg.keyCols, cfg.buckets))
           }
         val present = writeGeneration(spark, root, gen + 1, toWrite, cfg.buckets)
-        // publish from the buckets ACTUALLY written, not the planned
-        // `touched ++ extra` set: a nondeterministic batch (limit over
-        // unordered input, rand-derived rows) can re-evaluate into a
-        // different bucket set at write time, and a planned-set publish
-        // would then commit manifest entries pointing at directories
-        // that were never written. A written bucket OUTSIDE the planned
-        // set is the dangerous direction — its existing rows were never
-        // read into the merge, so committing it would drop keys — fail
-        // loudly instead; a planned bucket that came out empty just
-        // keeps its prior manifest entry (correct: nothing changed).
+        // Backstop to the checkpoint above: publish from the buckets
+        // ACTUALLY written, not the planned `touched ++ extra` set. A
+        // written bucket OUTSIDE the planned set is the dangerous
+        // direction — its existing rows were never read into the
+        // merge, so committing it would drop keys — fail loudly
+        // instead; a planned bucket that came out empty just keeps its
+        // prior manifest entry (correct: nothing changed).
         val planned = (touched ++ extra).toSet
         val rogue = present.filterNot(planned)
         require(
@@ -504,6 +624,7 @@ object LatestUpsert {
         if (maxFilesPerBucket > 0) maintain(spark, root, maxFilesPerBucket)
         ()
     }
+    } finally graft.Checkpoints.release(pinned)
   }
 
   /** The queryable latest-value table: the newest committed generation,
@@ -610,7 +731,8 @@ object LatestUpsert {
     * bucket per merge); this is for re-coalescing after
     * `maxRecordsPerFile`-style splits or layout experiments.
     */
-  def compact(spark: SparkSession, root: String, filesPerBucket: Int = 1): Unit = {
+  def compact(spark: SparkSession, root: String, filesPerBucket: Int = 1): Unit =
+    withWriterLock(fsOf(spark, root), root) {
     recover(spark, root)
     val fs = fsOf(spark, root)
     val gen = currentGen(fs, root).getOrElse(
@@ -645,7 +767,7 @@ object LatestUpsert {
       root: String,
       which: Seq[Int],
       filesPerBucket: Int = 1
-  ): Unit = {
+  ): Unit = withWriterLock(fsOf(spark, root), root) {
     recover(spark, root)
     val fs = fsOf(spark, root)
     val cfg = readConfig(spark, root)
@@ -680,7 +802,8 @@ object LatestUpsert {
     * would put O(keyspace) IO inside the streaming loop this is wired
     * into); use [[compact]] for deliberate whole-table re-layout.
     */
-  def maintain(spark: SparkSession, root: String, maxFilesPerBucket: Int = 8): Boolean = {
+  def maintain(spark: SparkSession, root: String, maxFilesPerBucket: Int = 8): Boolean =
+    withWriterLock(fsOf(spark, root), root) {
     val needs = bucketFileCounts(spark, root).collect {
       case (b, n) if n > maxFilesPerBucket => b
     }.toSeq
@@ -701,6 +824,7 @@ object LatestUpsert {
     */
   def migrate(spark: SparkSession, root: String): Unit = {
     val fs = fsOf(spark, root)
+    withWriterLock(fs, root) {
     require(
       fs.exists(new Path(s"$root/latest")),
       s"nothing to migrate at $root — no legacy latest/ tree")
@@ -745,6 +869,7 @@ object LatestUpsert {
     try init(spark, root, staged, keyCols, orderCols, buckets)
     finally graft.Checkpoints.release(staged)
     fs.delete(new Path(s"$root/latest"), true)
+    }
   }
 
   /** Streaming entry: maintain the artifact from a stream via

@@ -654,6 +654,91 @@ class LatestUpsertSpec extends SparkSpec {
     assert(LatestUpsert.changesBetween(spark, root, 1L, 2L).isEmpty)
   }
 
+  test("racing writers: lease admits one at a time — single linear generation chain, no lost updates") {
+    val ev = events
+    val root = freshRoot()
+    LatestUpsert.init(
+      spark, root, ev.filter($"event_id" % 7 === 0),
+      keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"), buckets = 8)
+    val writers = 6
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    // each writer retries on the loud loser signal until ITS batch
+    // commits — the pattern a misconfigured-but-resilient caller uses
+    val threads = (1 to writers).map { i =>
+      val t = new Thread(() =>
+        try {
+          start.await()
+          val batch = events.filter($"event_id" % 7 === i)
+          var done = false
+          while (!done)
+            try { LatestUpsert.upsert(spark, root, batch); done = true }
+            catch {
+              case _: graft.io.ConcurrentWriterException =>
+                losses.incrementAndGet(); Thread.sleep(20)
+            }
+        } catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer thread died: ${failures.peek()}")
+    // linear chain: 6 successful upserts from generation 0 ⇒ current
+    // generation is exactly 6 — a same-generation double-commit (one
+    // manifest overwriting another) would end lower
+    assert(graft.io.LatestUpsert.generations(spark, root).max == writers.toLong,
+      s"generation chain is not linear: ${graft.io.LatestUpsert.generations(spark, root)}")
+    // no lost updates: final state ≡ one-shot latest over seed ∪ all
+    // six batches (event_id % 7 covers every event)
+    assert(readSet(root) == oneShotLatest(ev))
+    // the lease is released: the next writer acquires without help
+    assert(!Files.exists(Paths.get(s"$root/_writerlock")))
+    LatestUpsert.upsert(spark, root, ev.limit(5))
+  }
+
+  test("a losing writer fails fast BEFORE staging anything; breakLock is the crashed-holder recovery") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    val before = genDirs(root)
+    val manifestsBefore = manifestFiles(root)
+    // simulate a crashed (or live) holder: the lock file exists and no
+    // process will ever release it
+    Files.write(
+      Paths.get(s"$root/_writerlock"),
+      "writer=dead-beef pid=0 host=ghost epochMs=0".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val batch = ev.filter($"event_id" % 3 === 1)
+    val e = intercept[graft.io.ConcurrentWriterException] {
+      LatestUpsert.upsert(spark, root, batch)
+    }
+    // the message carries the diagnosis: who holds it, and the recovery
+    assert(e.getMessage.contains("pid=0"), s"holder info missing: ${e.getMessage}")
+    assert(e.getMessage.contains("breakLock"), s"recovery path missing: ${e.getMessage}")
+    // the loser touched NOTHING — no staged generation, no manifest,
+    // not even garbage for recover() to sweep
+    assert(genDirs(root) == before, "loser staged a generation dir")
+    assert(manifestFiles(root) == manifestsBefore, "loser touched manifests")
+    // documented recovery: confirm the holder is dead, break the lease,
+    // and the next writer proceeds normally
+    LatestUpsert.breakLock(spark, root)
+    LatestUpsert.upsert(spark, root, batch)
+    assert(readSet(root) == oneShotLatest(ev.filter($"event_id" % 3 <= 1)))
+  }
+
+  test("a writer whose BODY throws releases the lease (only a process crash leaves it held)") {
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    // schema drift fails loudly inside upsert, after lease acquisition
+    intercept[IllegalArgumentException] {
+      LatestUpsert.upsert(spark, root, ev.withColumn("rogue", lit(1)))
+    }
+    assert(!Files.exists(Paths.get(s"$root/_writerlock")), "thrown body leaked the lease")
+    LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1)) // acquires cleanly
+  }
+
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
     val ev = events
     val root = freshRoot()
