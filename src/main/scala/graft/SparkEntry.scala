@@ -120,6 +120,7 @@ object SparkEntry {
     "s6_stream_history"  -> (Queries.s6StreamHistory _),
     "s5b_changes_between" -> (Queries.s5bChangesBetween _),
     "t5_stream_signals"  -> (Queries.t5StreamSignals _),
+    "t4_stream_indicators" -> (Queries.t4StreamIndicators _),
     "t7_snapshot_completions" -> (Queries.t7SnapshotCompletions _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
@@ -1480,7 +1481,13 @@ object Queries {
           .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
       }
     }
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // pin the conf for THIS stream only, restoring the prior session
+    // value afterwards — setting it on the shared session leaked into
+    // every subsequent query in the same bench process (ADVICE r11)
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrior = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "true")
+    try {
     val qn = "t3b_candles_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
@@ -1508,6 +1515,12 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.table(qn).orderBy("user_id", "bucket_us")
+    } finally {
+      ndPrior match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
   }
 
   /** T6 — stateful streaming dedup END-STATE through a real stream
@@ -2213,6 +2226,95 @@ object Queries {
     spark.table(qn)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
       .orderBy("symbol", "time_us", "signal_type", "direction")
+  }
+
+  /** T4/W5 — the last spec-only semantic path hash-pinned cross-engine:
+    * the INCREMENTAL per-candle indicator series (hull value/color,
+    * MACD value/signal/histogram; reference
+    * `charting/indicators.py:26-284` O(1) chart-state updates) through
+    * a REAL warm-started stream. Construction: g1's deduped candle feed
+    * is quartered on the global (ts_us, symbol) row_number — the FIRST
+    * quarter becomes batch HISTORY folded into per-symbol
+    * [[graft.streaming.Streams.IndicatorState]] by `seedIndicatorState`
+    * (the W5 warm start), the remaining three quarters arrive as
+    * mtime-pinned micro-batches into
+    * [[graft.streaming.Streams.indicatorSeriesStream]], which emits
+    * each candle's indicator surface from the O(1) state update. The
+    * oracle recomputes the hull/MACD recursions over each symbol's FULL
+    * series (history ∪ stream, the w2/w4 formulas at Hull(8) /
+    * MACD(4,8,3)) and projects the streamed quarters — so a drift
+    * anywhere in the incremental state (ring contents, EMA carry,
+    * prev-HMA color across the seed boundary, state hand-off between
+    * micro-batches) flips the hash. Quartering uses explicit
+    * row_number/count arithmetic, NOT ntile, so both engines derive the
+    * split from first principles.
+    */
+  def t4StreamIndicators(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t4_stream", dir)
+    val src = s"$root/src"
+    val hist = s"$root/history"
+    val stamp = s"t4 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Relational
+        .latestPerKeyAgg(
+          Tables
+            .events(spark, dir)
+            .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value", $"event_id")
+            .filter($"value".isNotNull),
+          Seq("symbol", "ts_us"),
+          $"event_id",
+          Seq("value")
+        )
+        .select("symbol", "ts_us", "value")
+      val n = ev.count()
+      val ranked = ev.withColumn(
+        "_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"ts_us", $"symbol")))
+      ranked.filter($"_rn" <= lit(n / 4)).drop("_rn")
+        .coalesce(1).write.mode("overwrite").parquet(hist)
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        ranked
+          .filter($"_rn" > lit(n * i / 4) && $"_rn" <= lit(n * (i + 1) / 4))
+          .drop("_rn")
+          .coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    implicit val candleEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.CandleIn] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Streams.CandleIn]
+    val history = spark.read.parquet(hist)
+      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+      .as[graft.streaming.Streams.CandleIn]
+    val seeded = graft.streaming.Streams
+      .seedIndicatorState(history, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+    val qn = "t4_indicators_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val candles = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+      .as[graft.streaming.Streams.CandleIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("t4ckpt").toString
+    val q = graft.streaming.Streams
+      .indicatorSeriesStream(candles, Some(seeded), hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select("symbol", "time_us", "hma", "hma_color", "macd_value", "avg", "diff")
+      .orderBy("symbol", "time_us")
   }
 
   /** §2.11 legs synthesis, shared VERBATIM with [[GenS11Fixture]] so the
@@ -3482,6 +3584,33 @@ object Oracles {
        |  FROM sigs)""".stripMargin
   }
 
+  // T4/W5 — the streamed indicator series: hull/MACD recursions at
+  // Hull(8)/MACD(4,8,3) over each symbol's FULL deduped series (the
+  // candles CTE of the shared engine fold), projected to the streamed
+  // quarters. The quartering is explicit integer row_number/count
+  // arithmetic over the total (ts_us, symbol) order — both engines
+  // derive the split from first principles (no ntile semantics
+  // dependency), so the seed/stream boundary is bit-pinned too.
+  private val t4Sql: String =
+    s"""WITH src0 AS (
+       |  SELECT symbol, ts_us, value FROM (
+       |    SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us, value,
+       |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+       |    FROM events WHERE value IS NOT NULL) t
+       |  WHERE rn = 1),
+       |ranked AS (
+       |  SELECT symbol, ts_us, value,
+       |    row_number() OVER (ORDER BY ts_us, symbol) AS _rn,
+       |    count(*) OVER () AS _n
+       |  FROM src0),
+       |src AS (SELECT symbol, ts_us, value FROM src0),
+       |${signalEngineCtes("src", hullLength = 8, fast = 4, slow = 8, signalLen = 3)}
+       |SELECT c.symbol, c.ts_us AS time_us, c.hma, c.hma_color, c.macd_value, c.avg, c.diff
+       |FROM candles c
+       |JOIN ranked r ON r.symbol = c.symbol AND r.ts_us = c.ts_us
+       |WHERE r._rn > r._n // 4
+       |ORDER BY c.symbol, time_us""".stripMargin
+
   private val g1Sql: String =
     s"""WITH src AS (
        |  SELECT symbol, ts_us, value FROM (
@@ -3998,6 +4127,7 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "g1_signal_engine" -> g1Sql,
     "t5_stream_signals" -> t5Sql,
+    "t4_stream_indicators" -> t4Sql,
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
     "n2_buckets" -> n2BucketsSql,

@@ -689,8 +689,22 @@ object LatestUpsert {
     * but emits nothing: rows are compared by value, not by location.
     * The comparison is null-safe on the full payload struct, so a
     * payload column that is null on both sides compares equal.
+    *
+    * `includeBefore = true` appends a `before` column — the genA
+    * payload struct (null for `added` rows) — at ZERO extra IO: the
+    * before-image is already read from the changed buckets for the
+    * comparison. It is what lets a downstream INCREMENTAL consumer
+    * subtract the superseded contribution of an updated key (see
+    * LatestUpsertSpec's aggregate-refresh example) instead of
+    * rescanning generation A.
     */
-  def changesBetween(spark: SparkSession, root: String, genA: Long, genB: Long): DataFrame = {
+  def changesBetween(
+      spark: SparkSession,
+      root: String,
+      genA: Long,
+      genB: Long,
+      includeBefore: Boolean = false
+  ): DataFrame = {
     require(genA < genB, s"changesBetween needs genA < genB, got $genA >= $genB")
     val fs = fsOf(spark, root)
     requireManifestLayout(fs, root)
@@ -716,11 +730,14 @@ object LatestUpsert {
       else spark.read.schema(pinnedSchema(cfg)).parquet(beforePaths: _*)
     val bSide = before
       .select(cfg.keyCols.map(col) :+ struct(payload.map(col): _*).as("_old"): _*)
-    after
+    val changed0 = after
       .join(bSide, cfg.keyCols, "left")
       .where(col("_old").isNull || !(struct(payload.map(col): _*) <=> col("_old")))
       .withColumn("change", when(col("_old").isNull, lit("added")).otherwise(lit("updated")))
-      .select(cfg.allCols.map(col) :+ col("change"): _*)
+    if (includeBefore)
+      changed0.select(cfg.allCols.map(col) ++ Seq(col("change"), col("_old").as("before")): _*)
+    else
+      changed0.select(cfg.allCols.map(col) :+ col("change"): _*)
   }
 
   /** Rewrite the CURRENT generation's buckets into a fresh generation

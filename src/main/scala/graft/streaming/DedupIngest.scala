@@ -121,23 +121,50 @@ object DedupIngest {
   }
 
   /** Run the gate and fold the survivors into the corpus sink and both
-    * indexes. The accepted set is `localCheckpoint`ed first — an EAGER
-    * materialization that severs lineage from the index scans, because
-    * the gate reads exactly the files it is about to append to and a
-    * lazily recomputed plan (cache eviction, task retry) would observe
-    * its own output.
+    * indexes — as ONE journaled multi-artifact commit that a restarted
+    * stream rolls FORWARD, so a crash at ANY point inside the append
+    * sequence converges to the uninterrupted end state (the r11 sweep
+    * pinned this only at batch boundaries; the under-admission window
+    * between the index and corpus appends is now closed). The accepted
+    * set is `localCheckpoint`ed first — an EAGER materialization that
+    * severs lineage from the index scans, because the gate reads
+    * exactly the files it is about to append to and a lazily recomputed
+    * plan (cache eviction, task retry) would observe its own output.
     *
-    * At-least-once note: the gate itself is idempotent (a replayed
-    * batch's rows are non-novel after their own append), and the
-    * appends are ordered INDEXES FIRST, corpus last — a crash anywhere
-    * inside the append sequence leaves at worst orphaned index entries
-    * (the replayed rows are then rejected by their own fingerprints and
-    * never reach the corpus), NEVER duplicate corpus rows; a dedup
-    * gate's contract is no-duplicates, so the failure mode is biased to
-    * under-admission. The corpus-first ordering would instead duplicate
-    * corpus rows on a crash between corpus and fingerprint append.
-    * Closing even the under-admission window needs a transactional sink
-    * (e.g. a table format with batchId-keyed commits).
+    * == Journaled commit ==
+    *
+    * {{{
+    * root/_pending/<token>/rows/      # the accepted rows, staged
+    * root/_pending/<token>/_staged    # marker: rows are complete + authoritative
+    * root/_pending/<token>/_fp_done   # marker: fingerprint append landed
+    * root/_pending/<token>/_mh_done   # marker: minhash append landed
+    * }}}
+    *
+    * Order: stage rows → `_staged` → fingerprint append → `_fp_done` →
+    * minhash append → `_mh_done` → MOVE the staged files into the
+    * corpus (renames, each file lands exactly once) → delete the
+    * journal dir (the commit point). `<token>` is a content token
+    * (count + xor of id hashes), deterministic under replay.
+    *
+    * Crash analysis, every window:
+    *  - before `_staged`: the journal is garbage ([[recoverIngest]]
+    *    deletes it); no artifact was touched; the replayed batch
+    *    re-gates to the identical accepted set. Convergent.
+    *  - after `_staged`, anywhere before the corpus move completes:
+    *    the staged rows are authoritative; recovery re-appends whichever
+    *    index lacks its marker from the staged rows and finishes the
+    *    file moves. A crash MID-append re-appends that index's batch
+    *    rows (duplicate index rows — harmless: every index consumer is
+    *    an anti-join/pair-join with set semantics, and maintenance
+    *    compaction bounds the residue), never loses them. The replayed
+    *    batch then re-gates empty (its fingerprints are indexed) while
+    *    its rows ARE in the corpus — exactly the sequential end state.
+    *  - after the journal delete: the batch fully landed; the replayed
+    *    batch re-gates empty. Convergent.
+    *
+    * [[recoverIngest]] runs at [[start]] and at the head of every
+    * [[ingestBatch]] (one cheap listing when idle), so both the
+    * streaming and the sequential-batch caller self-heal.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -148,15 +175,28 @@ object DedupIngest {
       textCol: String,
       threshold: Double = 0.3
   ): Unit = {
+    recoverIngest(spark, root, corpusOut, idCol, textCol)
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
-      // indexes BEFORE corpus — see the ordering note above
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // content token: deterministic under replay (order-independent
+      // xor of id hashes; count guards the degenerate xor collisions)
+      val t = keep.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"), lit(0L)).as("x")
+      ).head()
+      val token = s"b${t.getLong(0)}x${java.lang.Long.toHexString(t.getLong(1))}"
+      val pend = new org.apache.hadoop.fs.Path(s"$root/_pending/$token")
+      keep.coalesce(1).write.mode("overwrite").parquet(s"$pend/rows")
+      touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
       // recoverFirst = false: this loop owns recovery (start() before
       // the first batch, every maintenance walk) — see the writer
       // invariant in appendToMinhashIndex's doc
       Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
+      touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
       // append the PROBE's signatures filtered to the accepted ids —
       // row-local signatures restricted to keep ⊆ novel are exactly
       // appendToMinhashIndex(keep)'s rows, minus the second shingling
@@ -165,7 +205,9 @@ object DedupIngest {
         s"$root/minhash",
         hashedB.join(keepIds, Seq("id"), "left_semi"),
         bandedB.join(keepIds, Seq("id"), "left_semi"))
-      keep.write.mode("append").parquet(corpusOut)
+      touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
+      moveStagedRows(fs, pend, corpusOut, token)
+      fs.delete(pend, true) // ← the commit point
     }
     // the batch's checkpoints are write-scoped — release
     // deterministically instead of waiting on the ContextCleaner (a
@@ -175,6 +217,74 @@ object DedupIngest {
     // `novel` and the components run's final label set — which have no
     // other release point
     Seq(keep, acc, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
+  }
+
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit =
+    fs.create(p, true).close()
+
+  /** Move every staged parquet file into the corpus, token-prefixed so
+    * two batches' part files can never collide. Renames: a file leaves
+    * the staging dir exactly when it lands, so an interrupted move
+    * resumes file-by-file with no duplicates.
+    */
+  private def moveStagedRows(
+      fs: org.apache.hadoop.fs.FileSystem,
+      pend: org.apache.hadoop.fs.Path,
+      corpusOut: String,
+      token: String
+  ): Unit = {
+    val rowsDir = new org.apache.hadoop.fs.Path(pend, "rows")
+    val outDir = new org.apache.hadoop.fs.Path(corpusOut)
+    fs.mkdirs(outDir)
+    fs.listStatus(rowsDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(outDir, s"${token}_${st.getPath.getName}")
+        require(fs.rename(st.getPath, dst), s"ingest: could not land staged corpus file ${st.getPath}")
+      }
+  }
+
+  /** Roll forward (or discard) any journaled batch a crashed
+    * [[ingestBatch]] left mid-commit — see its crash analysis. A
+    * journal without `_staged` is pre-commit garbage (deleted; the
+    * batch replays); a staged journal is authoritative: the missing
+    * index appends re-run from the staged rows, the staged files move
+    * into the corpus, and the journal deletes. Idempotent; cheap when
+    * idle (one listing of `_pending`).
+    */
+  def recoverIngest(
+      spark: SparkSession,
+      root: String,
+      corpusOut: String,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    val pendRoot = new org.apache.hadoop.fs.Path(s"$root/_pending")
+    val fs = pendRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pendRoot)) return
+    fs.listStatus(pendRoot).filter(_.isDirectory).foreach { d =>
+      val pend = d.getPath
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pend, "_staged"))) {
+        fs.delete(pend, true) // incomplete staging: the batch never committed anywhere
+      } else {
+        // lazy: a crash AFTER the corpus move leaves `rows/` with no
+        // parquet files (all landed) — schema inference there would
+        // throw, and neither marker branch needs the rows then
+        lazy val staged = spark.read.parquet(new org.apache.hadoop.fs.Path(pend, "rows").toString)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(pend, "_fp_done"))) {
+          Dedup.appendToFingerprintIndex(staged, textCol, s"$root/fingerprints", recoverFirst = false)
+          touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
+        }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(pend, "_mh_done"))) {
+          // the rare roll-forward path re-shingles the staged rows (the
+          // probe's signatures died with the crashed process)
+          Dedup.appendToMinhashIndex(spark, s"$root/minhash", staged, idCol, textCol)
+          touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
+        }
+        moveStagedRows(fs, pend, corpusOut, pend.getName)
+        fs.delete(pend, true)
+      }
+    }
   }
 
   /** Initialize the index root from a (possibly empty) seed corpus. */

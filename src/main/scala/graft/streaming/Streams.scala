@@ -116,6 +116,24 @@ object Streams {
       slowLen: Int,
       signalLen: Int
   ): (IndicatorState, List[SignalOut]) = {
+    val (next, _, sigs) = stepIndicatorFull(st, c, hullLength, fastLen, slowLen, signalLen)
+    (next, sigs)
+  }
+
+  /** [[stepIndicator]] with the per-candle indicator SURFACE exposed
+    * (the fully-computed [[HullMacd.Candle]] — hull value/color, MACD
+    * value/signal/histogram): one arithmetic body serves both the
+    * signal engine and the W5 indicator-series emission, so the two
+    * cannot drift.
+    */
+  def stepIndicatorFull(
+      st: IndicatorState,
+      c: CandleIn,
+      hullLength: Int,
+      fastLen: Int,
+      slowLen: Int,
+      signalLen: Int
+  ): (IndicatorState, HullMacd.Candle, List[SignalOut]) = {
     val half = math.round(hullLength / 2.0).toInt
     val sqrtLen = math.round(math.sqrt(hullLength.toDouble)).toInt
     val pad = if (st.count == 0) c.close else st.pad
@@ -139,7 +157,58 @@ object Streams {
       if (st.count + 1 < 2) (st.engine, Nil) // reference: >= 2 candles
       else HullMacd.step(st.engine, candle)
     val next = IndicatorState(closes, diffs, Some(hma), fast, slow, signal, st.count + 1, pad, engine2)
-    (next, sigs.map(s => SignalOut(c.symbol, s.timeUs, s.signalType, s.direction, s.trigger, s.closePrice)))
+    (next, candle, sigs.map(s => SignalOut(c.symbol, s.timeUs, s.signalType, s.direction, s.trigger, s.closePrice)))
+  }
+
+  /** W5 output row: the incremental per-candle indicator series —
+    * hull MA value/color and MACD value/signal/histogram, exactly the
+    * surface the reference's chart state exposes after each O(1)
+    * update (`charting/indicators.py:26-284`).
+    */
+  case class IndicatorOut(
+      symbol: String,
+      time_us: Long,
+      hma: Double,
+      hma_color: String,
+      macd_value: Double,
+      avg: Double,
+      diff: Double
+  )
+
+  /** W5 — the incremental indicator SERIES through a stream: keyed
+    * `flatMapGroupsWithState` emitting one [[IndicatorOut]] per candle
+    * from the same O(1) [[stepIndicatorFull]] update the signal engine
+    * folds, warm-startable from [[seedIndicatorState]] so a (re)started
+    * stream CONTINUES the hull/MACD recursions over history instead of
+    * re-padding from an empty window. Streaming ≡ batch by
+    * construction: the emitted values are the batch w2/w4 recursions
+    * evaluated over history ∪ stream in event order (the t4 oracle row
+    * pins this cross-engine).
+    */
+  def indicatorSeriesStream(
+      candles: org.apache.spark.sql.Dataset[CandleIn],
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState]] = None,
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[IndicatorOut] = {
+    import candles.sparkSession.implicits._
+    val fn = (sym: String, rows: Iterator[CandleIn], state: GroupState[IndicatorState]) => {
+      var st = state.getOption.getOrElse(emptyIndicatorState)
+      val out = rows.toSeq.sortBy(_.timeUs).map { c =>
+        val (ns, cd, _) = stepIndicatorFull(st, c, hullLength, fast, slow, signalLen)
+        st = ns
+        IndicatorOut(sym, c.timeUs, cd.hullValue, cd.hullColor, cd.macdValue, cd.macdSignal, cd.macdHistogram)
+      }
+      state.update(st)
+      out.iterator
+    }
+    val grouped = candles.groupByKey(_.symbol)
+    initialState match {
+      case Some(init) => grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
+      case None       => grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
   }
 
   def emptyIndicatorState: IndicatorState =

@@ -127,6 +127,111 @@ class DedupIngestSpec extends SparkSpec {
     assert(fpDups == 0)
   }
 
+  // ── mid-batch crash-point sweep (r11 verdict ask #2) ────────────────
+
+  /** Fabricate the journaled commit's state after `crashPoint` steps —
+    * the same step sequence [[DedupIngest.ingestBatch]] runs, stopped
+    * cold. 1 = rows staged, no `_staged` marker; 2 = `_staged`;
+    * 3 = fingerprint append + `_fp_done`; 4 = minhash append +
+    * `_mh_done`; 5 = corpus move done, journal dir not yet deleted.
+    */
+  private def ingestStepsUpTo(
+      root: String,
+      corpusOut: String,
+      batch: org.apache.spark.sql.DataFrame,
+      crashPoint: Int
+  ): Unit = {
+    val (acc, hashedB, bandedB) =
+      DedupIngest.acceptedWithSignatures(spark, root, batch, "doc_id", "text")
+    val keep = acc.localCheckpoint()
+    val token = "crashtok"
+    val pendDir = java.nio.file.Paths.get(s"$root/_pending/$token")
+    keep.coalesce(1).write.mode("overwrite").parquet(s"$pendDir/rows")
+    def touch(n: String): Unit = { Files.write(pendDir.resolve(n), Array.empty[Byte]); () }
+    if (crashPoint >= 2) touch("_staged")
+    if (crashPoint >= 3) {
+      Dedup.appendToFingerprintIndex(keep, "text", s"$root/fingerprints", recoverFirst = false)
+      touch("_fp_done")
+    }
+    if (crashPoint >= 4) {
+      val keepIds = keep.select(col("doc_id").as("id"))
+      Dedup.appendToMinhashIndexPre(
+        s"$root/minhash",
+        hashedB.join(keepIds, Seq("id"), "left_semi"),
+        bandedB.join(keepIds, Seq("id"), "left_semi"))
+      touch("_mh_done")
+    }
+    if (crashPoint >= 5) {
+      val rows = java.nio.file.Files.list(pendDir.resolve("rows"))
+      try rows.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach { p =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusOut))
+          java.nio.file.Files.move(
+            p, java.nio.file.Paths.get(corpusOut, s"${token}_${p.getFileName}"))
+        }
+      finally rows.close()
+    }
+    Seq(keep, acc, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
+  }
+
+  test("mid-batch crash sweep: a crash at EVERY journal step converges to the sequential end state on restart") {
+    val seed = Seq((1L, s"$stemC corpusdoc")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (12L, s"$stemB fresh alpha"),       // near-dup cluster {12,13}: 12 keeps
+      (13L, s"$stemB fresh alpha beta"),
+      (14L, "a wholly unrelated tiny document")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, s"$stemB fresh alpha gamma"), // near-dup of admitted 12 → drop (needs b1's mh rows)
+      (21L, s"$stemC corpusdoc"),         // exact dup of seed → drop
+      (22L, "another novel tiny document")
+    ).toDF("doc_id", "text")
+
+    // the uninterrupted sequential end state, computed once
+    val rootRef = tmp("ingestcrashref")
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$rootRef/idx")
+    seed.write.mode("overwrite").parquet(s"$rootRef/corpus")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b1, "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b2, "doc_id", "text")
+    val wantCorpus = spark.read.parquet(s"$rootRef/corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(wantCorpus == Seq(1L, 12L, 14L, 22L)) // the gate did real work
+
+    for (crashPoint <- 1 to 5) {
+      val root = tmp(s"ingestcrash$crashPoint")
+      DedupIngest.initIndexes(seed, "doc_id", "text", s"$root/idx")
+      seed.write.mode("overwrite").parquet(s"$root/corpus")
+      ingestStepsUpTo(s"$root/idx", s"$root/corpus", b1, crashPoint)
+      // restart: the streaming loop replays the uncommitted batch b1
+      // (its checkpoint never advanced), then proceeds to b2 —
+      // ingestBatch's own recoverIngest heals first
+      DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b1, "doc_id", "text")
+      DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b2, "doc_id", "text")
+      val got = spark.read.parquet(s"$root/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == wantCorpus, s"crash point $crashPoint: corpus diverged ($got vs $wantCorpus)")
+      // the journal is drained and the indexes gate FUTURE batches
+      // identically to the uninterrupted run (near-dups of every
+      // admitted row rejected; novelty preserved)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/idx/_pending")) ||
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/idx/_pending")).count() == 0,
+        s"crash point $crashPoint left journal entries")
+      val probe = Seq(
+        (30L, s"$stemB fresh alpha delta"),        // near-dup of 12
+        (31L, "another novel tiny document plus"), // near-dup of 22 (shares no shingles though) → novel
+        (32L, "a wholly unrelated tiny document")  // exact dup of 14
+      ).toDF("doc_id", "text")
+      val gotProbe = DedupIngest.accepted(spark, s"$root/idx", probe, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val wantProbe = DedupIngest.accepted(spark, s"$rootRef/idx", probe, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(gotProbe == wantProbe, s"crash point $crashPoint: future gating diverged")
+      // no duplicate corpus rows ever (the gate's core contract)
+      assert(got.distinct == got, s"crash point $crashPoint admitted duplicates")
+    }
+  }
+
   test("a replayed batch is fully rejected after its own append (gate idempotence)") {
     val root = tmp("ingestreplay")
     val corpusOut = s"$root/corpus"

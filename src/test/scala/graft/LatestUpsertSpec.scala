@@ -654,6 +654,41 @@ class LatestUpsertSpec extends SparkSpec {
     assert(LatestUpsert.changesBetween(spark, root, 1L, 2L).isEmpty)
   }
 
+  test("CDC consumption: incremental refresh of a dependent aggregate from the gen A→B diff ≡ full recompute") {
+    // the worked example changesBetween exists for: a dependent grouped
+    // aggregate (sum(v), count by g = k % 5) maintained INCREMENTALLY —
+    // add each diff row's new contribution, subtract the before-image's
+    // (zero extra IO: `before` rides the diff) — must equal recomputing
+    // the aggregate from the full genB snapshot.
+    val root = freshRoot()
+    val keys = (0L until 40L).toVector
+    def rows(g: Int, ks: Seq[Long]): Seq[(Long, Long, Long)] = ks.map(k => (k, g.toLong, k * 1000 + g))
+    LatestUpsert.init(
+      spark, root, rows(0, keys.take(30)).toDF("k", "ts", "v"),
+      keyCols = Seq("k"), orderCols = Seq("ts"), buckets = 16)
+    def fullAgg(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.groupBy(pmod($"k", lit(5L)).as("g"))
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val agg0 = fullAgg(LatestUpsert.readAt(spark, root, 0L))
+    // gen 1: update 6 existing keys, add 10 new ones
+    LatestUpsert.upsert(spark, root, rows(1, keys.take(6) ++ keys.drop(30)).toDF("k", "ts", "v"))
+    val delta = LatestUpsert.changesBetween(spark, root, 0L, 1L, includeBefore = true)
+      .groupBy(pmod($"k", lit(5L)).as("g"))
+      .agg(
+        (sum($"v") - sum(coalesce($"before.v", lit(0L)))).as("ds"),
+        sum(when($"change" === "added", 1L).otherwise(0L)).as("dn"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val incremental = (agg0.keySet ++ delta.keySet).map { g =>
+      val (s0, n0) = agg0.getOrElse(g, (0L, 0L))
+      val (ds, dn) = delta.getOrElse(g, (0L, 0L))
+      g -> (s0 + ds, n0 + dn)
+    }.toMap
+    assert(incremental == fullAgg(LatestUpsert.read(spark, root)))
+    // not vacuous: the diff carried both change kinds
+    assert(delta.nonEmpty && delta.values.exists(_._2 > 0))
+  }
+
   test("racing writers: lease admits one at a time — single linear generation chain, no lost updates") {
     val ev = events
     val root = freshRoot()

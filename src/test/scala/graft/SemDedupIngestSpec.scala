@@ -145,6 +145,62 @@ class SemDedupIngestSpec extends SparkSpec {
     assert(fresh.select("vec_id").as[Long].collect().toSeq == Seq(30L))
   }
 
+  test("mid-append crash sweep: EVERY partial-append state converges to the sequential end state on restart") {
+    // the sem gate's append is ONE cell-partitioned parquet append, so
+    // its crash states are exactly "some subset of the accepted rows'
+    // files landed" — sweep every subset of b1's accepted set {12, 14},
+    // replay the batch (the restarted stream's checkpoint never
+    // advanced), run the next batch, and demand bit-equality with the
+    // uninterrupted sequential run: the id guard completes the partial
+    // append instead of duplicating or losing rows.
+    val b1 = df(
+      (10L, Seq(0.99f, 0.06f, 0f, 0f)), // near-dup of seed 1 → drop
+      (12L, Seq(0.05f, 1f, 0f, 0f)),    // cluster {12,13} → 12 keeps
+      (13L, Seq(0.06f, 0.98f, 0f, 0f)),
+      (14L, Seq(0f, 0.4f, 0.9f, 0f))    // cos < T vs everything → keep
+    )
+    val b2 = df(
+      (20L, Seq(0.07f, 0.99f, 0f, 0f)), // near-dup of ADMITTED 12 → drop (needs 12 indexed)
+      (21L, Seq(0f, 0f, 0f, 1f))        // novel → keep
+    )
+    def freshRoot(): String = {
+      val root = tmp("semcrash")
+      Similarity.writeIvfIndex(
+        df((1L, Seq(1f, 0.05f, 0f, 0f))), "vec_id", "embedding", root,
+        nCentroids = 2, centroidModel = Some(model))
+      root
+    }
+    def state(root: String): Seq[(Long, Int)] =
+      spark.read.parquet(root).select(col("id"), col("cell"))
+        .as[(Long, Int)].collect().sorted.toSeq
+
+    // uninterrupted reference
+    val rootRef = freshRoot()
+    SemDedupIngest.ingestBatch(spark, rootRef, b1, "vec_id", "embedding", T)
+    SemDedupIngest.ingestBatch(spark, rootRef, b2, "vec_id", "embedding", T)
+    val want = state(rootRef)
+    assert(want.map(_._1) == Seq(1L, 12L, 14L, 21L)) // the gate did real work
+
+    for (landed <- Seq(Seq.empty[Long], Seq(12L), Seq(14L), Seq(12L, 14L))) {
+      val root = freshRoot()
+      // fabricate the crash: only `landed`'s rows reached the index
+      val partial = b1.filter(col("vec_id").isin(landed.map(java.lang.Long.valueOf): _*))
+      if (landed.nonEmpty)
+        Similarity.appendToIvfIndex(spark, root, partial, "vec_id", "embedding")
+      // restart: replay b1, then proceed to b2
+      SemDedupIngest.ingestBatch(spark, root, b1, "vec_id", "embedding", T)
+      SemDedupIngest.ingestBatch(spark, root, b2, "vec_id", "embedding", T)
+      assert(state(root) == want, s"crash state landed=$landed diverged")
+      // future gating identical too
+      val probe = df((30L, Seq(0.08f, 0.97f, 0f, 0f)), (31L, Seq(0.5f, 0f, 0f, 0.85f)))
+      val gotP = SemDedupIngest.accepted(spark, root, probe, "vec_id", "embedding", T)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      val wantP = SemDedupIngest.accepted(spark, rootRef, probe, "vec_id", "embedding", T)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(gotP == wantP, s"crash state landed=$landed: future gating diverged")
+    }
+  }
+
   test("a replayed batch is fully rejected after its own append (id guard)") {
     val root = tmp("semreplay")
     Similarity.writeIvfIndex(
