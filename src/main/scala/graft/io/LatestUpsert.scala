@@ -153,41 +153,9 @@ object LatestUpsert {
     */
   val retainedManifests = 2
 
-  // ── single-writer lease ────────────────────────────────────────────
+  // ── single-writer lease (shared machinery: [[WriterLease]]) ────────
 
   private def lockPath(root: String) = new Path(s"$root/_writerlock")
-
-  /** Atomic create-exclusive of `p` with `bytes` as content. Local FS
-    * goes through NIO `CREATE_NEW` (true `O_EXCL` — Hadoop's
-    * RawLocalFileSystem `create(overwrite=false)` is check-then-act and
-    * two racers can both pass the check); HDFS-like filesystems use
-    * `fs.create(p, false)`, atomic at the namenode. Returns false when
-    * the path already exists (lost the race).
-    */
-  private def casCreate(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
-    if (fs.getScheme == "file") {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
-        Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.write(local, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else
-      try {
-        val out = fs.create(p, false)
-        try out.write(bytes)
-        finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("exist") => false
-      }
-
-  // lease reentrancy per (thread, root): upsert's empty-batch path calls
-  // maintain, maintain calls compactBuckets — inner entry points must
-  // not self-deadlock on the lease the outer one already holds
-  private val heldRoots = ThreadLocal.withInitial[scala.collection.mutable.Set[String]](
-    () => scala.collection.mutable.Set.empty[String])
 
   /** Run `body` holding the root's writer lease. Fail-fast semantics:
     * if another live writer holds it, throw [[ConcurrentWriterException]]
@@ -195,31 +163,11 @@ object LatestUpsert {
     * released on every exit (success or thrown body); only a process
     * crash leaves it behind, and [[breakLock]] is the recovery.
     */
-  private def withWriterLock[T](fs: FileSystem, root: String)(body: => T): T = {
-    if (heldRoots.get.contains(root)) return body // reentrant: outer call holds it
-    val info =
-      s"writer=${java.util.UUID.randomUUID()} pid=${ProcessHandle.current().pid()} " +
-        s"host=${java.net.InetAddress.getLocalHost.getHostName} epochMs=${System.currentTimeMillis()}"
-    val p = lockPath(root)
-    if (!casCreate(fs, p, info.getBytes(StandardCharsets.UTF_8))) {
-      val holder =
-        try {
-          val in = fs.open(p)
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        } catch { case _: Throwable => "<unreadable — racing acquisition or just released>" }
-      throw new ConcurrentWriterException(
-        s"latest-value table at $root already has a live writer [$holder] — this table is " +
-          "single-writer by contract (two streams on one root is a misconfiguration); if the " +
-          "holder crashed, verify it is dead and run LatestUpsert.breakLock(spark, root)")
-    }
-    heldRoots.get += root
-    try body
-    finally {
-      heldRoots.get -= root
-      fs.delete(p, false)
-    }
-  }
+  private def withWriterLock[T](fs: FileSystem, root: String)(body: => T): T =
+    WriterLease.withLock(
+      fs, lockPath(root),
+      s"latest-value table at $root",
+      "run LatestUpsert.breakLock(spark, root)")(body)
 
   /** Operator recovery for a writer that CRASHED holding the lease:
     * deletes the lock file so the next writer can acquire. Call only

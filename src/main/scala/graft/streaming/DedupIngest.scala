@@ -166,6 +166,33 @@ object DedupIngest {
     * [[ingestBatch]] (one cheap listing when idle), so both the
     * streaming and the sequential-batch caller self-heal.
     */
+  /** Writer lease for the gate's root (indexes + journal + staged
+    * state): the same single-writer enforcement as
+    * [[graft.io.LatestUpsert]] — a second live writer (two streams
+    * misconfigured onto one index root) fails fast with
+    * [[graft.io.ConcurrentWriterException]] before touching anything.
+    * Held per batch, so the crashed-holder recovery window is one
+    * batch: confirm the recorded holder is dead, then [[breakLock]].
+    */
+  private def withGateLock[T](spark: SparkSession, root: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_ingestlock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.WriterLease.withLock(
+      fs, p, s"ingest-gate root at $root",
+      "run DedupIngest.breakLock(spark, root)")(body)
+  }
+
+  /** Crashed-holder recovery: delete the gate's writer lease after
+    * confirming the recorded holder (pid/host in the error message) is
+    * dead. The artifacts need no repair — the journal rolls forward at
+    * the next batch.
+    */
+  def breakLock(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_ingestlock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    ()
+  }
+
   def ingestBatch(
       spark: SparkSession,
       root: String,
@@ -174,7 +201,7 @@ object DedupIngest {
       idCol: String,
       textCol: String,
       threshold: Double = 0.3
-  ): Unit = {
+  ): Unit = withGateLock(spark, root) {
     recoverIngest(spark, root, corpusOut, idCol, textCol)
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
@@ -190,7 +217,10 @@ object DedupIngest {
       ).head()
       val token = s"b${t.getLong(0)}x${java.lang.Long.toHexString(t.getLong(1))}"
       val pend = new org.apache.hadoop.fs.Path(s"$root/_pending/$token")
-      keep.coalesce(1).write.mode("overwrite").parquet(s"$pend/rows")
+      // parallel staged write (NO coalesce — a gigabyte batch must not
+      // serialize through one writer); the mover renames every part
+      // file, so file count is free
+      keep.write.mode("overwrite").parquet(s"$pend/rows")
       touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
       // recoverFirst = false: this loop owns recovery (start() before
       // the first batch, every maintenance walk) — see the writer
@@ -258,7 +288,7 @@ object DedupIngest {
       corpusOut: String,
       idCol: String,
       textCol: String
-  ): Unit = {
+  ): Unit = withGateLock(spark, root) {
     val pendRoot = new org.apache.hadoop.fs.Path(s"$root/_pending")
     val fs = pendRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pendRoot)) return
@@ -323,10 +353,11 @@ object DedupIngest {
       root: String,
       maxFilesPerLeaf: Int = 32,
       targetFileBytes: Long = 128L << 20
-  ): Int =
+  ): Int = withGateLock(spark, root) {
     graft.io.Compaction.maintainPartitioned(spark, s"$root/fingerprints", maxFilesPerLeaf, targetFileBytes) +
       graft.io.Compaction.maintainPartitioned(spark, s"$root/minhash/bands", maxFilesPerLeaf, targetFileBytes) +
       graft.io.Compaction.maintainPartitioned(spark, s"$root/minhash/sketches", maxFilesPerLeaf, targetFileBytes)
+  }
 
   /** Resolve any leaf swap a crashed [[maintainIndexes]] left mid-swap.
     * [[start]] runs this before its first batch; a caller probing the
@@ -334,7 +365,11 @@ object DedupIngest {
     * mid-swap tree is missing the swapping leaf, and a probe against it
     * would silently treat that leaf's corpus as unseen.
     */
-  def recoverIndexes(spark: SparkSession, root: String): Unit = {
+  def recoverIndexes(spark: SparkSession, root: String): Unit = withGateLock(spark, root) {
+    // lease-wrapped: the recovery walk DELETES in-flight staging
+    // helpers — run concurrently with a live writer's maintenance it
+    // would destroy that writer's wave (the misconfigured-second-stream
+    // start() path)
     graft.io.Compaction.recoverPartitioned(spark, s"$root/fingerprints")
     graft.io.Compaction.recoverPartitioned(spark, s"$root/minhash/bands")
     graft.io.Compaction.recoverPartitioned(spark, s"$root/minhash/sketches")

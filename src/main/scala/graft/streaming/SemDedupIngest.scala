@@ -127,6 +127,29 @@ object SemDedupIngest {
     * the gate's OWN cell assignments ([[Similarity.appendToIvfIndexPre]])
     * — the batch is assigned exactly once end-to-end.
     */
+  /** Writer lease on the index root — the same single-writer
+    * enforcement as [[DedupIngest]]'s gate and
+    * [[graft.io.LatestUpsert]]: a second live writer fails fast with
+    * [[graft.io.ConcurrentWriterException]] before touching anything.
+    */
+  private def withGateLock[T](spark: SparkSession, indexPath: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_ingestlock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.io.WriterLease.withLock(
+      fs, p, s"semantic ingest index at $indexPath",
+      "run SemDedupIngest.breakLock(spark, indexPath)")(body)
+  }
+
+  /** Crashed-holder recovery: delete the lease after confirming the
+    * recorded holder is dead; the id guard makes the next replay
+    * converge without repair.
+    */
+  def breakLock(spark: SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_ingestlock")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    ()
+  }
+
   def ingestBatch(
       spark: SparkSession,
       indexPath: String,
@@ -134,7 +157,7 @@ object SemDedupIngest {
       idCol: String,
       vecCol: String,
       threshold: Double
-  ): Unit = {
+  ): Unit = withGateLock(spark, indexPath) {
     val acc = acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold)
     val keep = acc.localCheckpoint()
     if (!keep.isEmpty) {
@@ -190,8 +213,9 @@ object SemDedupIngest {
       indexPath: String,
       maxFilesPerLeaf: Int = 32,
       targetFileBytes: Long = 128L << 20
-  ): Int =
+  ): Int = withGateLock(spark, indexPath) {
     graft.io.Compaction.maintainPartitioned(spark, indexPath, maxFilesPerLeaf, targetFileBytes)
+  }
 
   /** Resolve any cell swap a crashed [[maintainIndex]] left mid-swap —
     * [[start]] runs this before the first batch; out-of-stream probes
@@ -199,5 +223,9 @@ object SemDedupIngest {
     * cell, and the guard would re-admit that cell's corpus as fresh).
     */
   def recoverIndex(spark: SparkSession, indexPath: String): Unit =
-    graft.io.Compaction.recoverPartitioned(spark, indexPath)
+    withGateLock(spark, indexPath) {
+      // lease-wrapped for the same reason as DedupIngest.recoverIndexes:
+      // the walk deletes in-flight staging helpers
+      graft.io.Compaction.recoverPartitioned(spark, indexPath)
+    }
 }

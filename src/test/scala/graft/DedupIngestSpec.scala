@@ -232,6 +232,28 @@ class DedupIngestSpec extends SparkSpec {
     }
   }
 
+  test("a second live writer on the gate root fails fast having staged nothing; breakLock recovers") {
+    val root = tmp("ingestlease")
+    DedupIngest.initIndexes(
+      Seq((1L, s"$stemC corpusdoc")).toDF("doc_id", "text"), "doc_id", "text", s"$root/idx")
+    // simulate a crashed (or live) holder
+    Files.write(
+      java.nio.file.Paths.get(s"$root/idx/_ingestlock"),
+      "writer=dead-beef pid=0 host=ghost epochMs=0".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val batch = Seq((20L, "a novel tiny document")).toDF("doc_id", "text")
+    val e = intercept[graft.io.ConcurrentWriterException] {
+      DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("pid=0") && e.getMessage.contains("breakLock"))
+    // the loser touched NOTHING: no journal, no corpus
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/idx/_pending")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/corpus")))
+    DedupIngest.breakLock(spark, s"$root/idx")
+    DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", batch, "doc_id", "text")
+    assert(spark.read.parquet(s"$root/corpus").count() == 1)
+  }
+
   test("a replayed batch is fully rejected after its own append (gate idempotence)") {
     val root = tmp("ingestreplay")
     val corpusOut = s"$root/corpus"

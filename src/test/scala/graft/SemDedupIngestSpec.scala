@@ -201,6 +201,27 @@ class SemDedupIngestSpec extends SparkSpec {
     }
   }
 
+  test("a second live writer on the index root fails fast having appended nothing; breakLock recovers") {
+    val root = tmp("semlease")
+    Similarity.writeIvfIndex(
+      df((1L, Seq(1f, 0f, 0f, 0f))), "vec_id", "embedding", root,
+      nCentroids = 2, centroidModel = Some(model))
+    Files.write(
+      java.nio.file.Paths.get(s"$root/_ingestlock"),
+      "writer=dead-beef pid=0 host=ghost epochMs=0".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val batch = df((20L, Seq(0f, 1f, 0f, 0f)))
+    val before = spark.read.parquet(root).count()
+    val e = intercept[graft.io.ConcurrentWriterException] {
+      SemDedupIngest.ingestBatch(spark, root, batch, "vec_id", "embedding", T)
+    }
+    assert(e.getMessage.contains("pid=0") && e.getMessage.contains("breakLock"))
+    assert(spark.read.parquet(root).count() == before) // nothing appended
+    SemDedupIngest.breakLock(spark, root)
+    SemDedupIngest.ingestBatch(spark, root, batch, "vec_id", "embedding", T)
+    assert(spark.read.parquet(root).count() == before + 1)
+  }
+
   test("a replayed batch is fully rejected after its own append (id guard)") {
     val root = tmp("semreplay")
     Similarity.writeIvfIndex(
