@@ -121,6 +121,7 @@ object SparkEntry {
     "s5b_changes_between" -> (Queries.s5bChangesBetween _),
     "t5_stream_signals"  -> (Queries.t5StreamSignals _),
     "t4_stream_indicators" -> (Queries.t4StreamIndicators _),
+    "t9_stream_backtest" -> (Queries.t9StreamBacktest _),
     "t7_snapshot_completions" -> (Queries.t7SnapshotCompletions _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
@@ -3150,6 +3151,97 @@ object Queries {
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
+  /** T9/J8 — the MERGED multi-timeframe streaming backtest hash-pinned
+    * cross-engine: b1's exact two-sided feed (deduped pricing ticks as
+    * rank 0, 30-minute bucket candles stamped at bucket start as
+    * rank 1 — guaranteed (symbol, time) ties at bucket boundaries, the
+    * ordering rule T9 exists for) interleaved into ONE stream, split
+    * into three time-ordered micro-batches on the global
+    * (time_us, rank, symbol) row_number (a tie straddling a batch
+    * boundary lands its rank-0 pricing row in the EARLIER batch —
+    * folded first, as the merge rule demands), arrival mtime-pinned,
+    * driven through [[graft.streaming.Streams.backtestStream]]: the
+    * per-symbol stateful fold where pricing rows update last-price
+    * state and signal rows step the indicator engine, each emitted
+    * signal carrying its as-of entry price FROM STATE. The oracle is
+    * b1's own SQL — the engine CTE fold plus DuckDB's native ASOF
+    * JOIN — so the streaming fold's state carry-over, the
+    * pricing-first tie rule, and the null-before-first-pricing edge
+    * all land on the hash. Closes the last spec-only streaming path
+    * (T9 was previously pinned only by StreamingSpec's bit-parity).
+    */
+  def t9StreamBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("t9_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"t9 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val events = Tables
+        .events(spark, dir)
+        .select($"user_id".cast("string").as("symbol"), $"ts_us".as("time_us"), $"value".as("close"), $"event_id")
+      // EXACTLY b1's two sides (see b1Backtest's dedup notes): pricing
+      // drops null closes BEFORE its dedup ("most recent NON-NULL
+      // close"); the bucket candles dedup first (a null-close keeper
+      // must shadow earlier events, as the engine-side drop does) and
+      // filter null closes after — the engine's own WHERE, applied at
+      // construction because RankedCandle.close is a primitive
+      val pricing = Relational
+        .latestPerKeyAgg(events.filter($"close".isNotNull), Seq("symbol", "time_us"), $"event_id", Seq("close"))
+        .select($"symbol", $"time_us", $"close").withColumn("rank", lit(0))
+      val signalCandles = Relational
+        .latestPerKeyAgg(
+          events.withColumn("bucket_us", expr("(time_us div 1800000000) * 1800000000")),
+          Seq("symbol", "bucket_us"),
+          struct($"time_us", $"event_id"),
+          Seq("close")
+        )
+        .select($"symbol", $"bucket_us".as("time_us"), $"close").withColumn("rank", lit(1))
+        .filter($"close".isNotNull)
+      val merged = pricing.unionByName(signalCandles)
+      val n = merged.count()
+      val ranked = merged.withColumn(
+        "_rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"time_us", $"rank", $"symbol")))
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        ranked
+          .filter($"_rn" > lit(n * (i - 1) / 3) && $"_rn" <= lit(n * i / 3))
+          .drop("_rn")
+          .coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    implicit val rcEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.RankedCandle] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Streams.RankedCandle]
+    val qn = "t9_backtest_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val candles = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .select($"symbol", $"time_us".as("timeUs"), $"rank", $"close")
+      .as[graft.streaming.Streams.RankedCandle]
+    val ckpt = java.nio.file.Files.createTempDirectory("t9ckpt").toString
+    val q = graft.streaming.Streams
+      .backtestStream(candles, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
+      .orderBy("symbol", "time_us", "signal_type", "direction")
+  }
+
   /** B1-enrich — the oracle-checkable half of the backtest: candle-close
     * rows (the signal positions a state machine would emit, here derived
     * relationally: last event per 30-min bucket, stamped at the bucket
@@ -4128,6 +4220,9 @@ object Oracles {
     "g1_signal_engine" -> g1Sql,
     "t5_stream_signals" -> t5Sql,
     "t4_stream_indicators" -> t4Sql,
+    // T9 — the streaming backtest fold must land on the SAME hash as
+    // the batch slice: b1's oracle verbatim (engine CTEs + native ASOF)
+    "t9_stream_backtest" -> b1Sql,
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
     "n2_buckets" -> n2BucketsSql,
