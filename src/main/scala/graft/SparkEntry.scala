@@ -122,6 +122,7 @@ object SparkEntry {
     "t5_stream_signals"  -> (Queries.t5StreamSignals _),
     "t4_stream_indicators" -> (Queries.t4StreamIndicators _),
     "t9_stream_backtest" -> (Queries.t9StreamBacktest _),
+    "w10_stream_rowcap"  -> (Queries.w10StreamRowCap _),
     "t7_snapshot_completions" -> (Queries.t7SnapshotCompletions _),
     "j3_coalesce_join"   -> (Queries.j3CoalesceJoin _),
     "w9_flags_filter"    -> (Queries.w9FlagsFilter _),
@@ -3242,6 +3243,81 @@ object Queries {
       .orderBy("symbol", "time_us", "signal_type", "direction")
   }
 
+  /** W10 — streaming row-cap retention hash-pinned through a real
+    * stream (reference `messaging/processors/default.py:39-48` keeps
+    * the newest N rows per key): the deduped candle feed in three
+    * mtime-pinned, time-ordered micro-batches (tiles of the global
+    * (ts_us, symbol) row_number — tile boundaries respect the global
+    * time order, so each touch's `newest_us` strictly increases and
+    * the report multiset has no collisions) through
+    * [[graft.streaming.Streams.rowCapStream]] at cap 5. Every batch
+    * emits one retention report per TOUCHED symbol; the oracle
+    * restates all of them relationally: for each (symbol, tile with
+    * rows), the newest-5 window over that symbol's rows in tiles ≤ it.
+    * The per-key state bound ACROSS batches — the property that keeps
+    * streaming state from growing with stream length — is what the
+    * retained/oldest columns pin.
+    */
+  def w10StreamRowCap(spark: SparkSession, dir: String): DataFrame = {
+    val root = QueryParams.indexScratch("w10_stream", dir)
+    val src = s"$root/src"
+    val stamp = s"w10 v1 ${QueryParams.tableStamp(spark, s"$dir/events.parquet")}"
+    QueryParams.seedOnce(spark, root, stamp) {
+      val ev = Relational
+        .latestPerKeyAgg(
+          Tables
+            .events(spark, dir)
+            .select($"user_id".cast("string").as("symbol"), $"ts_us", $"value", $"event_id")
+            .filter($"value".isNotNull),
+          Seq("symbol", "ts_us"),
+          $"event_id",
+          Seq("value")
+        )
+        .select("symbol", "ts_us", "value")
+      val n = ev.count()
+      val ranked = ev.withColumn(
+        "_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"ts_us", $"symbol")))
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      (1 to 3).foreach { i =>
+        val before: Set[String] =
+          if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet else Set.empty
+        ranked
+          .filter($"_rn" > lit(n * (i - 1) / 3) && $"_rn" <= lit(n * i / 3))
+          .drop("_rn")
+          .coalesce(1).write.mode("append").parquet(src)
+        fs.listStatus(p)
+          .filter(st => st.getPath.getName.startsWith("part-") && !before(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + i * 1000L, -1))
+      }
+    }
+    implicit val ciEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.CandleIn] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.Streams.CandleIn]
+    val qn = "w10_rowcap_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val candles = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+      .as[graft.streaming.Streams.CandleIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("w10ckpt").toString
+    val q = graft.streaming.Streams
+      .rowCapStream(candles, cap = 5)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select($"symbol", $"retained".cast("int").as("retained"), $"oldest_us", $"newest_us")
+      .orderBy("symbol", "newest_us")
+  }
+
   /** B1-enrich — the oracle-checkable half of the backtest: candle-close
     * rows (the signal positions a state machine would emit, here derived
     * relationally: last event per 30-min bucket, stamped at the bucket
@@ -4223,6 +4299,34 @@ object Oracles {
     // T9 — the streaming backtest fold must land on the SAME hash as
     // the batch slice: b1's oracle verbatim (engine CTEs + native ASOF)
     "t9_stream_backtest" -> b1Sql,
+    // W10 — every retention report the capped stream emits, restated
+    // relationally: for each (symbol, tile with rows), the newest-5
+    // window over the symbol's rows in tiles <= it. Tiling arithmetic
+    // matches the Spark side's integer row_number/count thirds.
+    "w10_stream_rowcap" ->
+      """WITH src AS (
+        |  SELECT symbol, ts_us FROM (
+        |    SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS ts_us,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE value IS NOT NULL) t
+        |  WHERE rn = 1),
+        |tiled AS (
+        |  SELECT symbol, ts_us,
+        |    CASE WHEN rn <= n // 3 THEN 1 WHEN rn <= (n * 2) // 3 THEN 2 ELSE 3 END AS tile
+        |  FROM (SELECT symbol, ts_us,
+        |          row_number() OVER (ORDER BY ts_us, symbol) AS rn,
+        |          count(*) OVER () AS n
+        |        FROM src)),
+        |present AS (SELECT DISTINCT symbol, tile FROM tiled),
+        |g AS (
+        |  SELECT p.symbol, p.tile,
+        |    CAST(least(5, count(*)) AS INTEGER) AS retained,
+        |    max(r.ts_us) AS newest_us,
+        |    (list(r.ts_us ORDER BY r.ts_us DESC))[CAST(least(5, count(*)) AS INTEGER)] AS oldest_us
+        |  FROM present p JOIN tiled r ON r.symbol = p.symbol AND r.tile <= p.tile
+        |  GROUP BY p.symbol, p.tile)
+        |SELECT symbol, retained, oldest_us, newest_us
+        |FROM g ORDER BY symbol, newest_us""".stripMargin,
     "b1_backtest" -> b1Sql,
     "d6_buckets" -> d6BucketsSql,
     "n2_buckets" -> n2BucketsSql,
