@@ -232,6 +232,52 @@ class DedupIngestSpec extends SparkSpec {
     }
   }
 
+  test("a crash DURING recovery converges too: the re-run's duplicate index rows are set-semantic no-ops") {
+    // state: journal staged (+_staged), then recovery itself crashed
+    // AFTER the fingerprint append but BEFORE its marker — the next
+    // recovery re-appends the same fingerprints (duplicate index ROWS,
+    // never duplicate corpus rows); every index consumer is an
+    // anti-join/pair-join, so the duplicates must change nothing
+    val seed = Seq((1L, s"$stemC corpusdoc")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (12L, s"$stemB fresh alpha"),
+      (13L, s"$stemB fresh alpha beta"),
+      (14L, "a wholly unrelated tiny document")
+    ).toDF("doc_id", "text")
+    val b2 = Seq((21L, s"$stemC corpusdoc"), (22L, "another novel tiny document")).toDF("doc_id", "text")
+
+    val rootRef = tmp("ingestrecref")
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$rootRef/idx")
+    seed.write.mode("overwrite").parquet(s"$rootRef/corpus")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b1, "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b2, "doc_id", "text")
+    val want = spark.read.parquet(s"$rootRef/corpus").select("doc_id").as[Long].collect().sorted.toSeq
+
+    val root = tmp("ingestrecrash")
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$root/idx")
+    seed.write.mode("overwrite").parquet(s"$root/corpus")
+    ingestStepsUpTo(s"$root/idx", s"$root/corpus", b1, 2) // staged + _staged only
+    // the crashed recovery's half-done work: fp appended, marker absent
+    val staged = spark.read.parquet(s"$root/idx/_pending/crashtok/rows")
+    Dedup.appendToFingerprintIndex(staged, "text", s"$root/idx/fingerprints", recoverFirst = false)
+    // restart: replay b1, proceed to b2 (recovery re-appends fp — dups)
+    DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b1, "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b2, "doc_id", "text")
+    val got = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"crash-during-recovery diverged ($got vs $want)")
+    // the duplicate fp rows exist (the state we claim harmless)...
+    val fpDups = spark.read.parquet(s"$root/idx/fingerprints")
+      .groupBy("fingerprint").count().filter(col("count") > 1).count()
+    assert(fpDups > 0, "test is vacuous — no duplicate index rows were created")
+    // ...and gate nothing differently
+    val probe = Seq((30L, s"$stemB fresh alpha delta"), (31L, "brand new text")).toDF("doc_id", "text")
+    val gotP = DedupIngest.accepted(spark, s"$root/idx", probe, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val wantP = DedupIngest.accepted(spark, s"$rootRef/idx", probe, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotP == wantP)
+  }
+
   test("a second live writer on the gate root fails fast having staged nothing; breakLock recovers") {
     val root = tmp("ingestlease")
     DedupIngest.initIndexes(
