@@ -452,13 +452,20 @@ object LatestUpsert {
     * manifest protocol this is pure garbage collection — there is no
     * roll-forward: an interrupted commit never flipped the manifest, so
     * its staged generation is invisible garbage and the batch replays.
-    * Safe to call any time the writer holds the artifact exclusively;
-    * called automatically by [[upsert]]. Readers never need it.
+    * Called automatically by [[upsert]]; safe standalone too because it
+    * takes the writer lease itself — [[gc]] DELETES unreferenced
+    * bucket/generation dirs, and an external `recover` racing a live
+    * writer could otherwise delete that writer's staged generation
+    * between its `writeGeneration` and `publishManifest` (reentrancy
+    * makes the internal upsert/compact/maintain call sites free).
+    * Readers never need it.
     */
   def recover(spark: SparkSession, root: String): Unit = {
     val fs = fsOf(spark, root)
-    requireManifestLayout(fs, root)
-    currentGen(fs, root).foreach(gc(fs, root, _))
+    withWriterLock(fs, root) {
+      requireManifestLayout(fs, root)
+      currentGen(fs, root).foreach(gc(fs, root, _))
+    }
   }
 
   /** The merge PLAN for one batch (pre-materialization), with the

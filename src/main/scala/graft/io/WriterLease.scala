@@ -50,13 +50,19 @@ private[graft] object WriterLease {
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else
       try {
+        // create(overwrite=false) on some filesystems fails when the
+        // PARENT is missing, and that failure must not masquerade as a
+        // lost race — ensure the parent first, and below catch only the
+        // two typed already-exists exceptions (a bare IOException is a
+        // real IO failure and propagates)
+        Option(p.getParent).foreach(fs.mkdirs(_))
         val out = fs.create(p, false)
         try out.write(bytes)
         finally out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null && e.getMessage.contains("exist") => false
+        case _: java.nio.file.FileAlreadyExistsException        => false
       }
 
   /** Run `body` holding the lease at `lockPath`. Fail-fast: a second

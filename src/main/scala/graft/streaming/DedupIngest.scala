@@ -135,15 +135,16 @@ object DedupIngest {
     *
     * {{{
     * root/_pending/<token>/rows/      # the accepted rows, staged
+    * root/_pending/<token>/_dest     # the corpus destination this batch was headed to
     * root/_pending/<token>/_staged    # marker: rows are complete + authoritative
     * root/_pending/<token>/_fp_done   # marker: fingerprint append landed
     * root/_pending/<token>/_mh_done   # marker: minhash append landed
     * }}}
     *
-    * Order: stage rows → `_staged` → fingerprint append → `_fp_done` →
-    * minhash append → `_mh_done` → MOVE the staged files into the
-    * corpus (renames, each file lands exactly once) → delete the
-    * journal dir (the commit point). `<token>` is a content token
+    * Order: stage rows → `_dest` → `_staged` → fingerprint append →
+    * `_fp_done` → minhash append → `_mh_done` → MOVE the staged files
+    * into the corpus (renames, each file lands exactly once) → delete
+    * the journal dir (the commit point). `<token>` is a content token
     * (count + xor of id hashes), deterministic under replay.
     *
     * Crash analysis, every window:
@@ -206,51 +207,84 @@ object DedupIngest {
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
-    if (!keep.isEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // content token: deterministic under replay (order-independent
-      // xor of id hashes; count guards the degenerate xor collisions)
-      val t = keep.agg(
-        count(lit(1)).as("n"),
-        coalesce(expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"), lit(0L)).as("x")
-      ).head()
-      val token = s"b${t.getLong(0)}x${java.lang.Long.toHexString(t.getLong(1))}"
-      val pend = new org.apache.hadoop.fs.Path(s"$root/_pending/$token")
-      // parallel staged write (NO coalesce — a gigabyte batch must not
-      // serialize through one writer); the mover renames every part
-      // file, so file count is free
-      keep.write.mode("overwrite").parquet(s"$pend/rows")
-      touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
-      // recoverFirst = false: this loop owns recovery (start() before
-      // the first batch, every maintenance walk) — see the writer
-      // invariant in appendToMinhashIndex's doc
-      Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
-      touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
-      // append the PROBE's signatures filtered to the accepted ids —
-      // row-local signatures restricted to keep ⊆ novel are exactly
-      // appendToMinhashIndex(keep)'s rows, minus the second shingling
-      val keepIds = keep.select(col(idCol).as("id"))
-      Dedup.appendToMinhashIndexPre(
-        s"$root/minhash",
-        hashedB.join(keepIds, Seq("id"), "left_semi"),
-        bandedB.join(keepIds, Seq("id"), "left_semi"))
-      touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
-      moveStagedRows(fs, pend, corpusOut, token)
-      fs.delete(pend, true) // ← the commit point
+    try {
+      if (!keep.isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // content token: deterministic under replay (order-independent
+        // xor of id hashes; count guards the degenerate xor collisions).
+        // The token is collision-WEAK in isolation — two different
+        // batches can collide — but at most ONE journal is ever live:
+        // recoverIngest drained `_pending` above, under the lease this
+        // whole body holds, so there is never a sibling journal to
+        // collide with. The require pins that invariant against a
+        // refactor that reorders recovery after staging.
+        val pendRoot = new org.apache.hadoop.fs.Path(s"$root/_pending")
+        require(
+          !fs.exists(pendRoot) || fs.listStatus(pendRoot).isEmpty,
+          s"ingest: _pending not empty at staging time — recoverIngest must drain it first " +
+            s"(the journal token's safety depends on one live journal at a time)")
+        val t = keep.agg(
+          count(lit(1)).as("n"),
+          coalesce(expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"), lit(0L)).as("x")
+        ).head()
+        val token = s"b${t.getLong(0)}x${java.lang.Long.toHexString(t.getLong(1))}"
+        val pend = new org.apache.hadoop.fs.Path(s"$root/_pending/$token")
+        // parallel staged write (NO coalesce — a gigabyte batch must not
+        // serialize through one writer); the mover renames every part
+        // file, so file count is free
+        keep.write.mode("overwrite").parquet(s"$pend/rows")
+        // record the commit's DESTINATION with the staged rows: a
+        // recovery caller (a restart pointed at a different corpusOut)
+        // must roll the journal forward to where THIS batch was headed —
+        // its fingerprints already gate the recorded corpus
+        writeText(fs, new org.apache.hadoop.fs.Path(pend, "_dest"), corpusOut)
+        touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
+        // recoverFirst = false: this loop owns recovery (start() before
+        // the first batch, every maintenance walk) — see the writer
+        // invariant in appendToMinhashIndex's doc
+        Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
+        touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
+        // append the PROBE's signatures filtered to the accepted ids —
+        // row-local signatures restricted to keep ⊆ novel are exactly
+        // appendToMinhashIndex(keep)'s rows, minus the second shingling
+        val keepIds = keep.select(col(idCol).as("id"))
+        Dedup.appendToMinhashIndexPre(
+          s"$root/minhash",
+          hashedB.join(keepIds, Seq("id"), "left_semi"),
+          bandedB.join(keepIds, Seq("id"), "left_semi"))
+        touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
+        moveStagedRows(fs, pend, corpusOut, token)
+        fs.delete(pend, true) // ← the commit point
+      }
+    } finally {
+      // the batch's checkpoints are write-scoped — release
+      // deterministically instead of waiting on the ContextCleaner (a
+      // long-lived stream accumulates per-batch blocks otherwise), and
+      // release on the THROW path too: a failed append would otherwise
+      // leak the blocks until the cleaner gets to them, which at gate
+      // batch sizes is too slow. Releasing `acc` (lazy, already consumed
+      // into `keep`) walks its plan's leaves and frees the gate's
+      // INTERIOR checkpoints too — `novel` and the components run's
+      // final label set — which have no other release point
+      Seq(keep, acc, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
     }
-    // the batch's checkpoints are write-scoped — release
-    // deterministically instead of waiting on the ContextCleaner (a
-    // long-lived stream accumulates per-batch blocks otherwise).
-    // Releasing `acc` (lazy, already consumed into `keep`) walks its
-    // plan's leaves and frees the gate's INTERIOR checkpoints too —
-    // `novel` and the components run's final label set — which have no
-    // other release point
-    Seq(keep, acc, hashedB, bandedB).foreach(graft.Checkpoints.release(_))
   }
 
   private def touch(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit =
     fs.create(p, true).close()
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   /** Move every staged parquet file into the corpus, token-prefixed so
     * two batches' part files can never collide. Renames: a file leaves
@@ -264,6 +298,7 @@ object DedupIngest {
       token: String
   ): Unit = {
     val rowsDir = new org.apache.hadoop.fs.Path(pend, "rows")
+    if (!fs.exists(rowsDir)) return // all moves already landed (partial commit-point delete)
     val outDir = new org.apache.hadoop.fs.Path(corpusOut)
     fs.mkdirs(outDir)
     fs.listStatus(rowsDir)
@@ -294,13 +329,31 @@ object DedupIngest {
     if (!fs.exists(pendRoot)) return
     fs.listStatus(pendRoot).filter(_.isDirectory).foreach { d =>
       val pend = d.getPath
+      val rowsDir = new org.apache.hadoop.fs.Path(pend, "rows")
+      val hasStagedFiles = fs.exists(rowsDir) &&
+        fs.listStatus(rowsDir).exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       if (!fs.exists(new org.apache.hadoop.fs.Path(pend, "_staged"))) {
         fs.delete(pend, true) // incomplete staging: the batch never committed anywhere
+      } else if (!hasStagedFiles) {
+        // `_staged` present but no staged parquet remains: the moves all
+        // landed (a file leaves `rows/` exactly when it lands), which by
+        // the append order means both index appends landed too — even if
+        // a marker is missing, that can only be a PARTIAL commit-point
+        // delete (fs.delete(pend) crashed midway; markers precede moves,
+        // so a genuinely-missing marker implies rows still staged). The
+        // batch is fully committed; forcing a read of the empty/missing
+        // rows dir here would throw on every batch and wedge the gate —
+        // just finish the delete.
+        fs.delete(pend, true)
       } else {
-        // lazy: a crash AFTER the corpus move leaves `rows/` with no
-        // parquet files (all landed) — schema inference there would
-        // throw, and neither marker branch needs the rows then
-        lazy val staged = spark.read.parquet(new org.apache.hadoop.fs.Path(pend, "rows").toString)
+        val staged = spark.read.parquet(rowsDir.toString)
+        // roll forward to the DESTINATION the crashed batch recorded —
+        // a restart pointed at a different corpusOut must not land the
+        // journaled rows in the new corpus while their fingerprints
+        // already gate the recorded one (journals from before `_dest`
+        // existed fall back to the caller's corpusOut)
+        val destPath = new org.apache.hadoop.fs.Path(pend, "_dest")
+        val dest = if (fs.exists(destPath)) readText(fs, destPath) else corpusOut
         if (!fs.exists(new org.apache.hadoop.fs.Path(pend, "_fp_done"))) {
           Dedup.appendToFingerprintIndex(staged, textCol, s"$root/fingerprints", recoverFirst = false)
           touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
@@ -311,7 +364,7 @@ object DedupIngest {
           Dedup.appendToMinhashIndex(spark, s"$root/minhash", staged, idCol, textCol)
           touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
         }
-        moveStagedRows(fs, pend, corpusOut, pend.getName)
+        moveStagedRows(fs, pend, dest, pend.getName)
         fs.delete(pend, true)
       }
     }

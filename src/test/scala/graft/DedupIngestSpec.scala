@@ -278,6 +278,79 @@ class DedupIngestSpec extends SparkSpec {
     assert(gotP == wantP)
   }
 
+  test("a partial commit-point delete (rows/ gone, _staged survives) never wedges the gate") {
+    // fs.delete(pend, true) — the commit point — can crash midway having
+    // removed rows/ (and possibly the done-markers) while `_staged`
+    // survives. Rows gone means every move landed, which means every
+    // append landed: the batch is fully committed. Recovery must treat
+    // the journal remnant as committed garbage, not force a read of the
+    // missing rows dir (which would throw on EVERY subsequent batch —
+    // a permanently wedged gate until an operator deletes by hand).
+    val seed = Seq((1L, s"$stemC corpusdoc")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (12L, s"$stemB fresh alpha"),
+      (13L, s"$stemB fresh alpha beta"),
+      (14L, "a wholly unrelated tiny document")
+    ).toDF("doc_id", "text")
+    val b2 = Seq((21L, s"$stemC corpusdoc"), (22L, "another novel tiny document")).toDF("doc_id", "text")
+
+    val rootRef = tmp("ingestpartref")
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$rootRef/idx")
+    seed.write.mode("overwrite").parquet(s"$rootRef/corpus")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b1, "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$rootRef/idx", s"$rootRef/corpus", b2, "doc_id", "text")
+    val want = spark.read.parquet(s"$rootRef/corpus").select("doc_id").as[Long].collect().sorted.toSeq
+
+    // the nastier variant: the partial delete also removed the done
+    // markers (delete order is unspecified) — only _staged and an empty
+    // shell remain
+    val root = tmp("ingestpartial")
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$root/idx")
+    seed.write.mode("overwrite").parquet(s"$root/corpus")
+    ingestStepsUpTo(s"$root/idx", s"$root/corpus", b1, 5) // fully landed, journal not deleted
+    val pend = java.nio.file.Paths.get(s"$root/idx/_pending/crashtok")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+        finally s.close()
+      }
+    rmTree(pend.resolve("rows"))
+    java.nio.file.Files.deleteIfExists(pend.resolve("_fp_done"))
+    java.nio.file.Files.deleteIfExists(pend.resolve("_mh_done"))
+    // restart: replay b1 (fully rejected — already committed), then b2
+    DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b1, "doc_id", "text")
+    DedupIngest.ingestBatch(spark, s"$root/idx", s"$root/corpus", b2, "doc_id", "text")
+    val got = spark.read.parquet(s"$root/corpus").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want, s"partial commit-point delete diverged ($got vs $want)")
+    assert(!java.nio.file.Files.exists(pend), "committed journal remnant not drained")
+  }
+
+  test("recovery rolls a staged journal forward to its RECORDED destination, not the caller's") {
+    // a restart pointed at a different corpusOut must not land the
+    // journaled rows in the new corpus — their fingerprints already
+    // gate the destination the crashed batch recorded in _dest
+    val seed = Seq((1L, s"$stemC corpusdoc")).toDF("doc_id", "text")
+    val b1 = Seq((12L, s"$stemB fresh alpha"), (14L, "a wholly unrelated tiny document"))
+      .toDF("doc_id", "text")
+    val root = tmp("ingestdest")
+    val corpusA = s"$root/corpusA"
+    val corpusB = s"$root/corpusB"
+    DedupIngest.initIndexes(seed, "doc_id", "text", s"$root/idx")
+    seed.write.mode("overwrite").parquet(corpusA)
+    ingestStepsUpTo(s"$root/idx", corpusA, b1, 2) // staged + _staged, nothing landed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/idx/_pending/crashtok/_dest"),
+      corpusA.getBytes("UTF-8"))
+    // the restart arrives MISCONFIGURED onto corpusB
+    DedupIngest.recoverIngest(spark, s"$root/idx", corpusB, "doc_id", "text")
+    val inA = spark.read.parquet(corpusA).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(inA == Seq(1L, 12L, 14L), s"journal rolled to the wrong corpus (A holds $inA)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusB)),
+      "journaled rows landed in the misconfigured destination")
+  }
+
   test("a second live writer on the gate root fails fast having staged nothing; breakLock recovers") {
     val root = tmp("ingestlease")
     DedupIngest.initIndexes(
