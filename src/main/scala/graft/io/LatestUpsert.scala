@@ -169,14 +169,18 @@ object LatestUpsert {
       s"latest-value table at $root",
       "run LatestUpsert.breakLock(spark, root)")(body)
 
-  /** Operator recovery for a writer that CRASHED holding the lease:
-    * deletes the lock file so the next writer can acquire. Call only
-    * after confirming the recorded holder (pid/host in the lock file,
-    * surfaced by [[ConcurrentWriterException]]) is dead — breaking a
-    * LIVE writer's lease reintroduces exactly the race the lease
-    * exists to prevent. The artifact itself needs no repair: an
-    * interrupted commit never flipped the manifest, and the next
-    * [[upsert]]'s [[recover]] deletes its staged garbage.
+  /** Operator recovery for a writer that CRASHED holding the lease ON
+    * ANOTHER HOST: deletes the lock file so the next writer can
+    * acquire. (A same-host dead holder needs no operator — the lease
+    * machinery verifies the recorded pid dead locally, start-time-
+    * guarded against reuse, and breaks it automatically; see
+    * [[WriterLease]].) Call only after confirming the recorded holder
+    * (pid/host in the lock file, surfaced by
+    * [[ConcurrentWriterException]]) is dead — breaking a LIVE writer's
+    * lease reintroduces exactly the race the lease exists to prevent.
+    * The artifact itself needs no repair: an interrupted commit never
+    * flipped the manifest, and the next [[upsert]]'s [[recover]]
+    * deletes its staged garbage.
     */
   def breakLock(spark: SparkSession, root: String): Unit = {
     fsOf(spark, root).delete(lockPath(root), false)

@@ -21,12 +21,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the single-writer guarantee at the orchestration layer.
   *
   * A LOSER fails fast with [[ConcurrentWriterException]] naming the
-  * holder (writer id, pid, host, acquisition time — the lock file's
-  * content) having staged nothing. A holder that CRASHES leaves the
-  * file behind; the recovery is the owning artifact's `breakLock`
-  * (delete) after confirming the recorded holder is dead. The lease
-  * only serializes LIVE writers — crash-safety is each artifact's own
-  * commit protocol.
+  * holder (writer id, pid, host, process start time, acquisition time
+  * — the lock file's content) having staged nothing. A holder that
+  * CRASHES leaves the file behind; recovery of the common case is
+  * AUTOMATIC (round 13): a waiter that finds the recorded holder on
+  * its OWN host with a dead pid — absent, or present with a different
+  * process start time (pid reuse guard) — breaks the stale lock and
+  * retries, serialized through a breaker side-lock so racing waiters
+  * can never delete a LIVE lock (see [[tryBreakDead]]). A cross-host
+  * stale lock stays a manual `breakLock` after the operator confirms
+  * the recorded holder is dead — one host cannot inspect another's
+  * process table. The lease only serializes LIVE writers —
+  * crash-safety is each artifact's own commit protocol.
   */
 private[graft] object WriterLease {
 
@@ -65,28 +71,118 @@ private[graft] object WriterLease {
         case _: java.nio.file.FileAlreadyExistsException        => false
       }
 
+  private def localHost: String = java.net.InetAddress.getLocalHost.getHostName
+
+  /** This process's start instant (epoch ms), the pid-reuse guard:
+    * recorded at acquisition, compared at dead-holder diagnosis. -1
+    * when the platform can't report it (diagnosis then refuses to
+    * auto-break — conservative).
+    */
+  private def processStartMs(h: ProcessHandle): Long =
+    h.info().startInstant().map[Long](_.toEpochMilli).orElse(-1L)
+
+  private def holderInfo(): String =
+    s"writer=${java.util.UUID.randomUUID()} pid=${ProcessHandle.current().pid()} " +
+      s"host=$localHost startMs=${processStartMs(ProcessHandle.current())} " +
+      s"epochMs=${System.currentTimeMillis()}"
+
+  private def field(content: String, name: String): Option[String] =
+    s"$name=(\\S+)".r.findFirstMatchIn(content).map(_.group(1))
+
+  /** True iff the recorded holder is VERIFIABLY dead from this host:
+    * recorded on this host, and its pid is gone or belongs to a
+    * process with a different start time (pid reuse). Anything
+    * unverifiable — other host, unparsable content, missing start
+    * times — is treated as alive (never auto-break what you cannot
+    * prove dead; `breakLock` stays the manual cross-host path).
+    */
+  private[graft] def isLocallyDead(content: String): Boolean = {
+    val parsed = for {
+      pid <- field(content, "pid").flatMap(_.toLongOption)
+      host <- field(content, "host")
+      startMs <- field(content, "startMs").flatMap(_.toLongOption)
+    } yield (pid, host, startMs)
+    parsed.exists { case (pid, host, startMs) =>
+      host == localHost && {
+        val h = ProcessHandle.of(pid)
+        if (!h.isPresent) true
+        else if (startMs < 0) false // recorded start unknown: cannot rule out liveness
+        else {
+          val cur = processStartMs(h.get)
+          // a different start time means the pid was recycled since the
+          // lock was taken; 1 s slack absorbs clock-granularity jitter
+          cur >= 0 && math.abs(cur - startMs) > 1000L
+        }
+      }
+    }
+  }
+
+  private def readContent(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: Throwable => None }
+
+  /** Break `lockPath` iff it still holds exactly `deadContent` — the
+    * content this waiter just diagnosed as a locally dead holder.
+    * Returns true when the caller should retry acquisition (the stale
+    * lock is gone — broken here or by a racing waiter), false when a
+    * DIFFERENT holder now owns the lock (never touched).
+    *
+    * Safety: the verify-then-delete runs under a breaker side-lock
+    * (`<lock>.breaker`, same CAS), so two waiters cannot interleave
+    * "verify dead L1 / delete" with "break L1, acquire L2" and destroy
+    * the NEW live lock — the second breaker re-reads the lock INSIDE
+    * the critical section and sees L2's content, which no longer
+    * matches. A breaker that crashes mid-section leaves the breaker
+    * file behind; since its recorded holder is then itself locally
+    * dead and the protected section is an idempotent verify-then-
+    * delete, the next waiter clears it by the same diagnosis.
+    */
+  private def tryBreakDead(fs: FileSystem, lockPath: Path, deadContent: String): Boolean = {
+    val breaker = new Path(lockPath.getParent, lockPath.getName + ".breaker")
+    if (!casCreate(fs, breaker, holderInfo().getBytes(StandardCharsets.UTF_8))) {
+      // another waiter is mid-break: clear it only if IT crashed too
+      if (readContent(fs, breaker).exists(isLocallyDead)) fs.delete(breaker, false)
+      return false // let the racing breaker finish; this waiter fails fast
+    }
+    try
+      readContent(fs, lockPath) match {
+        case Some(c) if c == deadContent => fs.delete(lockPath, false); true
+        case None                        => true // already broken by a prior breaker
+        case _                           => false // a new holder acquired meanwhile — NEVER break it
+      }
+    finally fs.delete(breaker, false)
+  }
+
   /** Run `body` holding the lease at `lockPath`. Fail-fast: a second
     * live writer throws [[ConcurrentWriterException]] naming the
     * holder BEFORE any state is touched. Released on every exit
-    * (success or thrown body); only a process crash leaves it held,
-    * and `breakInstructions` tells the operator the recovery call.
+    * (success or thrown body). A crash leaves the file held; a stale
+    * lock whose holder is verifiably dead ON THIS HOST is broken
+    * automatically (once, serialized — see [[tryBreakDead]]) and the
+    * acquisition retried; cross-host recovery stays the operator's
+    * `breakInstructions`.
     */
   def withLock[T](fs: FileSystem, lockPath: Path, what: String, breakInstructions: String)(body: => T): T = {
     val key = lockPath.toString
     if (held.get.contains(key)) return body // reentrant: outer call holds it
-    val info =
-      s"writer=${java.util.UUID.randomUUID()} pid=${ProcessHandle.current().pid()} " +
-        s"host=${java.net.InetAddress.getLocalHost.getHostName} epochMs=${System.currentTimeMillis()}"
-    if (!casCreate(fs, lockPath, info.getBytes(StandardCharsets.UTF_8))) {
-      val holder =
-        try {
-          val in = fs.open(lockPath)
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        } catch { case _: Throwable => "<unreadable — racing acquisition or just released>" }
+    val info = holderInfo()
+    val bytes = info.getBytes(StandardCharsets.UTF_8)
+    var acquired = casCreate(fs, lockPath, bytes)
+    if (!acquired) {
+      val holder = readContent(fs, lockPath)
+      if (holder.exists(isLocallyDead) && tryBreakDead(fs, lockPath, holder.get))
+        acquired = casCreate(fs, lockPath, bytes) // one retry after the auto-break
+    }
+    if (!acquired) {
+      val holder = readContent(fs, lockPath)
+        .getOrElse("<unreadable — racing acquisition or just released>")
       throw new ConcurrentWriterException(
         s"$what already has a live writer [$holder] — single-writer by contract (two streams " +
-          s"on one root is a misconfiguration); if the holder crashed, verify it is dead and $breakInstructions")
+          s"on one root is a misconfiguration); if the holder crashed on another host, verify it " +
+          s"is dead and $breakInstructions (a dead holder on THIS host is broken automatically)")
     }
     held.get += key
     try body

@@ -183,10 +183,12 @@ object DedupIngest {
       "run DedupIngest.breakLock(spark, root)")(body)
   }
 
-  /** Crashed-holder recovery: delete the gate's writer lease after
-    * confirming the recorded holder (pid/host in the error message) is
-    * dead. The artifacts need no repair — the journal rolls forward at
-    * the next batch.
+  /** Crashed-holder recovery for a holder that died on ANOTHER host
+    * (a same-host dead holder is auto-broken by the lease machinery —
+    * see [[graft.io.WriterLease]]): delete the gate's writer lease
+    * after confirming the recorded holder (pid/host in the error
+    * message) is dead. The artifacts need no repair — the journal
+    * rolls forward at the next batch.
     */
   def breakLock(spark: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_ingestlock")
