@@ -33,39 +33,47 @@ object LoadStamp {
     s"""{"load1":$l1,"load5":$l5,"load15":$l15,"runnable":$runnable,"jvms":$jvms}"""
   }
 
-  /** The 1-minute load average right now, or None on platforms
+  /** The 1- and 5-minute load averages right now, or None on platforms
     * without /proc. The bench's load GATE polls this.
     */
-  def load1(): Option[Double] =
+  def loadAvg(): Option[(Double, Double)] =
     try {
       val f = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/proc/loadavg")),
         "UTF-8").trim.split("\\s+")
-      Some(f(0).toDouble)
+      Some((f(0).toDouble, f(1).toDouble))
     } catch { case _: Throwable => None }
 
-  /** Gate, not just stamp: wait until `load1 < threshold` before the
-    * timed section starts, polling every `pollSec`, for at most
-    * `maxWaitSec` — then PROCEED anyway (the stamp still records the
-    * hot start, so attribution degrades gracefully instead of the
-    * bench deadlocking behind a long-lived co-tenant). The A/B pair
-    * `bench/LOADSTAMP_AB_{idle,hot}_r11.json` proved load1 > ~3
-    * inflates the sensitive query family 1.25–1.57×; gating at the
-    * source retires that transient class from round comparisons.
-    * Returns seconds waited (for the artifact).
+  /** Gate, not just stamp: wait until BOTH `load1` and `load5` are
+    * below `threshold` before the timed section starts, polling every
+    * `pollSec`, for at most `maxWaitSec` — then PROCEED anyway (the
+    * stamp still records the hot start, so attribution degrades
+    * gracefully instead of the bench deadlocking behind a long-lived
+    * co-tenant). The A/B pair `bench/LOADSTAMP_AB_{idle,hot}_r11.json`
+    * proved load1 > ~3 inflates the sensitive query family 1.25–1.57×;
+    * round 12 then passed the load1 gate at 0.79 while load5 sat at
+    * 3.06 — a just-been-busy host — and showed the same uniform drift
+    * on untouched code, so the gate now covers the 5-minute average
+    * too. `maxWaitSec` defaults to 900 because load5 decays on a
+    * 5-minute time constant: a 300 s ceiling would usually time out on
+    * exactly the hosts the gate exists for. Returns seconds waited
+    * (for the artifact).
     */
-  def awaitIdle(threshold: Double = 3.0, pollSec: Int = 10, maxWaitSec: Int = 300): Double = {
+  def awaitIdle(threshold: Double = 3.0, pollSec: Int = 10, maxWaitSec: Int = 900): Double = {
     val t0 = System.nanoTime()
+    def hot(l: (Double, Double)): Boolean = l._1 >= threshold || l._2 >= threshold
     var waited = 0.0
-    var cur = load1()
-    while (cur.exists(_ >= threshold) && waited < maxWaitSec) {
-      System.err.println(f"[loadgate] load1=${cur.get}%.2f >= $threshold%.1f — waiting ${pollSec}s (${waited.toInt}/${maxWaitSec}s)")
+    var cur = loadAvg()
+    while (cur.exists(hot) && waited < maxWaitSec) {
+      val (l1, l5) = cur.get
+      System.err.println(
+        f"[loadgate] load1=$l1%.2f load5=$l5%.2f (gate $threshold%.1f) — waiting ${pollSec}s (${waited.toInt}/${maxWaitSec}s)")
       Thread.sleep(pollSec * 1000L)
       waited = (System.nanoTime() - t0) / 1e9
-      cur = load1()
+      cur = loadAvg()
     }
-    cur.filter(_ >= threshold).foreach { l =>
-      System.err.println(f"[loadgate] proceeding HOT after ${waited.toInt}s: load1=$l%.2f (stamped)")
+    cur.filter(hot).foreach { case (l1, l5) =>
+      System.err.println(f"[loadgate] proceeding HOT after ${waited.toInt}s: load1=$l1%.2f load5=$l5%.2f (stamped)")
     }
     (System.nanoTime() - t0) / 1e9
   }
