@@ -121,6 +121,7 @@ object SparkEntry {
     "s5b_changes_between" -> (Queries.s5bChangesBetween _),
     "t5_stream_signals"  -> (Queries.t5StreamSignals _),
     "t4_stream_indicators" -> (Queries.t4StreamIndicators _),
+    "t4b_stream_indicators_tws" -> (Queries.t4bStreamIndicatorsTws _),
     "t9_stream_backtest" -> (Queries.t9StreamBacktest _),
     "w10_stream_rowcap"  -> (Queries.w10StreamRowCap _),
     "t7_snapshot_completions" -> (Queries.t7SnapshotCompletions _),
@@ -2251,7 +2252,58 @@ object Queries {
     * row_number/count arithmetic, NOT ntile, so both engines derive the
     * split from first principles.
     */
-  def t4StreamIndicators(spark: SparkSession, dir: String): DataFrame = {
+  def t4StreamIndicators(spark: SparkSession, dir: String): DataFrame =
+    runT4Harness(spark, dir, "t4_indicators_") { (candles, seeded) =>
+      graft.streaming.Streams
+        .indicatorSeriesStream(candles, Some(seeded), hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+    }
+
+  /** t4b — the same W5 incremental indicator series, same seed split,
+    * same warm start, same oracle, through the Spark-4
+    * `transformWithState` PRODUCTION API
+    * ([[graft.streaming.Streams.IndicatorSeriesProcessor]] with the
+    * RocksDB state-store provider) instead of
+    * `flatMapGroupsWithState` — so BOTH stateful streaming APIs are
+    * pinned against the one relational recomputation, and a divergence
+    * between the processor and the fold (state encoding, initial-state
+    * delivery, emission order) flips exactly one of the two hashes.
+    */
+  def t4bStreamIndicatorsTws(spark: SparkSession, dir: String): DataFrame = {
+    // transformWithState needs the RocksDB state-store provider (the
+    // default HDFS-backed one can't host its multi-column-family
+    // layout); set it for the stream and RESTORE after — a query must
+    // not leak session conf into its neighbors
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      runT4Harness(spark, dir, "t4b_indicators_") { (candles, seeded) =>
+        graft.streaming.Streams
+          .indicatorSeriesTransformWithState(candles, Some(seeded), hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+      }
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The shared t4/t4b harness: builds (seedOnce, stamp shared by both
+    * carriers so whichever runs first pays it) the quarter split —
+    * history = first quarter of g1's deduped candle feed, stream =
+    * three mtime-pinned micro-batch files — folds the warm-start state,
+    * runs the given indicator-series stream into a memory sink, and
+    * projects the pinned output columns.
+    */
+  private def runT4Harness(
+      spark: SparkSession,
+      dir: String,
+      qnPrefix: String
+  )(
+      mk: (
+          org.apache.spark.sql.Dataset[graft.streaming.Streams.CandleIn],
+          org.apache.spark.sql.KeyValueGroupedDataset[String, graft.streaming.Streams.IndicatorState]
+      ) => org.apache.spark.sql.Dataset[graft.streaming.Streams.IndicatorOut]
+  ): DataFrame = {
     val root = QueryParams.indexScratch("t4_stream", dir)
     val src = s"$root/src"
     val hist = s"$root/history"
@@ -2296,16 +2348,15 @@ object Queries {
       .as[graft.streaming.Streams.CandleIn]
     val seeded = graft.streaming.Streams
       .seedIndicatorState(history, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
-    val qn = "t4_indicators_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+    val qn = qnPrefix + Integer.toHexString(dir.hashCode).replace('-', 'n')
     val candles = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src)
       .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
       .as[graft.streaming.Streams.CandleIn]
-    val ckpt = java.nio.file.Files.createTempDirectory("t4ckpt").toString
-    val q = graft.streaming.Streams
-      .indicatorSeriesStream(candles, Some(seeded), hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+    val ckpt = java.nio.file.Files.createTempDirectory(qnPrefix + "ckpt").toString
+    val q = mk(candles, seeded)
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -4296,6 +4347,9 @@ object Oracles {
     "g1_signal_engine" -> g1Sql,
     "t5_stream_signals" -> t5Sql,
     "t4_stream_indicators" -> t4Sql,
+    // t4b runs the SAME semantics through the transformWithState API —
+    // one oracle, two streaming engines, two independent hashes
+    "t4b_stream_indicators_tws" -> t4Sql,
     // T9 — the streaming backtest fold must land on the SAME hash as
     // the batch slice: b1's oracle verbatim (engine CTEs + native ASOF)
     "t9_stream_backtest" -> b1Sql,

@@ -513,4 +513,64 @@ object Streams {
         initialState
       )
   }
+
+  /** The `transformWithState` twin of [[indicatorSeriesStream]]: the W5
+    * per-candle indicator SURFACE (hull value/color, MACD value/signal/
+    * histogram) emitted from the same O(1) [[stepIndicatorFull]] update,
+    * behind the Spark-4 `StatefulProcessor` API. Warm-startable like
+    * the `flatMapGroupsWithState` form (`handleInitialState` receives
+    * each key's [[seedIndicatorState]] fold), and subject to the same
+    * RocksDB state-store requirement as [[HullMacdProcessor]].
+    */
+  class IndicatorSeriesProcessor(hullLength: Int, fast: Int, slow: Int, signalLen: Int)
+      extends StatefulProcessorWithInitialState[String, CandleIn, IndicatorOut, IndicatorState] {
+    @transient private var state: ValueState[IndicatorState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[IndicatorState](
+        "indicator",
+        org.apache.spark.sql.Encoders.product[IndicatorState],
+        TTLConfig.NONE
+      )
+
+    override def handleInitialState(key: String, initial: IndicatorState, timerValues: TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[CandleIn],
+        timerValues: TimerValues
+    ): Iterator[IndicatorOut] = {
+      var st = Option(state.get()).getOrElse(emptyIndicatorState)
+      val out = rows.toSeq.sortBy(_.timeUs).map { c =>
+        val (ns, cd, _) = stepIndicatorFull(st, c, hullLength, fast, slow, signalLen)
+        st = ns
+        IndicatorOut(key, c.timeUs, cd.hullValue, cd.hullColor, cd.macdValue, cd.macdSignal, cd.macdHistogram)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** W5 indicator series on the Spark-4 `transformWithState` API — the
+    * production-API twin of [[indicatorSeriesStream]], same arithmetic,
+    * same warm start (the t4b oracle row pins the two engines against
+    * one relational recomputation).
+    */
+  def indicatorSeriesTransformWithState(
+      candles: org.apache.spark.sql.Dataset[CandleIn],
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[String, IndicatorState]] = None,
+      hullLength: Int = 20,
+      fast: Int = 12,
+      slow: Int = 26,
+      signalLen: Int = 9
+  ): org.apache.spark.sql.Dataset[IndicatorOut] = {
+    import candles.sparkSession.implicits._
+    val grouped = candles.groupByKey(_.symbol)
+    val proc = new IndicatorSeriesProcessor(hullLength, fast, slow, signalLen)
+    initialState match {
+      case Some(init) => grouped.transformWithState(proc, TimeMode.None(), OutputMode.Append(), init)
+      case None       => grouped.transformWithState(proc, TimeMode.None(), OutputMode.Append())
+    }
+  }
 }

@@ -174,6 +174,35 @@ class StreamingSpec extends SparkSpec {
     assert(tws == batch)
   }
 
+  test("transformWithState indicator series (warm-started) == flatMapGroupsWithState twin, bit-exact") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val all = eventCandles().filter(col("symbol") < "3").collect().sortBy(c => (c.symbol, c.timeUs))
+    val times = all.map(_.timeUs).sorted
+    val (histCut, cut) = (times(all.length / 4), times(all.length / 2))
+    val history = all.filter(_.timeUs < histCut)
+    val (b1, b2) = all.filter(_.timeUs >= histCut).partition(_.timeUs < cut)
+    val seeded = Streams.seedIndicatorState(history.toSeq.toDS())
+
+    def run(name: String, mk: org.apache.spark.sql.Dataset[CandleIn] => org.apache.spark.sql.Dataset[Streams.IndicatorOut]) = {
+      val input = MemoryStream[CandleIn]
+      val q = mk(input.toDS()).writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[Streams.IndicatorOut].collect().sortBy(o => (o.symbol, o.time_us)).toSeq
+    }
+
+    val fmgws = run("ind_fmgws", ds => Streams.indicatorSeriesStream(ds, Some(seeded)))
+    val tws = run("ind_tws", ds => Streams.indicatorSeriesTransformWithState(ds, Some(Streams.seedIndicatorState(history.toSeq.toDS()))))
+    assert(tws.nonEmpty, "vacuous: no indicator rows emitted")
+    assert(tws == fmgws, "the two stateful APIs diverged on the warm-started indicator series")
+  }
+
   test("T9 merged-stream ordering: pricing folds before signal on tied timestamps; == batch backtest") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.Streams.RankedCandle
