@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.streaming.DedupIngest
+
+/** The ×100 decade for the text ingest GATE end-to-end —
+  * [[ScaleBench]]'s one-off ×100 runs cover d2/s5/x19b as components;
+  * this measures the d13 gate FLOW (seed → two journaled gated
+  * batches) at ×1 vs ×`factor` data with the 100 TB claim's two load-
+  * bearing quantities attributed from measurement, not slope
+  * inference:
+  *
+  *  - **probe pruning**: the batch's touched partition directories vs
+  *    the index's total, for all three probe-side trees (fingerprints,
+  *    minhash bands, minhash sketches) — "probe IO ∝ batch key spread"
+  *    is a directory count, published at both scales;
+  *  - **journal wall-time**: [[DedupIngest.ingestBatch]]'s per-phase
+  *    stats (gate / staged write / fp append / mh append / corpus
+  *    move), so the exactly-once staging cost is a measured number at
+  *    both scales, separate from the gate's own probe cost.
+  *
+  * Corpus: [[ScaleBench.synthesize]]'s isometric copies (same sentinel
+  * and cache dir, so the one-off ×100 corpus is reused). Both corpus
+  * and batches scale ×factor — the d13 construction — so "no
+  * superlinear flag" means total time ratio ≤ 1.5 × factor while the
+  * phase attribution shows WHERE the growth lands. Touched-directory
+  * counts are computed untimed after the timed pass, from the same
+  * bucket-column definitions the probe prunes with
+  * ([[Dedup.fpBucketCol]] / [[Dedup.keyBucketCol]] /
+  * [[Dedup.idBucketCol]] — shared code, so the attribution cannot
+  * drift from the layout). One JSON line on stdout, mirrored to
+  * `GATEBENCH_x<factor>.json`.
+  */
+object GateBench {
+
+  private def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+
+  /** Leaf partition-directory count of an index tree (fp_bucket=* /
+    * id_bucket=* at depth 1; band=* /key_bucket=* at depth 2).
+    */
+  private def leafDirs(spark: SparkSession, path: String, depth: Int): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    def walk(dir: org.apache.hadoop.fs.Path, d: Int): Long = {
+      val parts = fs.listStatus(dir).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (d == 1) parts.length.toLong else parts.map(st => walk(st.getPath, d - 1)).sum
+    }
+    walk(p, depth)
+  }
+
+  private def statsJson(s: DedupIngest.IngestStats): String =
+    s"""{"accepted":${s.acceptedRows},"total_sec":${r3(s.totalSec)},"gate_sec":${r3(s.gateSec)},""" +
+      s""""stage_sec":${r3(s.stageSec)},"fp_append_sec":${r3(s.fpAppendSec)},""" +
+      s""""mh_append_sec":${r3(s.mhAppendSec)},"move_sec":${r3(s.moveSec)}}"""
+
+  /** The batch's touched partition dirs per probe-side tree — the same
+    * bucket arithmetic the probe prunes with, evaluated on the batch
+    * (an upper bound of what each pruned read listed: novelOnly prunes
+    * on the PRE-novelty batch, the bands/sketches legs on subsets).
+    */
+  private def touchedJson(spark: SparkSession, root: String, batch: DataFrame, textCol: String): String = {
+    val fpBuckets = Dedup.readFingerprintBuckets(spark, s"$root/fingerprints")
+    val keyBuckets = Dedup.readMinhashKeyBuckets(spark, s"$root/minhash")
+    val fpTouched = batch
+      .select(Dedup.fpBucketCol(graft.text.TextOps.fingerprint(col(textCol)), fpBuckets).as("b"))
+      .distinct().count()
+    val (hashedB, bandedB) = Dedup.batchSignatures(spark, s"$root/minhash", batch, "doc_id", textCol)
+    val bandsTouched = bandedB
+      .select(col("band"), Dedup.keyBucketCol(col("band_key"), keyBuckets).as("b"))
+      .distinct().count()
+    val sketchesTouched = hashedB
+      .select(Dedup.idBucketCol(col("id"), keyBuckets).as("b"))
+      .distinct().count()
+    val fpTotal = leafDirs(spark, s"$root/fingerprints", 1)
+    val bandsTotal = leafDirs(spark, s"$root/minhash/bands", 2)
+    val sketchesTotal = leafDirs(spark, s"$root/minhash/sketches", 1)
+    s"""{"fingerprints":{"touched":$fpTouched,"total":$fpTotal},""" +
+      s""""bands":{"touched":$bandsTouched,"total":$bandsTotal},""" +
+      s""""sketches":{"touched":$sketchesTouched,"total":$sketchesTotal}}"""
+  }
+
+  /** Run the d13 flow against `dir`'s documents table on a fresh root:
+    * seed (%3==1, untimed — the flow under test is the GATE), then the
+    * %3==2 and %3==0 batches through the journaled [[DedupIngest
+    * .ingestBatch]], timed per phase. Returns the run's JSON object.
+    */
+  private def runGate(spark: SparkSession, dir: String, scratch: String): (Double, String) = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("source"), col("text"))
+    val root = s"$scratch/idx"
+    val corpusOut = s"$scratch/corpus"
+    val seed = docs.filter(col("doc_id") % 3 === 1)
+    DedupIngest.initIndexes(seed, "doc_id", "text", root)
+    seed.write.mode("overwrite").parquet(corpusOut)
+    val batches = Seq(docs.filter(col("doc_id") % 3 === 2), docs.filter(col("doc_id") % 3 === 0))
+    val timed = batches.map { b =>
+      DedupIngest.ingestBatch(spark, root, corpusOut, b, "doc_id", "text")
+    }
+    // attribution AFTER the timed pass (re-derives batch signatures —
+    // untimed by construction); touched counts vs the END-state index,
+    // the larger and therefore conservative denominator-side state
+    val touched = batches.map(b => touchedJson(spark, root, b, "text"))
+    // the latency-sized-probe attribution: the SAME ~300 documents at
+    // both scales (copies shift ids upward, originals are preserved),
+    // so across the ×factor corpora this probe's touched counts must
+    // stay CONSTANT — "probe IO ∝ batch key spread, not corpus size"
+    // read directly off the artifact
+    val smallProbe = touchedJson(spark, root, docs.filter(col("doc_id") < 300), "text")
+    val totalSec = timed.map(_.totalSec).sum
+    val json =
+      s"""{"n_docs":${docs.count()},"total_sec":${r3(totalSec)},""" +
+        s""""batches":[${timed.map(statsJson).mkString(",")}],""" +
+        s""""touched_dirs":[${touched.mkString(",")}],""" +
+        s""""probe_300docs_touched_dirs":$smallProbe}"""
+    (totalSec, json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "100").toInt
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$factor")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    val sentinel = Paths.get(s"$out/_DONE")
+    if (!Files.exists(sentinel) || Files.readString(sentinel) != ScaleBench.stamp(factor, base))
+      ScaleBench.synthesize(spark, base, out, factor)
+
+    // session + table warmup (the Bench rationale)
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    Seq(base, out).foreach { d =>
+      spark.read.parquet(s"$d/documents.parquet").write.format("noop").mode("overwrite").save()
+    }
+
+    val work = Files.createTempDirectory("gatebench")
+    val (t1, baseJson) = runGate(spark, base, s"$work/base")
+    val (tN, scaledJson) = runGate(spark, out, s"$work/scaled")
+    val ratio = tN / t1
+    val bound = 1.5 * factor
+    System.err.println(f"[gatebench] d13 gate flow: $t1%.2f s -> $tN%.2f s at x$factor (ratio $ratio%.1f)")
+    val json =
+      s"""{"metric":"gate_scale_slope","flow":"d13_text_gate","factor":$factor,""" +
+        s""""ratio_bound":$bound,"ratio":${r3(ratio)},"superlinear":${ratio > bound},""" +
+        s""""base":$baseJson,"scaled":$scaledJson,""" +
+        s""""load":${LoadStamp.json()},""" +
+        """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_300docs fixes the probe content across scales: its touched counts staying constant while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured"}"""
+    println(json)
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_GATE_OUT", s"GATEBENCH_x$factor.json")),
+      json + "\n")
+    spark.stop()
+  }
+}

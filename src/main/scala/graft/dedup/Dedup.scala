@@ -541,9 +541,9 @@ object Dedup {
     * single definitions shared by write, append, and probe so pruning
     * can never drift from the layout (the [[fpBucketCol]] discipline).
     */
-  private def keyBucketCol(bandKey: Column, buckets: Int): Column =
+  private[graft] def keyBucketCol(bandKey: Column, buckets: Int): Column =
     pmod(hash(bandKey), lit(buckets))
-  private def idBucketCol(id: Column, buckets: Int): Column =
+  private[graft] def idBucketCol(id: Column, buckets: Int): Column =
     pmod(hash(id), lit(buckets))
 
   def writeMinhashIndex(
@@ -801,7 +801,7 @@ object Dedup {
     * fingerprints land in one deterministic bucket and the null-safe
     * `<=>` match still finds them under pruning.
     */
-  private def fpBucketCol(fp: Column, buckets: Int): Column =
+  private[graft] def fpBucketCol(fp: Column, buckets: Int): Column =
     pmod(hash(fp), lit(buckets))
 
   /** Bucket count recorded in a fingerprint index's `_config` sidecar. */

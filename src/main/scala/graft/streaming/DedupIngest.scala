@@ -196,6 +196,23 @@ object DedupIngest {
     ()
   }
 
+  /** Per-batch attribution [[ingestBatch]] returns — the journal's
+    * cost, MEASURED, phase by phase: gate (probe + components +
+    * checkpoint of the accepted set), staged-rows write, the two index
+    * appends, the corpus move. GATEBENCH publishes these at ×1 vs ×100
+    * data; the streaming loop ignores them. Zeros when the gate
+    * accepted nothing (no journal was written).
+    */
+  case class IngestStats(
+      acceptedRows: Long,
+      gateSec: Double,
+      stageSec: Double,
+      fpAppendSec: Double,
+      mhAppendSec: Double,
+      moveSec: Double,
+      totalSec: Double
+  )
+
   def ingestBatch(
       spark: SparkSession,
       root: String,
@@ -204,13 +221,17 @@ object DedupIngest {
       idCol: String,
       textCol: String,
       threshold: Double = 0.3
-  ): Unit = withGateLock(spark, root) {
+  ): IngestStats = withGateLock(spark, root) {
+    val t0 = System.nanoTime()
+    def secSince(t: Long): Double = (System.nanoTime() - t) / 1e9
     recoverIngest(spark, root, corpusOut, idCol, textCol)
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
+    var stats = IngestStats(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     try {
       if (!keep.isEmpty) {
+        val gateSec = secSince(t0)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // content token: deterministic under replay (order-independent
@@ -235,6 +256,7 @@ object DedupIngest {
         // parallel staged write (NO coalesce — a gigabyte batch must not
         // serialize through one writer); the mover renames every part
         // file, so file count is free
+        val tStage = System.nanoTime()
         keep.write.mode("overwrite").parquet(s"$pend/rows")
         // record the commit's DESTINATION with the staged rows: a
         // recovery caller (a restart pointed at a different corpusOut)
@@ -242,23 +264,31 @@ object DedupIngest {
         // its fingerprints already gate the recorded corpus
         writeText(fs, new org.apache.hadoop.fs.Path(pend, "_dest"), corpusOut)
         touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
+        val stageSec = secSince(tStage)
         // recoverFirst = false: this loop owns recovery (start() before
         // the first batch, every maintenance walk) — see the writer
         // invariant in appendToMinhashIndex's doc
+        val tFp = System.nanoTime()
         Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
         touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
+        val fpSec = secSince(tFp)
         // append the PROBE's signatures filtered to the accepted ids —
         // row-local signatures restricted to keep ⊆ novel are exactly
         // appendToMinhashIndex(keep)'s rows, minus the second shingling
+        val tMh = System.nanoTime()
         val keepIds = keep.select(col(idCol).as("id"))
         Dedup.appendToMinhashIndexPre(
           s"$root/minhash",
           hashedB.join(keepIds, Seq("id"), "left_semi"),
           bandedB.join(keepIds, Seq("id"), "left_semi"))
         touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
+        val mhSec = secSince(tMh)
+        val tMove = System.nanoTime()
         moveStagedRows(fs, pend, corpusOut, token)
         fs.delete(pend, true) // ← the commit point
+        stats = IngestStats(t.getLong(0), gateSec, stageSec, fpSec, mhSec, secSince(tMove), secSince(t0))
       }
+      stats
     } finally {
       // the batch's checkpoints are write-scoped — release
       // deterministically instead of waiting on the ContextCleaner (a
