@@ -105,18 +105,19 @@ object GateBench {
     // untimed by construction); touched counts vs the END-state index,
     // the larger and therefore conservative denominator-side state
     val touched = batches.map(b => touchedJson(spark, root, b, "text"))
-    // the latency-sized-probe attribution: the SAME ~300 documents at
-    // both scales (copies shift ids upward, originals are preserved),
-    // so across the ×factor corpora this probe's touched counts must
-    // stay CONSTANT — "probe IO ∝ batch key spread, not corpus size"
-    // read directly off the artifact
-    val smallProbe = touchedJson(spark, root, docs.filter(col("doc_id") < 300), "text")
+    // the latency-sized-probe attribution: the SAME 9 documents at
+    // both scales (copies shift ids upward, originals are preserved).
+    // 9 docs × 8 bands is far under the leaf count, so touched << total
+    // is visible in the numbers — and the touched counts staying ~flat
+    // while the corpus grows ×factor is "probe IO ∝ batch key spread,
+    // not corpus size" read directly off the artifact
+    val smallProbe = touchedJson(spark, root, docs.filter(col("doc_id") < 9), "text")
     val totalSec = timed.map(_.totalSec).sum
     val json =
       s"""{"n_docs":${docs.count()},"total_sec":${r3(totalSec)},""" +
         s""""batches":[${timed.map(statsJson).mkString(",")}],""" +
         s""""touched_dirs":[${touched.mkString(",")}],""" +
-        s""""probe_300docs_touched_dirs":$smallProbe}"""
+        s""""probe_9docs_touched_dirs":$smallProbe}"""
     (totalSec, json)
   }
 
@@ -147,7 +148,7 @@ object GateBench {
         s""""ratio_bound":$bound,"ratio":${r3(ratio)},"superlinear":${ratio > bound},""" +
         s""""base":$baseJson,"scaled":$scaledJson,""" +
         s""""load":${LoadStamp.json()},""" +
-        """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_300docs fixes the probe content across scales: its touched counts staying constant while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured"}"""
+        """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_9docs fixes a latency-sized probe's content across scales: touched << total with touched ~flat while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured"}"""
     println(json)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_GATE_OUT", s"GATEBENCH_x$factor.json")),
