@@ -140,7 +140,9 @@ object SemDedupIngest {
       "run SemDedupIngest.breakLock(spark, indexPath)")(body)
   }
 
-  /** Crashed-holder recovery: delete the lease after confirming the
+  /** Crashed-holder recovery for a holder that died on ANOTHER host
+    * (same-host dead holders are auto-broken — see
+    * [[graft.io.WriterLease]]): delete the lease after confirming the
     * recorded holder is dead; the id guard makes the next replay
     * converge without repair.
     */
@@ -160,15 +162,18 @@ object SemDedupIngest {
   ): Unit = withGateLock(spark, indexPath) {
     val acc = acceptedAssigned(spark, indexPath, batch, idCol, vecCol, threshold)
     val keep = acc.localCheckpoint()
-    if (!keep.isEmpty) {
-      Similarity.appendToIvfIndexPre(keep, indexPath)
-    }
-    // the batch's checkpoints are write-scoped — release
-    // deterministically instead of waiting on the ContextCleaner (a
-    // long-lived stream accumulates per-batch blocks otherwise);
-    // releasing `acc` (lazy, already consumed into `keep`) frees the
-    // gate's interior `fresh` checkpoint through its plan leaves
-    Seq(keep, acc).foreach(graft.Checkpoints.release(_))
+    try
+      if (!keep.isEmpty) {
+        Similarity.appendToIvfIndexPre(keep, indexPath)
+      }
+    finally
+      // the batch's checkpoints are write-scoped — release
+      // deterministically instead of waiting on the ContextCleaner (a
+      // long-lived stream accumulates per-batch blocks otherwise), and
+      // on the thrown-append path too (the DedupIngest symmetry);
+      // releasing `acc` (lazy, already consumed into `keep`) frees the
+      // gate's interior `fresh` checkpoint through its plan leaves
+      Seq(keep, acc).foreach(graft.Checkpoints.release(_))
   }
 
   /** The streaming entry: gate every micro-batch of `source` (carrying
