@@ -228,9 +228,12 @@ object DedupIngest {
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
-    var stats = IngestStats(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // the isEmpty probe is the gate's materialization point, so gateSec
+    // is meaningful whether or not anything was accepted
+    val accepted = !keep.isEmpty
+    var stats = IngestStats(0L, secSince(t0), 0.0, 0.0, 0.0, 0.0, secSince(t0))
     try {
-      if (!keep.isEmpty) {
+      if (accepted) {
         val gateSec = secSince(t0)
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
