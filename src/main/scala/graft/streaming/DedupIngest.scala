@@ -200,8 +200,9 @@ object DedupIngest {
     * cost, MEASURED, phase by phase: gate (probe + components +
     * checkpoint of the accepted set), staged-rows write, the two index
     * appends, the corpus move. GATEBENCH publishes these at ×1 vs ×100
-    * data; the streaming loop ignores them. Zeros when the gate
-    * accepted nothing (no journal was written).
+    * data; the streaming loop ignores them. A fully rejected batch
+    * reports its (real) gate and total seconds with zeros elsewhere —
+    * no journal was written.
     */
   case class IngestStats(
       acceptedRows: Long,
