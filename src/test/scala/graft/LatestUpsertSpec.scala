@@ -774,6 +774,36 @@ class LatestUpsertSpec extends SparkSpec {
     LatestUpsert.upsert(spark, root, ev.filter($"event_id" % 3 === 1)) // acquires cleanly
   }
 
+  test("an external recover() cannot race a live writer: it takes the lease itself") {
+    // recover()'s gc deletes unreferenced bucket/generation dirs — run
+    // against a mid-commit live writer it could delete the writer's
+    // staged generation between writeGeneration and publishManifest.
+    // The lease closes that: with a LIVE holder (this very process, so
+    // the same-host auto-break must refuse), recover fails fast and
+    // deletes nothing.
+    val ev = events
+    val root = freshRoot()
+    initThirds(root, ev, buckets = 8)
+    val startMs = ProcessHandle.current().info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
+    Files.write(
+      Paths.get(s"$root/_writerlock"),
+      (s"writer=live pid=${ProcessHandle.current().pid()} " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} startMs=$startMs epochMs=1").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // the "live writer's staged generation": a data dir no manifest
+    // references yet — exactly what an unguarded recover would gc
+    val staged = Paths.get(s"$root/data/g000000000042/kb=0")
+    Files.createDirectories(staged)
+    intercept[graft.io.ConcurrentWriterException] {
+      LatestUpsert.recover(spark, root)
+    }
+    assert(Files.exists(staged), "recover gc'd a live writer's staged generation through the lease")
+    LatestUpsert.breakLock(spark, root)
+    LatestUpsert.recover(spark, root) // with the lease free, the gc proceeds
+    assert(!Files.exists(staged), "post-lease recover failed to sweep the orphaned stage")
+  }
+
   test("streaming foreachBatch maintenance ≡ sequential upserts") {
     val ev = events
     val root = freshRoot()
