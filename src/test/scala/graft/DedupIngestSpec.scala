@@ -148,7 +148,13 @@ class DedupIngestSpec extends SparkSpec {
     val pendDir = java.nio.file.Paths.get(s"$root/_pending/$token")
     keep.coalesce(1).write.mode("overwrite").parquet(s"$pendDir/rows")
     def touch(n: String): Unit = { Files.write(pendDir.resolve(n), Array.empty[Byte]); () }
-    if (crashPoint >= 2) touch("_staged")
+    if (crashPoint >= 2) {
+      // mirror the real append order (rows → _dest → _staged) so the
+      // sweep exercises the recorded-destination roll-forward, not the
+      // legacy no-_dest fallback
+      Files.write(pendDir.resolve("_dest"), corpusOut.getBytes("UTF-8"))
+      touch("_staged")
+    }
     if (crashPoint >= 3) {
       Dedup.appendToFingerprintIndex(keep, "text", s"$root/fingerprints", recoverFirst = false)
       touch("_fp_done")
@@ -349,6 +355,16 @@ class DedupIngestSpec extends SparkSpec {
     assert(inA == Seq(1L, 12L, 14L), s"journal rolled to the wrong corpus (A holds $inA)")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusB)),
       "journaled rows landed in the misconfigured destination")
+
+    // LEGACY journal (pre-_dest, fabricated by deleting the marker):
+    // recovery falls back to the caller's corpusOut — the documented
+    // behavior for journals staged before the destination was recorded
+    val b2 = Seq((22L, "another novel tiny document")).toDF("doc_id", "text")
+    ingestStepsUpTo(s"$root/idx", corpusA, b2, 2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/idx/_pending/crashtok/_dest"))
+    DedupIngest.recoverIngest(spark, s"$root/idx", corpusB, "doc_id", "text")
+    val inB = spark.read.parquet(corpusB).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(inB == Seq(22L), s"legacy journal did not fall back to the caller's corpusOut (B holds $inB)")
   }
 
   test("a second live writer on the gate root fails fast having staged nothing; breakLock recovers") {
