@@ -121,6 +121,43 @@ object GateBench {
     (totalSec, json)
   }
 
+  /** The sem-gate decade twin: the d14 flow (seed IVF index, untimed;
+    * two id-guarded gated batches, timed) with the cell-pruning
+    * attribution. The sem gate has no journal (its id guard converges
+    * replays without one), so the attribution is per-batch wall time
+    * plus touched-vs-total cell directories; `nCentroids` comes from
+    * the operator's own derived default (`semDedupConfigFor` on the
+    * seed count) so the measurement is of the no-knob scale path.
+    */
+  private def runSemGate(spark: SparkSession, dir: String, scratch: String): (Double, String) = {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = s"$scratch/ivf"
+    val seed = emb.filter(col("vec_id") % 3 === 1)
+    val k = Similarity.semDedupConfigFor(seed.count())
+    Similarity.writeIvfIndex(seed, "vec_id", "embedding", root, nCentroids = k)
+    val batches = Seq(emb.filter(col("vec_id") % 3 === 2), emb.filter(col("vec_id") % 3 === 0))
+    val timed = batches.map { b =>
+      val t0 = System.nanoTime()
+      graft.streaming.SemDedupIngest.ingestBatch(spark, root, b, "vec_id", "embedding", 0.4)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cells(b: org.apache.spark.sql.DataFrame): String = {
+      val touched = Similarity.assignedBatch(spark, root, b, "vec_id", "embedding")
+        .select("cell").distinct().count()
+      s"""{"touched":$touched,"total":${leafDirs(spark, root, 1)}}"""
+    }
+    val touched = batches.map(cells)
+    val probe = cells(emb.filter(col("vec_id") < 9))
+    val totalSec = timed.sum
+    val json =
+      s"""{"n_vecs":${emb.count()},"n_centroids":$k,"total_sec":${r3(totalSec)},""" +
+        s""""batch_sec":[${timed.map(r3).mkString(",")}],""" +
+        s""""touched_cells":[${touched.mkString(",")}],""" +
+        s""""probe_9vecs_touched_cells":$probe}"""
+    (totalSec, json)
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "100").toInt
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,21 +171,29 @@ object GateBench {
     // session + table warmup (the Bench rationale)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     Seq(base, out).foreach { d =>
-      spark.read.parquet(s"$d/documents.parquet").write.format("noop").mode("overwrite").save()
+      Seq("documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$d/$t.parquet").write.format("noop").mode("overwrite").save()
+      }
     }
 
     val work = Files.createTempDirectory("gatebench")
     val (t1, baseJson) = runGate(spark, base, s"$work/base")
     val (tN, scaledJson) = runGate(spark, out, s"$work/scaled")
+    val (s1, semBaseJson) = runSemGate(spark, base, s"$work/base")
+    val (sN, semScaledJson) = runSemGate(spark, out, s"$work/scaled")
     val ratio = tN / t1
+    val semRatio = sN / s1
     val bound = 1.5 * factor
     System.err.println(f"[gatebench] d13 gate flow: $t1%.2f s -> $tN%.2f s at x$factor (ratio $ratio%.1f)")
+    System.err.println(f"[gatebench] d14 sem gate flow: $s1%.2f s -> $sN%.2f s at x$factor (ratio $semRatio%.1f)")
     val json =
       s"""{"metric":"gate_scale_slope","flow":"d13_text_gate","factor":$factor,""" +
         s""""ratio_bound":$bound,"ratio":${r3(ratio)},"superlinear":${ratio > bound},""" +
         s""""base":$baseJson,"scaled":$scaledJson,""" +
+        s""""sem_gate":{"flow":"d14_sem_gate","ratio":${r3(semRatio)},"superlinear":${semRatio > bound},""" +
+        s""""base":$semBaseJson,"scaled":$semScaledJson},""" +
         s""""load":${LoadStamp.json()},""" +
-        """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_9docs fixes a latency-sized probe's content across scales: touched << total with touched ~flat while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured"}"""
+        """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_9docs fixes a latency-sized probe's content across scales: touched << total with touched ~flat while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured; sem_gate is the d14 twin (no journal -- the id guard converges replays), nCentroids from the operator's derived default on the seed count, cell pruning attributed the same way"}"""
     println(json)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_GATE_OUT", s"GATEBENCH_x$factor.json")),
