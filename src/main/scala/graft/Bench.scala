@@ -12,6 +12,11 @@ object Bench {
     // host-load stamp at both ends of the run (see LoadStamp): an
     // anomalous rep ships with its own machine-state evidence
     val loadStart = LoadStamp.json()
+    // host-SPEED stamp (see HostCalib): a fixed CPU workload timed
+    // after the gate, so a uniform cross-round suite drift can be read
+    // against the measured host ratio instead of inferred from the
+    // untouched-query median
+    val calibJson = HostCalib.json()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus)
@@ -137,7 +142,7 @@ object Bench {
       .getOrElse("")
     val loadJson =
       s"""{"start":$loadStart,"end":${LoadStamp.json()},"gate_wait_sec":${math.round(gateWaitSec * 10) / 10.0}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"load":$loadJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"load":$loadJson,"calib":$calibJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}"""
     println(line)
     // the builder's OWN durable copy of the COMPLETE artifact: the
     // driver archives a bounded tail of stdout and has truncated the
