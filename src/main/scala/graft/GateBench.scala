@@ -192,7 +192,7 @@ object GateBench {
         s""""base":$baseJson,"scaled":$scaledJson,""" +
         s""""sem_gate":{"flow":"d14_sem_gate","ratio":${r3(semRatio)},"superlinear":${semRatio > bound},""" +
         s""""base":$semBaseJson,"scaled":$semScaledJson},""" +
-        s""""load":${LoadStamp.json()},""" +
+        s""""load":${LoadStamp.json()},"calib":${HostCalib.json()},""" +
         """"notes":"the d13 gate flow (seed untimed; two journaled gated batches timed) at x1 vs xfactor; batches scale with the corpus, so linear total time is the pass bar and the phase split attributes where growth lands (gate probe vs exactly-once journal staging vs index appends vs corpus move); touched_dirs publishes the probes' partition pruning per index tree -- touched is the batch's bucket spread under the layout's own bucket columns (an upper bound of each pruned read), total is the end-state tree's leaf-directory count; corpus-sized batches saturate every bucket at bench scale (touched == total is expected there), which is why probe_9docs fixes a latency-sized probe's content across scales: touched << total with touched ~flat while the corpus grows xfactor IS the probe-IO-tracks-the-batch claim, measured; sem_gate is the d14 twin (no journal -- the id guard converges replays), nCentroids from the operator's derived default on the seed count, cell pruning attributed the same way"}"""
     println(json)
     Files.writeString(

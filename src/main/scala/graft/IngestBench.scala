@@ -218,7 +218,7 @@ object IngestBench {
         s""""plain_small":{"max_files_per_leaf":0,"text_gate":$textPlain,"sem_gate":$semPlain,"latest_gate":$upPlain},""" +
         s""""maintained_3x":{"max_files_per_leaf":4,"batches":${nBatches * 3},""" +
         s""""text_gate":$textMaint,"sem_gate":$semMaint,"latest_gate":$upMaint},""" +
-        s""""load":{"start":$loadStart,"end":${LoadStamp.json()}}}"""
+        s""""load":{"start":$loadStart,"end":${LoadStamp.json()}},"calib":${HostCalib.json()}}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("INGESTBENCH.json"), json + "\n")
     spark.stop()

@@ -319,6 +319,7 @@ object ScaleBench {
         .mkString("{", ",", "}")
       val json =
         s"""{"metric":"scale_slope","factor":$factor,"ratio_bound":$bound100,""" +
+          s""""calib":${HostCalib.json()},""" +
           s""""only":${only.get.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""superlinear":${superl.mkString("[", ",", "]")},"queries":$qj,""" +
           s""""output_rows":$attr,"event_keys":{"base":${evKeys.head},"scaled":${evKeys.last}},""" +
@@ -390,6 +391,7 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_slope","factor":$factor,"ratio_bound":$bound,""" +
+        s""""calib":${HostCalib.json()},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},"queries":$qjson,""" +
         s""""d6_default_counts":$d6Counts,"slope_counts":$slopeAttr,"corpus":$corpusAttr,""" +
         """"notes":"sub-linear ratios are input-parallelism artifacts (base sf0.1 tables are single parquet files -> one scan partition; the scaled corpus parallelizes 32-way); d6 at its pinned small-corpus oracle config (bits=2) is quadratic by construction and flagged, the d6_default_path twin measures the operator's no-knob default (lshConfigFor-derived bits/tables at cos 0.9), which is the scale path a caller actually gets; d6_default_counts attributes that twin's slope: occupancy n/2^bits is capped by lshConfigFor, so candidate pairs ~ tables(n) x n x occupancy/2 -- the super-linear excess over x10 is the tables(n) growth that holds the analytic recall target as bits rise (the price of recall), plus any genuine output-pair growth, both published; slope_counts attributes the four round-8 >2x slopes (w6/a8/x21/b1): output-row and per-key-depth growth at x1 vs xN, so an above-linear TIME ratio can be read against its OUTPUT ratio before suspecting the plan; corpus stamps both dirs' content weight (chars/tokens) for cross-round normalization"}"""

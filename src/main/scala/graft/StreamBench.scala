@@ -111,7 +111,7 @@ object StreamBench {
     )
     val tws = engine("transformWithState", ds => Streams.detectSignalsTransformWithState(ds))
     val json =
-      s"""{"metric":"stream_signal_engine","symbols":$nSymbols,$fmgws,$tws}"""
+      s"""{"metric":"stream_signal_engine","symbols":$nSymbols,$fmgws,$tws,"calib":${HostCalib.json()}}"""
     println(json)
     Files.writeString(java.nio.file.Paths.get("STREAMBENCH.json"), json + "\n")
     spark.stop()
