@@ -2546,10 +2546,11 @@ object Queries {
     */
   def j7ChainSnapshots(spark: SparkSession, dir: String): DataFrame =
     graft.io.TradeChains
-      // checkpoint the synthesized JSON: snapshots' per-leg and net
-      // branches both scan the parse, and without it each branch
-      // re-runs the two collect_list groupBys of the synthesis
-      .snapshots(j7Chains(spark, dir).localCheckpoint())
+      // no checkpoint: snapshots is join-free (net greeks ride the
+      // explode), so the synthesis + parse run exactly once in one
+      // linear pipeline — materializing the JSON would only add a
+      // write/read of every chain document
+      .snapshots(j7Chains(spark, dir))
       .withColumn("occurred_us", unix_micros($"occurred_at"))
       .drop("occurred_at")
       .orderBy("chain_id", "node_id", "symbol")

@@ -115,18 +115,27 @@ object TradeChains {
         col("l.`fill-quantity`").cast("double").as("fill_quantity")
       )
 
-  /** J7 — per-symbol execution greeks joined with the node's NET greeks
+  /** J7 — per-symbol execution greeks alongside the node's NET greeks
     * at the identical (chain, occurred_at) instant (reference
     * `accounts/orchestrator.py:155-234`).
+    *
+    * The correlation key is node identity (a lite-node row), NOT the
+    * instant: two nodes in one chain can share an occurred-at timestamp
+    * but differ in net greeks. Because each exploded node row already
+    * carries BOTH its market-datas array and its net greeks, the
+    * correlation needs no self-join at all — the net columns ride
+    * through the market-data explode. The earlier formulation
+    * (perLeg ⋈ distinct(net) on (chain_id, node_id)) shuffled and
+    * re-parsed the chain JSON once per join branch for the identical
+    * row set (r13 plan audit: 2 full + 2 pruned `from_json` per chain
+    * row, a BroadcastExchange and a distinct aggregate — all for a
+    * join that reunites columns of the SAME source row).
     */
-  def snapshots(chains: DataFrame, jsonCol: String = "json"): DataFrame = {
-    val n = parsed(chains, jsonCol)
+  def snapshots(chains: DataFrame, jsonCol: String = "json"): DataFrame =
+    parsed(chains, jsonCol)
       .select(col("c.id").as("chain_id"), explode(col("c.`lite-nodes`")).as("n"))
       .select(
         col("chain_id"),
-        // node id carries the correlation: two nodes in one chain can share
-        // an occurred-at timestamp but differ in net greeks, so the join key
-        // must be node identity, not the instant.
         col("n.id").as("node_id"),
         to_timestamp(col("n.`occurred-at`")).as("occurred_at"),
         col("n.`market-state-snapshot`.`market-datas`").as("mds"),
@@ -134,18 +143,24 @@ object TradeChains {
         col("n.`market-state-snapshot`.`total-theta`").cast("double").as("net_theta")
       )
       .filter(col("mds").isNotNull)
-    val perLeg = n.select(col("chain_id"), col("node_id"), col("occurred_at"), explode(col("mds")).as("md"))
+      .select(
+        col("chain_id"),
+        col("node_id"),
+        col("occurred_at"),
+        explode(col("mds")).as("md"),
+        col("net_delta"),
+        col("net_theta")
+      )
       .select(
         col("chain_id"),
         col("node_id"),
         col("occurred_at"),
         col("md.symbol").as("symbol"),
         col("md.delta").cast("double").as("delta"),
-        col("md.theta").cast("double").as("theta")
+        col("md.theta").cast("double").as("theta"),
+        col("net_delta"),
+        col("net_theta")
       )
-    val net = n.select("chain_id", "node_id", "net_delta", "net_theta").distinct()
-    perLeg.join(net, Seq("chain_id", "node_id"))
-  }
 
   def openEntries(chains: DataFrame, jsonCol: String = "json"): DataFrame =
     parsed(chains, jsonCol)
