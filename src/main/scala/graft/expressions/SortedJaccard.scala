@@ -52,17 +52,33 @@ case class SortedJaccard(left: Expression, right: Expression, threshold: Double 
 
   // null ELEMENT → null result: arrays with containsNull=true pass
   // checkInputDataTypes, and a silent getLong on a null slot would
-  // produce a wrong ratio instead of a visible null
+  // produce a wrong ratio instead of a visible null. The scan is
+  // SKIPPED when the child's type proves no element can be null
+  // (ShingleHashes declares containsNull=false) — the pre-scan is a
+  // full O(n+m) pass per evaluated pair, paid even when the merge
+  // early-exits, so on a near-dup join it was costing about as much
+  // as the pruned merge itself for zero information.
+  private def mayHaveNullElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  }
+  private lazy val leftNullable  = mayHaveNullElements(left)
+  private lazy val rightNullable = mayHaveNullElements(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     val m = y.numElements()
     if (n + m == 0) return null
-    var p = 0
-    while (p < n) { if (x.isNullAt(p)) return null; p += 1 }
-    p = 0
-    while (p < m) { if (y.isNullAt(p)) return null; p += 1 }
+    if (leftNullable) {
+      var p = 0
+      while (p < n) { if (x.isNullAt(p)) return null; p += 1 }
+    }
+    if (rightNullable) {
+      var p = 0
+      while (p < m) { if (y.isNullAt(p)) return null; p += 1 }
+    }
     // early-exit bound: jaccard >= t iff (1+t)*maxInter >= t*(n+m);
     // precompute B = t*(n+m)/(1+t) so the per-iteration check is integer
     // adds + one double compare. The 1e-6 safety margin makes the exit
@@ -103,8 +119,8 @@ case class SortedJaccard(left: Expression, right: Expression, threshold: Double 
          |if ($n + $m == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) { if ($a.isNullAt($i)) { ${ev.isNull} = true; } }
-         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } }
+         |  ${if (leftNullable) s"for (int $i = 0; $i < $n && !${ev.isNull}; $i++) { if ($a.isNullAt($i)) { ${ev.isNull} = true; } }" else ""}
+         |  ${if (rightNullable) s"for (int $j = 0; $j < $m && !${ev.isNull}; $j++) { if ($b.isNullAt($j)) { ${ev.isNull} = true; } }" else ""}
          |  if (!${ev.isNull}) {
          |    int $i = 0; int $j = 0; int $inter = 0;
          |    double $boundVar = $threshold >= 0 ? $threshold * ($n + $m) / (1.0 + $threshold) - 1e-6 : -1.0;

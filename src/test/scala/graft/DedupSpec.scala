@@ -855,6 +855,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SortedJaccard: null-element guard fires only for containsNull arrays (skip is type-gated)") {
+    import org.apache.spark.sql.functions.{call_function, lit, when, col, array}
+    val fn = graft.expressions.SortedJaccard.FunctionName
+    // arrays built via when(): element type is nullable (containsNull=true),
+    // so the guarded null scan must still run and yield NULL for the row
+    // with a null slot — the r13 optimization skips the scan ONLY when the
+    // child's type proves containsNull=false (e.g. ShingleHashes output)
+    val df = Seq((1, true), (2, false)).toDF("i", "poison")
+      .select(
+        col("i"),
+        array(lit(1L), when(col("poison"), lit(null)).otherwise(lit(2L)), lit(3L)).as("a"),
+        array(lit(1L), lit(2L), lit(3L)).as("b")
+      )
+    assert(df.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val out = df.select(col("i"), call_function(fn, col("a"), col("b")).as("j")).orderBy("i").collect()
+    assert(out(0).isNullAt(1), "null element must yield null jaccard")
+    assert(out(1).getDouble(1) == 1.0)
+  }
+
   test("thresholded SortedJaccard: EXACT-threshold pair survives the early exit (bound rounding)") {
     import org.apache.spark.sql.functions.{call_function, lit}
     val fn = graft.expressions.SortedJaccard.FunctionName
