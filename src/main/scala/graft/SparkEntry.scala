@@ -1398,26 +1398,30 @@ object Queries {
       }
     }
     val qn = "t3_candles_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .withColumn("bucket_us", expr("(ts_us div 300000000) * 300000000"))
-      .groupBy($"user_id", $"bucket_us")
-      .agg(
-        count("*").as("n"),
-        round(sum($"value"), 4).as("sum_v"),
-        max($"event_id").as("last_event")
-      )
-    val ckpt = java.nio.file.Files.createTempDirectory("t3ckpt").toString
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state width derived from the source size (guide §2: scale-adaptive
+    // partitioning; AQE cannot coalesce a stateful stream's shuffle)
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("bucket_us", expr("(ts_us div 300000000) * 300000000"))
+        .groupBy($"user_id", $"bucket_us")
+        .agg(
+          count("*").as("n"),
+          round(sum($"value"), 4).as("sum_v"),
+          max($"event_id").as("last_event")
+        )
+      val ckpt = java.nio.file.Files.createTempDirectory("t3ckpt").toString
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).orderBy("user_id", "bucket_us")
   }
 
@@ -1490,7 +1494,7 @@ object Queries {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrior = spark.conf.getOption(ndKey)
     spark.conf.set(ndKey, "true")
-    try {
+    try graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
     val qn = "t3b_candles_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
@@ -1577,20 +1581,22 @@ object Queries {
         .foreach { case (st, i) => fs.setTimes(st.getPath, base + i * 1000L, -1) }
     }
     val qn = "t6_dedup_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .dropDuplicates("fill_id")
-    val ckpt = java.nio.file.Files.createTempDirectory("t6ckpt").toString
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates("fill_id")
+      val ckpt = java.nio.file.Files.createTempDirectory("t6ckpt").toString
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).select($"fill_id", $"event_id", $"payload").orderBy("fill_id")
   }
 
@@ -1673,9 +1679,13 @@ object Queries {
       q.awaitTermination()
     }
     addFile(1); addFile(2)
-    runOnce() // run 1: two micro-batches, clean stop
-    addFile(3)
-    runOnce() // run 2: recovery from the checkpoint — state restored
+    // both runs under one adaptive width (the checkpoint pins the state
+    // width at first start; the wrap keeps session conf restored after)
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(streamDir)) {
+      runOnce() // run 1: two micro-batches, clean stop
+      addFile(3)
+      runOnce() // run 2: recovery from the checkpoint — state restored
+    }
     spark.read.parquet(out).orderBy("fill_id")
   }
 
@@ -2209,23 +2219,25 @@ object Queries {
     val qn = "t5_signals_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
     implicit val candleEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.CandleIn] =
       org.apache.spark.sql.Encoders.product[graft.streaming.Streams.CandleIn]
-    val candles = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
-      .as[graft.streaming.Streams.CandleIn]
-    val ckpt = java.nio.file.Files.createTempDirectory("t5ckpt").toString
-    val q = graft.streaming.Streams
-      .detectSignalsStream(candles)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val candles = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+        .as[graft.streaming.Streams.CandleIn]
+      val ckpt = java.nio.file.Files.createTempDirectory("t5ckpt").toString
+      val q = graft.streaming.Streams
+        .detectSignalsStream(candles)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price")
       .orderBy("symbol", "time_us", "signal_type", "direction")
@@ -2349,22 +2361,24 @@ object Queries {
     val seeded = graft.streaming.Streams
       .seedIndicatorState(history, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
     val qn = qnPrefix + Integer.toHexString(dir.hashCode).replace('-', 'n')
-    val candles = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
-      .as[graft.streaming.Streams.CandleIn]
-    val ckpt = java.nio.file.Files.createTempDirectory(qnPrefix + "ckpt").toString
-    val q = mk(candles, seeded)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val candles = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+        .as[graft.streaming.Streams.CandleIn]
+      val ckpt = java.nio.file.Files.createTempDirectory(qnPrefix + "ckpt").toString
+      val q = mk(candles, seeded)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select("symbol", "time_us", "hma", "hma_color", "macd_value", "avg", "diff")
       .orderBy("symbol", "time_us")
@@ -3039,23 +3053,25 @@ object Queries {
     val qn = "t7_completions_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
     implicit val fe: org.apache.spark.sql.Encoder[graft.streaming.Streams.FlaggedEvent] =
       org.apache.spark.sql.Encoders.product[graft.streaming.Streams.FlaggedEvent]
-    val events = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .select($"symbol", $"timeUs", $"flags")
-      .as[graft.streaming.Streams.FlaggedEvent]
-    val ckpt = java.nio.file.Files.createTempDirectory("t7ckpt").toString
-    val q = graft.streaming.Streams
-      .snapshotCompletions(events, registered)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val events = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select($"symbol", $"timeUs", $"flags")
+        .as[graft.streaming.Streams.FlaggedEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("t7ckpt").toString
+      val q = graft.streaming.Streams
+        .snapshotCompletions(events, registered)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).select($"symbol", $"completed_at_us").orderBy("symbol")
   }
 
@@ -3273,23 +3289,25 @@ object Queries {
     implicit val rcEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.RankedCandle] =
       org.apache.spark.sql.Encoders.product[graft.streaming.Streams.RankedCandle]
     val qn = "t9_backtest_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
-    val candles = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .select($"symbol", $"time_us".as("timeUs"), $"rank", $"close")
-      .as[graft.streaming.Streams.RankedCandle]
-    val ckpt = java.nio.file.Files.createTempDirectory("t9ckpt").toString
-    val q = graft.streaming.Streams
-      .backtestStream(candles, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val candles = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select($"symbol", $"time_us".as("timeUs"), $"rank", $"close")
+        .as[graft.streaming.Streams.RankedCandle]
+      val ckpt = java.nio.file.Files.createTempDirectory("t9ckpt").toString
+      val q = graft.streaming.Streams
+        .backtestStream(candles, hullLength = 8, fast = 4, slow = 8, signalLen = 3)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select("symbol", "time_us", "signal_type", "direction", "trigger", "close_price", "entry_price")
       .orderBy("symbol", "time_us", "signal_type", "direction")
@@ -3348,23 +3366,25 @@ object Queries {
     implicit val ciEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.CandleIn] =
       org.apache.spark.sql.Encoders.product[graft.streaming.Streams.CandleIn]
     val qn = "w10_rowcap_" + Integer.toHexString(dir.hashCode).replace('-', 'n')
-    val candles = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(src)
-      .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
-      .as[graft.streaming.Streams.CandleIn]
-    val ckpt = java.nio.file.Files.createTempDirectory("w10ckpt").toString
-    val q = graft.streaming.Streams
-      .rowCapStream(candles, cap = 5)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.Streams.withAdaptiveStateWidth(spark, Seq(src)) {
+      val candles = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select($"symbol", $"ts_us".as("timeUs"), $"value".as("close"))
+        .as[graft.streaming.Streams.CandleIn]
+      val ckpt = java.nio.file.Files.createTempDirectory("w10ckpt").toString
+      val q = graft.streaming.Streams
+        .rowCapStream(candles, cap = 5)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select($"symbol", $"retained".cast("int").as("retained"), $"oldest_us", $"newest_us")
       .orderBy("symbol", "newest_us")

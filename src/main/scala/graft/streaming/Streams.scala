@@ -28,6 +28,57 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Scale-adaptive shuffle/state width for a micro-batch stream over
+    * file sources — the manual analogue of AQE partition coalescing,
+    * which does NOT run for stateful streaming (the state width is
+    * fixed by `spark.sql.shuffle.partitions` at first start and pinned
+    * in the checkpoint). A stateful operator instantiates one state
+    * store per shuffle partition PER MICRO-BATCH (delta file write +
+    * commit each), so a width tuned for a cluster-sized stream makes a
+    * small stream pay hundreds of file commits per trigger for a few MB
+    * of data (r13 StreamProbe: a 2 MB 3-batch stream at width 32 spent
+    * 8–30 s of summed state-commit time; width 4–8 spends well under
+    * 1 s and halves the micro-batch wall time).
+    *
+    * Derivation: `ceil(sourceBytes / advisoryPartitionSizeInBytes)`
+    * (the SAME knob AQE coalesces batch shuffles toward), clamped to
+    * `[min(8, sessionWidth), sessionWidth]` — the width never EXCEEDS
+    * the configured session width (a cluster's 200+ stays authoritative
+    * at scale, where bytes/advisory dwarfs it), and the small floor
+    * keeps a tiny stream's stateful stage multi-core without paying
+    * per-partition commit cost for idle partitions.
+    */
+  def adaptiveStateWidth(spark: SparkSession, srcDirs: Seq[String]): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = srcDirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = math.ceil(bytes.toDouble / math.max(1L, advisory)).toInt
+    math.min(sessionWidth, math.max(math.min(8, sessionWidth), derived))
+  }
+
+  /** Run `body` (stream construction + start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to [[adaptiveStateWidth]] for
+    * the given sources, restoring the prior session value afterwards —
+    * per-query conf discipline (a carrier must not leak conf into its
+    * bench neighbors; the t3b/t4b save-restore pattern).
+    */
+  def withAdaptiveStateWidth[T](spark: SparkSession, srcDirs: Seq[String])(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, adaptiveStateWidth(spark, srcDirs).toString)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** A1/T2 — streaming latest-value table: watermarked update-mode
     * aggregation keeping the max-(time, tiebreak) row per key
     * (reference Redis HSET latest, `redis.py:36-38`). Note on lateness:

@@ -454,4 +454,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("fills").count() == 3)
   }
+
+  test("adaptiveStateWidth: derived from source bytes, clamped to [min(8,w), w], conf restored") {
+    val dir = java.nio.file.Files.createTempDirectory("asw").toString
+    Seq(1, 2, 3).toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    try {
+      // tiny source, large advisory: floor wins (min(8, sessionWidth))
+      spark.conf.set(key, "32")
+      assert(Streams.adaptiveStateWidth(spark, Seq(dir)) == 8)
+      spark.conf.set(key, "4") // session narrower than the floor: width = session
+      assert(Streams.adaptiveStateWidth(spark, Seq(dir)) == 4)
+      // advisory smaller than the source: derived grows but never past the session width
+      spark.conf.set(key, "32")
+      val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val advPrior = spark.conf.get(advKey, "64MB")
+      try {
+        spark.conf.set(advKey, "1b")
+        assert(Streams.adaptiveStateWidth(spark, Seq(dir)) == 32)
+      } finally spark.conf.set(advKey, advPrior)
+      // missing dir counts as zero bytes, not an error
+      assert(Streams.adaptiveStateWidth(spark, Seq(s"$dir/_nope")) == 8)
+      // the wrapper restores the prior session value even on throw
+      spark.conf.set(key, "17")
+      intercept[RuntimeException] {
+        Streams.withAdaptiveStateWidth(spark, Seq(dir)) { throw new RuntimeException("boom") }
+      }
+      assert(spark.conf.get(key) == "17")
+    } finally spark.conf.set(key, prior)
+  }
 }
