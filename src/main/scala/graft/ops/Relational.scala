@@ -43,12 +43,28 @@ object Relational {
   /** Partial-aggregation form of latest-per-key: `max_by(struct(cols), order)`.
     * Map-side combine makes this the 100 TB-friendly variant (each task
     * reduces to one row per key before the shuffle).
+    *
+    * A single value column skips the struct wrapper: `max_by` over a
+    * struct buffer is not hash-aggregable (SortAggregate, a sort on BOTH
+    * sides of the exchange), while `max_by(value, order)` keeps primitive
+    * buffers and runs as a HashAggregate with map-side partials. The two
+    * forms agree row-for-row: MaxMinBy compares only the ordering (null
+    * orderings skipped, null values kept), and `struct(v).v == v` always.
+    * Multiple value columns keep the struct — per-column `max_by`s could
+    * mix rows when the ordering ties, the struct pick is atomic.
     */
   def latestPerKeyAgg(df: DataFrame, keys: Seq[String], orderCol: Column, valueCols: Seq[String]): DataFrame = {
-    val packed = struct(valueCols.map(col): _*)
-    df.groupBy(keys.map(col): _*)
-      .agg(max_by(packed, orderCol).as("__latest"))
-      .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+    if (valueCols.sizeIs == 1) {
+      val c = valueCols.head
+      df.groupBy(keys.map(col): _*)
+        .agg(max_by(col(c), orderCol).as(c))
+        .select((keys :+ c).map(col): _*)
+    } else {
+      val packed = struct(valueCols.map(col): _*)
+      df.groupBy(keys.map(col): _*)
+        .agg(max_by(packed, orderCol).as("__latest"))
+        .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+    }
   }
 
   /** Keep-last upsert on a composite key — candle dedup semantics
@@ -142,23 +158,42 @@ object Relational {
     * writes back only gap rows).
     *
     * `df` must have one row per (key, bucket) — pre-aggregate first.
-    * Scale: `sequence()` explodes only gap cardinality per key; the fill
-    * is one window over the key — single shuffle.
+    *
+    * Single-pass formulation (gaps-and-islands): forward-fill the
+    * OBSERVED rows, then each row emits the grid steps between itself
+    * and its `lead` neighbor, carrying its filled value — exactly the
+    * previously-missing steps, with the last non-null observation at or
+    * before each gap. The old grid-aggregate + re-join form scanned and
+    * shuffled `df` twice (the r13 before-plan shows the whole upstream
+    * window subtree duplicated: once under the grid aggregate, once
+    * under the join); `last` and `lead` share one Window exec (same
+    * partitioning and ordering), so this is ONE scan, one shuffle on
+    * the key, no join. Gap rows null any non-value payload columns,
+    * matching the join form where gap rows came from the grid side.
     */
   def forwardFillGrid(df: DataFrame, key: String, bucketCol: String, stepMicros: Long, valueCols: Seq[String]): DataFrame = {
-    val grid = df
-      .groupBy(col(key))
-      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-      .select(col(key), explode(sequence(col("__lo"), col("__hi"), lit(stepMicros))).as(bucketCol))
-    val joined = grid.join(df.withColumn("__obs", lit(1)), Seq(key, bucketCol), "left")
-    val w = Window
+    val wFill = Window
       .partitionBy(col(key))
       .orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val wLead = Window.partitionBy(col(key)).orderBy(col(bucketCol))
+    val filled = valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wFill))
     }
-    filled.filter(col("__obs").isNull).drop("__obs")
+    val gaps = filled
+      .withColumn("__next", lead(col(bucketCol), 1).over(wLead))
+      .filter(col("__next").isNotNull && col("__next") > col(bucketCol) + lit(stepMicros))
+      .withColumn(
+        bucketCol,
+        explode(sequence(col(bucketCol) + lit(stepMicros), col("__next") - lit(stepMicros), lit(stepMicros)))
+      )
+      .drop("__next")
+    val others = df.columns.filterNot(c => c == key || c == bucketCol || valueCols.contains(c))
+    val nulled = others.foldLeft(gaps) { (d, c) =>
+      d.withColumn(c, lit(null).cast(df.schema(c).dataType))
+    }
+    // column order of the join form: join keys first, then df's rest
+    nulled.select((Seq(key, bucketCol) ++ df.columns.filterNot(c => c == key || c == bucketCol)).map(col): _*)
   }
 
   /** Two-stage salted aggregation for skewed keys: stage 1 aggregates

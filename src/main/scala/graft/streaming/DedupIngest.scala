@@ -229,9 +229,17 @@ object DedupIngest {
     val (acc, hashedB, bandedB) =
       acceptedWithSignatures(spark, root, batch, idCol, textCol, threshold)
     val keep = acc.localCheckpoint()
-    // the isEmpty probe is the gate's materialization point, so gateSec
-    // is meaningful whether or not anything was accepted
-    val accepted = !keep.isEmpty
+    // ONE probe job doubles as the emptiness check AND the content
+    // token (count + xor of id hashes) — the old separate isEmpty +
+    // token-agg pair paid two scheduler round-trips per batch for the
+    // same checkpointed rows. The agg is the gate's materialization
+    // point, so gateSec is meaningful whether or not anything was
+    // accepted.
+    val t = keep.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"), lit(0L)).as("x")
+    ).head()
+    val accepted = t.getLong(0) > 0
     var stats = IngestStats(0L, secSince(t0), 0.0, 0.0, 0.0, 0.0, secSince(t0))
     try {
       if (accepted) {
@@ -251,10 +259,6 @@ object DedupIngest {
           !fs.exists(pendRoot) || fs.listStatus(pendRoot).isEmpty,
           s"ingest: _pending not empty at staging time — recoverIngest must drain it first " +
             s"(the journal token's safety depends on one live journal at a time)")
-        val t = keep.agg(
-          count(lit(1)).as("n"),
-          coalesce(expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"), lit(0L)).as("x")
-        ).head()
         val token = s"b${t.getLong(0)}x${java.lang.Long.toHexString(t.getLong(1))}"
         val pend = new org.apache.hadoop.fs.Path(s"$root/_pending/$token")
         // parallel staged write (NO coalesce — a gigabyte batch must not
@@ -269,24 +273,51 @@ object DedupIngest {
         writeText(fs, new org.apache.hadoop.fs.Path(pend, "_dest"), corpusOut)
         touch(fs, new org.apache.hadoop.fs.Path(pend, "_staged"))
         val stageSec = secSince(tStage)
-        // recoverFirst = false: this loop owns recovery (start() before
-        // the first batch, every maintenance walk) — see the writer
-        // invariant in appendToMinhashIndex's doc
-        val tFp = System.nanoTime()
-        Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
-        touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
-        val fpSec = secSince(tFp)
-        // append the PROBE's signatures filtered to the accepted ids —
-        // row-local signatures restricted to keep ⊆ novel are exactly
-        // appendToMinhashIndex(keep)'s rows, minus the second shingling
-        val tMh = System.nanoTime()
-        val keepIds = keep.select(col(idCol).as("id"))
-        Dedup.appendToMinhashIndexPre(
-          s"$root/minhash",
-          hashedB.join(keepIds, Seq("id"), "left_semi"),
-          bandedB.join(keepIds, Seq("id"), "left_semi"))
-        touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
-        val mhSec = secSince(tMh)
+        // The two index appends run CONCURRENTLY (optimization guide
+        // §2.6 — overlap independent jobs): they write disjoint trees
+        // (fingerprints vs minhash), each is dominated by its
+        // partitioned-write commit (many small leaf files), and the
+        // crash contract never depended on their relative order — each
+        // leg's marker lands only after ITS append, and recoverIngest
+        // checks the two markers independently (a missing marker
+        // re-appends that leg from the staged rows; duplicate index
+        // rows are harmless by design). recoverFirst = false: this
+        // loop owns recovery (start() before the first batch, every
+        // maintenance walk) — see appendToMinhashIndex's doc.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (fpSec, mhSec) =
+          try {
+            val fpLeg = pool.submit(new java.util.concurrent.Callable[Double] {
+              def call(): Double = {
+                val tFp = System.nanoTime()
+                Dedup.appendToFingerprintIndex(keep, textCol, s"$root/fingerprints", recoverFirst = false)
+                touch(fs, new org.apache.hadoop.fs.Path(pend, "_fp_done"))
+                secSince(tFp)
+              }
+            })
+            // the PROBE's signatures filtered to the accepted ids —
+            // row-local signatures restricted to keep ⊆ novel are exactly
+            // appendToMinhashIndex(keep)'s rows, minus the second shingling
+            val mhLeg = pool.submit(new java.util.concurrent.Callable[Double] {
+              def call(): Double = {
+                val tMh = System.nanoTime()
+                val keepIds = keep.select(col(idCol).as("id"))
+                Dedup.appendToMinhashIndexPre(
+                  s"$root/minhash",
+                  hashedB.join(keepIds, Seq("id"), "left_semi"),
+                  bandedB.join(keepIds, Seq("id"), "left_semi"))
+                touch(fs, new org.apache.hadoop.fs.Path(pend, "_mh_done"))
+                secSince(tMh)
+              }
+            })
+            // join BOTH legs before any rethrow — the finally below
+            // releases the checkpoints these jobs read, so no leg may
+            // still be running when it fires
+            val joined = Seq(fpLeg, mhLeg).map(l => scala.util.Try(l.get()))
+            joined.map(_.recoverWith {
+              case e: java.util.concurrent.ExecutionException => scala.util.Failure(e.getCause)
+            }.get) match { case Seq(a, b) => (a, b) }
+          } finally pool.shutdown()
         val tMove = System.nanoTime()
         moveStagedRows(fs, pend, corpusOut, token)
         fs.delete(pend, true) // ← the commit point

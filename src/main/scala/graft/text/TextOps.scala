@@ -670,10 +670,21 @@ object TextOps {
       .filter(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("spans", spanFingerprints(col("toks"), n))
-    // 1-based window start positions alongside each fingerprint
+    // 1-based window start positions alongside each fingerprint.
+    // localCheckpoint: occ feeds TWO consumers (the firsts aggregate and
+    // the removal join), and without it each re-runs the full
+    // tokenize+md5+posexplode subtree — the most expensive scan-local
+    // work in the operator, paid twice (the r13 before-plan shows the
+    // whole Generate subtree duplicated). The checkpoint holds only the
+    // slim (id, pos, fingerprint) proxy rows — document text never
+    // materializes — and is released by the caller's storage sweep /
+    // ContextCleaner like every other operator-internal checkpoint
+    // (connectedComponents precedent). At 100 TB this boundary is the
+    // usual parquet materialization between pipeline jobs.
     val occ = base
       .select(col(idCol), posexplode(col("spans")).as(Seq("pos0", "span")))
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("span"))
+      .localCheckpoint()
     // one combiner-friendly aggregate: occurrence count + the globally
     // first (id, pos) — min over a struct is lexicographic, and (id,
     // pos) is unique per occurrence, so the pick is total. No window
