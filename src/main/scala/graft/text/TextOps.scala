@@ -472,24 +472,30 @@ object TextOps {
         round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6).as("dup_word_frac"),
         round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / size(col("toks")), 6).as("alpha_frac")
       )
-    val bigramTop = base
-      .select(col(idCol), explode(
-        // 1-token docs: sequence(1, 0) infers step −1 and yields [1, 0],
-        // then slice(toks, 0, 2) throws (position 0 is invalid). Guard to
-        // an empty array — zero bigrams, row dropped by explode, and the
-        // left join + coalesce below yields top_bigram_frac = 0, matching
-        // the oracle's range(1, greatest(len−1, 0) + 1).
-        when(
-          size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1), i => concat_ws(" ", slice(col("toks"), i, lit(2))))
-        ).otherwise(array().cast("array<string>"))
-      ).as("bigram"))
-      .groupBy(col(idCol), col("bigram"))
-      .count()
-      .groupBy(col(idCol))
-      .agg(max(col("count")).as("max_bigram_count"))
+    // ONE pass: the scan-local metrics ride the bigram aggregation as
+    // grouping keys (they are functional on the id — a few fixed-width
+    // columns beside the bigram string costs almost nothing per shuffle
+    // row), which removes the old shape's second scan+tokenize of the
+    // corpus and the join back by id (the r13 x2 before-plan shows the
+    // documents scan twice + a broadcast join). `explode_outer` keeps
+    // zero-bigram docs (guarded to an empty array: 1-token docs would
+    // make sequence(1, 0) yield [1, 0] and slice throw) as a NULL
+    // bigram row; the conditional max ignores it, so those docs report
+    // top_bigram_frac = 0 exactly like the old left join + coalesce,
+    // matching the oracle's range(1, greatest(len−1, 0) + 1).
     base
-      .join(bigramTop, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_words"), col("mean_word_len"), col("dup_word_frac"), col("alpha_frac"),
+        explode_outer(
+          when(
+            size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i => concat_ws(" ", slice(col("toks"), i, lit(2))))
+          ).otherwise(array().cast("array<string>"))
+        ).as("bigram"))
+      .groupBy(col(idCol), col("n_words"), col("mean_word_len"), col("dup_word_frac"), col("alpha_frac"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_words"), col("mean_word_len"), col("dup_word_frac"), col("alpha_frac"))
+      .agg(max(when(col("bigram").isNotNull, col("c"))).as("max_bigram_count"))
       .select(
         col(idCol),
         col("n_words"),
