@@ -128,13 +128,24 @@ object Dedup {
       k: Int,
       bands: Int
   ): (DataFrame, DataFrame) = {
-    require(k % bands == 0, "k must divide into equal bands")
-    val r = k / bands
     val hashed = df
       .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
       .filter(size(col("shh")) > 0)
-    implicit val spark: org.apache.spark.sql.SparkSession = df.sparkSession
-    val banded = hashed
+    (hashed, bandHashed(hashed, k, bands))
+  }
+
+  /** The banded-rows leg derived from a `(id, shh)` hashed frame —
+    * factored out so a caller that MATERIALIZES the hashed leg
+    * (localCheckpoint) can derive banding from the checkpointed rows:
+    * banding's lineage otherwise shares the hashed PLAN, and a second
+    * materialization re-runs the shingling — the dominant per-row
+    * cost — once more.
+    */
+  private def bandHashed(hashed: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    implicit val spark: org.apache.spark.sql.SparkSession = hashed.sparkSession
+    hashed
       .withColumn("sig", minhashSignatureNative(col("shh"), k))
       .select(
         col("id"),
@@ -145,7 +156,30 @@ object Dedup {
           )
         ).as(Seq("band", "band_key"))
       )
-    (hashed, banded)
+  }
+
+  /** [[batchSignatures]] with the hashed leg CHECKPOINTED before the
+    * banded leg derives from it: both legs materialize (the gate
+    * checkpoints both — each feeds a probe consumer and the append),
+    * but the shingling runs ONCE, against [[batchSignatures]] where
+    * independently checkpointing the two legs runs it twice (the
+    * banded leg's lineage re-shingles). Returns (hashed*, banded) with
+    * hashed* already checkpointed; the caller owns the release of both
+    * exactly as with [[batchSignatures]].
+    */
+  def batchSignaturesStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): (DataFrame, DataFrame) = {
+    val (n, k, bands) = readMinhashConfig(spark, path)
+    val hashed = batch
+      .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .localCheckpoint()
+    (hashed, bandHashed(hashed, k, bands))
   }
 
   private def verifyPairs(candidates: DataFrame, hashedA: DataFrame, hashedB: DataFrame, threshold: Double): DataFrame =
@@ -889,6 +923,36 @@ object Dedup {
     batch.join(
       indexed,
       TextOps.fingerprint(batch(textCol)) <=> indexed("fingerprint"),
+      "left_anti"
+    )
+  }
+
+  /** [[novelOnly]] over a batch that already CARRIES its fingerprint in
+    * `fpCol` (the ingest gate computes it for the within-batch exact
+    * dedup anyway): the touched-bucket collect and the anti-join probe
+    * reuse the column instead of re-evaluating md5(normalize(text)) in
+    * two more subtrees. Same fingerprint definition
+    * ([[TextOps.fingerprint]]), same null-safe `<=>` match, same pruned
+    * index read — identical accepted set.
+    */
+  def novelOnlyPre(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      fpCol: String
+  ): DataFrame = {
+    val buckets = readFingerprintBuckets(spark, path)
+    val touched = batch
+      .select(fpBucketCol(col(fpCol), buckets).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    if (touched.isEmpty) return batch // empty batch: nothing to gate
+    val indexed = spark.read.parquet(path).filter(col("fp_bucket").isin(touched.toSeq: _*))
+    batch.join(
+      indexed,
+      batch(fpCol) <=> indexed("fingerprint"),
       "left_anti"
     )
   }

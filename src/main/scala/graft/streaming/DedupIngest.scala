@@ -78,19 +78,34 @@ object DedupIngest {
       textCol: String,
       threshold: Double = 0.3
   ): (DataFrame, DataFrame, DataFrame) = {
-    val exact = exactKeeperPerFingerprint(batch, idCol, textCol)
+    // ONE fingerprint evaluation end-to-end: the within-batch exact
+    // dedup computes md5(normalize(text)) anyway, so carry it and
+    // checkpoint the fingerprinted batch — the novelty probe's
+    // touched-bucket collect and anti-join then read materialized rows
+    // (novelOnlyPre) instead of re-evaluating the fingerprint subtree
+    // in two more jobs over the batch lineage.
+    val withFp = batch.withColumn("__fp", graft.text.TextOps.fingerprint(col(textCol)))
+    val keepers = withFp
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exact = withFp.join(keepers, Seq(idCol), "left_semi").localCheckpoint()
     // novel feeds THREE consumers (the LSH probe's shingling, the
     // in-batch flag join, the final anti-join) and its lineage carries a
     // window agg + an index anti-join — checkpoint once so the gate
     // computes it once instead of once per consumer
-    val novel = Dedup.novelOnly(spark, s"$root/fingerprints", exact, textCol).localCheckpoint()
+    val novel =
+      try Dedup.novelOnlyPre(spark, s"$root/fingerprints", exact, "__fp").drop("__fp").localCheckpoint()
+      finally graft.Checkpoints.release(exact) // dead once novel materialized
     // signatures are checkpointed too: they'd otherwise stay lazy and
     // the append would re-run the shingling the probe already paid for
     // (blocks are bounded by the batch; [[ingestBatch]] releases them
     // deterministically after its appends — a bare [[accepted]] caller
-    // leaves them to the context cleaner)
-    val (h0, b0) = Dedup.batchSignatures(spark, s"$root/minhash", novel, idCol, textCol)
-    val (hashedB, bandedB) = (h0.localCheckpoint(), b0.localCheckpoint())
+    // leaves them to the context cleaner). The STAGED form checkpoints
+    // the hashed leg before banding derives from it, so the shingling
+    // runs once, not once per leg.
+    val (hashedB, b0) = Dedup.batchSignaturesStaged(spark, s"$root/minhash", novel, idCol, textCol)
+    val bandedB = b0.localCheckpoint()
     val pairs = Dedup.incrementalLshPairsPre(spark, s"$root/minhash", hashedB, bandedB, threshold)
     (novel.join(clusterDrops(pairs, novel, idCol), Seq(idCol), "left_anti"), hashedB, bandedB)
   }
