@@ -120,6 +120,10 @@ object Dedup {
     * so there is no unpersist point). A long-lived service should
     * materialize (id, shh) itself.
     */
+  private def hashedSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
+      .filter(size(col("shh")) > 0)
+
   private def bandedSignatures(
       df: DataFrame,
       idCol: String,
@@ -128,9 +132,7 @@ object Dedup {
       k: Int,
       bands: Int
   ): (DataFrame, DataFrame) = {
-    val hashed = df
-      .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
-      .filter(size(col("shh")) > 0)
+    val hashed = hashedSignatures(df, idCol, textCol, n)
     (hashed, bandHashed(hashed, k, bands))
   }
 
@@ -213,7 +215,19 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.3
   ): DataFrame = {
-    val (hashed, banded) = bandedSignatures(df, idCol, textCol, n, k, bands)
+    // Both legs are materialized: the banded rows feed BOTH sides of the
+    // candidate self-join and the sketches feed BOTH sides of the verify
+    // join, so the lazy form evaluated the shingle+minhash pipeline —
+    // the dominant per-row cost — four times per call (the r13 d2
+    // before-plan shows four parquet scans of the corpus). Shingling
+    // runs once into the hashed checkpoint; banding (minhash signature +
+    // band md5) runs once from those cached rows into its own slim
+    // (id, band, band_key) checkpoint. Blocks are released by the
+    // caller's storage sweep / plan-leaf release / ContextCleaner — the
+    // connectedComponents precedent. At 100 TB these two frames are
+    // exactly what [[writeMinhashIndex]] persists to the lake.
+    val hashed = hashedSignatures(df, idCol, textCol, n).localCheckpoint()
+    val banded = bandHashed(hashed, k, bands).localCheckpoint()
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
     val candidates = a
@@ -246,11 +260,20 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.3
   ): DataFrame = {
-    val (hashedC, bandedC) = bandedSignatures(corpus, idCol, textCol, n, k, bands)
-    val (hashedB, bandedB) = bandedSignatures(benchmark, idCol, textCol, n, k, bands)
-    val candidates = bandedC
+    // Same staging as [[minhashLshPairs]]: each side's sketches feed
+    // both its banded derivation and the verify join, so the lazy form
+    // shingled each relation twice (the r13 d7 before-plan shows four
+    // scans). One shingling per side into a checkpoint; banding derives
+    // from the cached rows (the benchmark side is tiny by contract, the
+    // corpus side's checkpoint is the price of halving the dominant
+    // scan-local cost — the same frame writeMinhashIndex would persist).
+    val hashedC = hashedSignatures(corpus, idCol, textCol, n).localCheckpoint()
+    val hashedB = hashedSignatures(benchmark, idCol, textCol, n).localCheckpoint()
+    val candidates = bandHashed(hashedC, k, bands)
       .select(col("band"), col("band_key"), col("id").as("id_a"))
-      .join(broadcast(bandedB.select(col("band"), col("band_key"), col("id").as("id_b"))), Seq("band", "band_key"))
+      .join(
+        broadcast(bandHashed(hashedB, k, bands).select(col("band"), col("band_key"), col("id").as("id_b"))),
+        Seq("band", "band_key"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     verifyPairs(candidates, hashedC, hashedB, threshold)
