@@ -51,7 +51,14 @@ object Dedup {
     * plain equi-shuffle on a high-cardinality key.
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    // The slim (id, fingerprint) proxy feeds the group aggregate AND the
+    // join-back; lazily each consumer re-ran the scan+md5(normalize)
+    // subtree (two corpus scans in the d1 before-plan). One checkpoint
+    // of proxy rows — text never materializes; released by the caller's
+    // sweep / ContextCleaner (the minhashLshPairs precedent).
+    val fp = df
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .localCheckpoint()
     val groups = fp
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
