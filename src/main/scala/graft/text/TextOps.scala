@@ -830,9 +830,18 @@ object TextOps {
       .filter(col(textCol).isNotNull)
       .select(explode(spanFingerprints(tokens(col(textCol)), n)).as("span"))
       .distinct()
+    // n_spans sits BESIDE the fingerprints (the x12 discipline): the
+    // count-only branch then prunes to plain token arithmetic — without
+    // it, size(spans) re-ran the md5 window fingerprinting over the
+    // whole corpus a second time just to count the windows
+    val toksC = tokens(col(textCol))
     val base = corpus
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), spanFingerprints(tokens(col(textCol)), n).as("spans"))
+      .select(
+        col(idCol),
+        spanFingerprints(toksC, n).as("spans"),
+        greatest(size(toksC) - (n - 1), lit(0)).cast("long").as("n_spans")
+      )
     val hits = base
       .select(col(idCol), explode(col("spans")).as("span"))
       .join(broadcast(benchGrams), Seq("span"))
@@ -843,7 +852,7 @@ object TextOps {
       )
       .filter(col("n_hit_spans") >= minHits)
     base
-      .select(col(idCol), size(col("spans")).cast("long").as("n_spans"))
+      .select(col(idCol), col("n_spans"))
       .join(hits, Seq(idCol))
       .select(
         col(idCol),
@@ -984,9 +993,17 @@ object TextOps {
           ),
         xxhash64(value)
       )
+    // n_spans beside the fingerprints — the same x12/x17 discipline:
+    // the count-only branch prunes to token arithmetic instead of
+    // re-running the md5 window fingerprinting to count windows
+    val toksC = tokens(col(textCol))
     val base = corpus
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), spanFingerprints(tokens(col(textCol)), n).as("spans"))
+      .select(
+        col(idCol),
+        spanFingerprints(toksC, n).as("spans"),
+        greatest(size(toksC) - (n - 1), lit(0)).cast("long").as("n_spans")
+      )
     val hits = base
       .select(col(idCol), explode(col("spans")).as("span"))
       .filter(mightContain(col("span")))
@@ -998,7 +1015,7 @@ object TextOps {
       )
       .filter(col("n_hit_spans") >= minHits)
     val result = base
-      .select(col(idCol), size(col("spans")).cast("long").as("n_spans"))
+      .select(col(idCol), col("n_spans"))
       .join(hits, Seq(idCol))
       .select(
         col(idCol),
