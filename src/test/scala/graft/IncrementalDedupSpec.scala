@@ -103,6 +103,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(novel == Seq(33L))
   }
 
+  test("novelOnlyPre over a precomputed fingerprint equals novelOnly, nulls included") {
+    import spark.implicits._
+    val corpus = Seq((1L, "the cat sat"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Seq(
+      (30L, "the cat sat"),              // seen verbatim → dropped
+      (31L, " The  CAT   sat "),         // seen after normalization → dropped
+      (32L, null.asInstanceOf[String]),  // NULL fingerprints match null-safely → dropped
+      (33L, "a brand new doc")           // novel → kept
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("fpindexpre").toString + "/index"
+    Dedup.writeFingerprintIndex(corpus, "text", path)
+    val pre = batch.withColumn("__fp", graft.text.TextOps.fingerprint(col("text")))
+    val got = Dedup.novelOnlyPre(spark, path, pre, "__fp")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val want = Dedup.novelOnly(spark, path, batch, "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == want)
+    assert(got == Seq(33L))
+  }
+
+  test("batchSignaturesStaged equals batchSignatures leg for leg") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val path = Files.createTempDirectory("sigstaged").toString + "/index"
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", path, n = 3, k = 16, bands = 8)
+    val (h1, b1) = Dedup.batchSignatures(spark, path, docs, "doc_id", "text")
+    val (h2, b2) = Dedup.batchSignaturesStaged(spark, path, docs, "doc_id", "text")
+    assert(h1.select("id", "shh").collect().map(_.toString).sorted
+      .sameElements(h2.select("id", "shh").collect().map(_.toString).sorted))
+    assert(b1.select("id", "band", "band_key").collect().map(_.toString).sorted
+      .sameElements(b2.select("id", "band", "band_key").collect().map(_.toString).sorted))
+    graft.Checkpoints.release(h2)
+  }
+
   test("novelOnly keeps NULL-text batch rows when the corpus has none") {
     import spark.implicits._
     val corpus = Seq((1L, "the cat sat")).toDF("doc_id", "text")

@@ -43,6 +43,35 @@ class RelationalSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("latestPerKeyAgg single-value fast path matches the struct form exactly") {
+    import spark.implicits._
+    // pins the MaxMinBy semantics the hash-aggregable fast path relies
+    // on: a NULL value at the max ordering is KEPT (not skipped), rows
+    // with a NULL ordering are skipped, and an all-null-ordering group
+    // yields a null value — identical to max_by(struct(v), o).value
+    val df = Seq(
+      ("a", 1L, Some(10.0)),
+      ("a", 3L, None),          // max ordering carries a null value → kept as null
+      ("a", 2L, Some(20.0)),
+      ("b", 5L, Some(1.0)),
+      ("b", 6L, Some(2.0)),     // plain max
+      ("d", 9L, Some(7.0))
+    ).toDF("k", "o", "v")
+      .unionByName(Seq(("c", Option.empty[Long], Some(3.0))).toDF("k", "o", "v")) // all-null ordering group
+    val fast = Relational.latestPerKeyAgg(df, Seq("k"), col("o"), Seq("v"))
+    val structForm = df
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("v")), col("o")).as("__latest"))
+      .select(col("k"), col("__latest.v").as("v"))
+    val f = fast.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    val s = structForm.collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(f == s)
+    assert(f == Set(("a", None), ("b", Some(2.0)), ("c", None), ("d", Some(7.0))))
+    // and the fast path really is hash-aggregable: no SortAggregate
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("asOfJoin picks most recent right value at or before left time") {
     import spark.implicits._
     val right = Seq(
