@@ -156,11 +156,15 @@ object DedupIngest {
     * root/_pending/<token>/_mh_done   # marker: minhash append landed
     * }}}
     *
-    * Order: stage rows → `_dest` → `_staged` → fingerprint append →
-    * `_fp_done` → minhash append → `_mh_done` → MOVE the staged files
-    * into the corpus (renames, each file lands exactly once) → delete
-    * the journal dir (the commit point). `<token>` is a content token
-    * (count + xor of id hashes), deterministic under replay.
+    * Order: stage rows → `_dest` → `_staged` → the two index appends
+    * (CONCURRENT legs — each leg touches its own marker, `_fp_done` /
+    * `_mh_done`, only after ITS append lands; the legs write disjoint
+    * trees and recovery checks the markers independently, so their
+    * relative order never mattered) → both legs joined → MOVE the
+    * staged files into the corpus (renames, each file lands exactly
+    * once) → delete the journal dir (the commit point). `<token>` is a
+    * content token (count + xor of id hashes), deterministic under
+    * replay.
     *
     * Crash analysis, every window:
     *  - before `_staged`: the journal is garbage ([[recoverIngest]]
