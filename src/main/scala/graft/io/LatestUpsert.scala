@@ -400,15 +400,23 @@ object LatestUpsert {
     * `gen`, one writing task per bucket (`repartition` on the bucket
     * column) so each bucket dir gets one right-sized file set. Returns
     * the buckets present in the written generation.
+    *
+    * `writeBuckets` is the number of DISTINCT buckets the frame can
+    * contain (the planned touched set for a merge; all of them for
+    * init) — sizing the exchange to it instead of the table's full
+    * bucket count keeps a narrow batch from scheduling mostly-empty
+    * write tasks (guide §2: right-size the shuffle). Hash collisions
+    * between buckets only reduce write parallelism; the one-file-set-
+    * per-bucket invariant is `partitionBy`'s, not the task count's.
     */
   private def writeGeneration(
       spark: SparkSession,
       root: String,
       gen: Long,
       df: DataFrame,
-      buckets: Int
+      writeBuckets: Int
   ): Seq[Int] = {
-    df.repartition(math.min(buckets, 1 << 12), col("kb"))
+    df.repartition(math.min(math.max(1, writeBuckets), 1 << 12), col("kb"))
       .write
       .mode("overwrite")
       .partitionBy("kb")
@@ -472,40 +480,74 @@ object LatestUpsert {
     }
   }
 
-  /** The merge PLAN for one batch (pre-materialization), with the
-    * touched bucket set: package-visible so the pruning spec can lint
-    * the exact plan [[upsert]] executes. None when the batch is empty.
-    * The existing-side read lists ONLY the touched buckets' current
-    * directories — path-level pruning, untouched dirs never appear in
-    * the scan.
+  /** The staged merge for one batch: the merge plan, the touched bucket
+    * set, the PINNED (locally checkpointed) bucketed batch the plan
+    * reads, and the generation/manifest the existing side was resolved
+    * against (so [[upsert]] never re-reads them). None when the batch
+    * is empty — the pinned frame is already released in that case.
+    *
+    * One Spark job, not two (guide §1 — the upsert commit sequence is
+    * job-floor-bound, not data-bound): the batch is pinned with a LAZY
+    * local checkpoint whose FIRST action is the touched-set collect, so
+    * a single job both materializes the pinned blocks (every column,
+    * bucket included) and returns the touched buckets. The pin's
+    * planned == written guarantee is unchanged — the generation write
+    * reads the same materialized blocks the collect persisted; the
+    * rogue-bucket guard in [[upsert]] stays as the zero-cost backstop.
+    * The caller MUST release `pinned` (Checkpoints.release) after the
+    * merge is consumed.
     */
-  private[graft] def mergedForBatch(
+  private[graft] case class StagedMerge(
+      merged: DataFrame,
+      touched: Seq[Int],
+      pinned: DataFrame,
+      gen: Long,
+      manifest: Map[Int, String])
+
+  private[graft] def stagedMergeForBatch(
       spark: SparkSession,
       root: String,
       batch: DataFrame
-  ): Option[(DataFrame, Seq[Int])] = {
+  ): Option[StagedMerge] = {
     val fs = fsOf(spark, root)
     requireManifestLayout(fs, root)
     val cfg = readConfig(spark, root)
     validateBatch(batch, cfg)
-    val b = withBucket(batch, cfg.keyCols, cfg.buckets)
-    // bounded driver collect: ≤ `buckets` distinct values by construction
-    val touched = b.select("kb").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) None
+    val pinned = withBucket(batch, cfg.keyCols, cfg.buckets).localCheckpoint(eager = false)
+    // bounded driver collect: ≤ `buckets` distinct values by construction;
+    // as the checkpoint's first action it also materializes the pin
+    val touched = pinned.select("kb").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { graft.Checkpoints.release(pinned); None }
     else {
       val gen = currentGen(fs, root).getOrElse(
         throw new IllegalStateException(s"latest-value table at $root has no committed manifest — init first"))
       val manifest = readManifest(fs, root, gen)
       val existingPaths = touched.flatMap(manifest.get).map(p => s"$root/$p")
+      val pinnedRows = pinned.drop("kb")
       val existing =
-        if (existingPaths.isEmpty) batch.limit(0) // all-new buckets
+        if (existingPaths.isEmpty) pinnedRows.limit(0) // all-new buckets
         else spark.read.schema(pinnedSchema(cfg)).parquet(existingPaths: _*)
       val merged = withBucket(
-        latestPerKey(existing.unionByName(batch), cfg.keyCols, cfg.orderCols),
+        latestPerKey(existing.unionByName(pinnedRows), cfg.keyCols, cfg.orderCols),
         cfg.keyCols, cfg.buckets)
-      Some((merged, touched))
+      Some(StagedMerge(merged, touched, pinned, gen, manifest))
     }
   }
+
+  /** The merge PLAN for one batch (pre-materialization), with the
+    * touched bucket set: package-visible so the pruning spec can lint
+    * the exact plan [[upsert]] executes. None when the batch is empty.
+    * The existing-side read lists ONLY the touched buckets' current
+    * directories — path-level pruning, untouched dirs never appear in
+    * the scan. (Thin wrapper over [[stagedMergeForBatch]]; the pinned
+    * batch it leaves behind is released by the session's storage sweep.)
+    */
+  private[graft] def mergedForBatch(
+      spark: SparkSession,
+      root: String,
+      batch: DataFrame
+  ): Option[(DataFrame, Seq[Int])] =
+    stagedMergeForBatch(spark, root, batch).map(sm => (sm.merged, sm.touched))
 
   /** Merge one batch of events into the artifact. Key/order columns,
     * their pinned types, and the bucket count come from the sidecar —
@@ -524,26 +566,22 @@ object LatestUpsert {
   def upsert(spark: SparkSession, root: String, batch: DataFrame, maxFilesPerBucket: Int = 0): Unit =
     withWriterLock(fsOf(spark, root), root) {
     recover(spark, root) // drop any uncommitted stage, finish pending GC
-    // Pin the batch ONCE (r11 ask #5): the merge evaluates the batch
-    // frame three times (touched-set collect, existing∪batch merge,
+    // The batch is pinned ONCE inside stagedMergeForBatch (r11 ask #5):
+    // the merge evaluates the batch frame twice (touched-set collect,
     // generation write), and a nondeterministic batch (limit over
     // unordered input, rand-derived rows) re-evaluating differently at
     // write time was the class of defect the r11 rogue-bucket guard
-    // caught reactively. A local checkpoint makes planned == written
-    // BY CONSTRUCTION — every evaluation reads the same materialized
-    // rows — converting a loud retryable error into impossibility. It
-    // is also not a tax at gate batch sizes: the triple evaluation of
-    // the batch lineage is replaced by one materialization + three
-    // block reads (INGESTBENCH r12 measured the gates flat-to-faster
-    // with it). The guard below stays as a zero-cost backstop.
-    val pinned = batch.localCheckpoint(true)
-    try {
-    mergedForBatch(spark, root, pinned) match {
-      case Some((merged, touched)) =>
+    // caught reactively. The local checkpoint makes planned == written
+    // BY CONSTRUCTION — both evaluations read the same materialized
+    // rows; since r14 the pin is LAZY, so materializing it and
+    // collecting the touched set are ONE job, not two (the commit
+    // sequence is scheduler-round-trip-bound at gate batch sizes). The
+    // guard below stays as a zero-cost backstop.
+    stagedMergeForBatch(spark, root, batch) match {
+      case Some(StagedMerge(merged, touched, pinned, gen, manifest)) =>
+        try {
         val fs = fsOf(spark, root)
         val cfg = readConfig(spark, root)
-        val gen = currentGen(fs, root).get
-        val manifest = readManifest(fs, root, gen)
         val extra =
           if (maxFilesPerBucket <= 0) Seq.empty[Int]
           else bucketFileCounts(spark, root).collect {
@@ -559,7 +597,8 @@ object LatestUpsert {
               .parquet(extra.map(b => s"$root/${manifest(b)}"): _*)
             merged.unionByName(withBucket(extraRows, cfg.keyCols, cfg.buckets))
           }
-        val present = writeGeneration(spark, root, gen + 1, toWrite, cfg.buckets)
+        val planned = (touched ++ extra).toSet
+        val present = writeGeneration(spark, root, gen + 1, toWrite, planned.size)
         // Backstop to the checkpoint above: publish from the buckets
         // ACTUALLY written, not the planned `touched ++ extra` set. A
         // written bucket OUTSIDE the planned set is the dangerous
@@ -567,7 +606,6 @@ object LatestUpsert {
         // merge, so committing it would drop keys — fail loudly
         // instead; a planned bucket that came out empty just keeps its
         // prior manifest entry (correct: nothing changed).
-        val planned = (touched ++ extra).toSet
         val rogue = present.filterNot(planned)
         require(
           rogue.isEmpty,
@@ -577,13 +615,13 @@ object LatestUpsert {
         publishManifest(fs, root, gen + 1,
           manifest ++ present.map(b => b -> relPath(gen + 1, b))) // ← the commit point
         gc(fs, root, gen + 1)
+        } finally graft.Checkpoints.release(pinned)
       case None =>
         // empty batch: nothing to merge — threshold maintenance still
         // runs, as its own (single) commit
         if (maxFilesPerBucket > 0) maintain(spark, root, maxFilesPerBucket)
         ()
     }
-    } finally graft.Checkpoints.release(pinned)
   }
 
   /** The queryable latest-value table: the newest committed generation,
