@@ -685,8 +685,16 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.3
   ): DataFrame = {
-    val (hashedB, bandedB) = batchSignatures(spark, path, batch, idCol, textCol)
-    incrementalLshPairsPre(spark, path, hashedB, bandedB, threshold)
+    // Shingle the batch ONCE (the d2/gate single-shingling pattern): the
+    // hashed (id, shh) leg is checkpointed and banding derives from the
+    // cached rows; the banded leg is checkpointed too because FOUR
+    // consumers read it (touched-key collect, the cross join's broadcast
+    // side, both intra-join sides) — un-staged, the lazy plan re-ran the
+    // shingle+minhash pipeline once per consumer. Both checkpoints are
+    // slim proxy rows (ids, hashes), never document text; the session's
+    // storage sweep releases them.
+    val (hashedB, bandedB) = batchSignaturesStaged(spark, path, batch, idCol, textCol)
+    incrementalLshPairsPre(spark, path, hashedB, bandedB.localCheckpoint(), threshold)
   }
 
   /** The batch's (sketches, banded rows) under the index's recorded
