@@ -2122,9 +2122,13 @@ object Queries {
       round($"l_extendedprice" * (lit(1.0) + $"l_tax"), 4).as("net_value"),
       greatest($"l_quantity".cast("int"), lit(1)).as("quantity")
     )
-    val positions = txns.select("symbol").distinct().withColumn("current_qty", lit(25))
+    // every symbol positioned at the constant 25: the general
+    // entryCredits(txns, distinct-symbols × 25) inner join is the
+    // identity here, so the uniform fast path drops the second lineitem
+    // scan, the distinct exchange and the broadcast join (equality
+    // pinned by LifoSpec's uniform-path test)
     graft.accounts.Lifo
-      .entryCredits(txns, positions)
+      .entryCreditsUniform(txns, 25)
       // compare surface: DECIMAL(18,6) money → DOUBLE (lossless at 6 dp;
       // the j2 lesson — DECIMAL canonicalization is format-ambiguous in
       // the driver hash), count → BIGINT to match DuckDB's count(*)

@@ -294,7 +294,30 @@ object Lifo {
     * early-exited tail; at 600k fills under bench heap pressure that
     * made a8_lifo GC-bound (driver round 4: 9.2 s vs 2.3 s warm).
     */
-  def entryCredits(txns: DataFrame, positions: DataFrame): DataFrame = {
+  def entryCredits(txns: DataFrame, positions: DataFrame): DataFrame =
+    foldEntryCredits(
+      txns.join(positions.select(col("symbol"), col("current_qty")), Seq("symbol")),
+      col("current_qty").cast("int"))
+
+  /** The every-symbol-held-at-the-same-quantity form of
+    * [[entryCredits]]: semantically identical to
+    * `entryCredits(txns, txns.select("symbol").distinct()
+    * .withColumn("current_qty", lit(currentQty)))` — a positions side
+    * built as "all of the transaction symbols at one constant quantity"
+    * makes the inner join the IDENTITY (every row matches exactly once
+    * and gains only the constant), so this path drops the second scan
+    * of the transaction source, the distinct exchange and the broadcast
+    * join that built it (guide §3: a join whose only effect is
+    * attaching a constant is not a join). The fold, ordering and
+    * output surface are byte-identical (LifoSpec pins equality).
+    */
+  def entryCreditsUniform(txns: DataFrame, currentQty: Int): DataFrame =
+    foldEntryCredits(txns, lit(currentQty).cast("int"))
+
+  private def foldEntryCredits(
+      txns: DataFrame,
+      currentQtyCol: org.apache.spark.sql.Column
+  ): DataFrame = {
     val dec = DecimalType(18, 6)
     def microsCol(c: org.apache.spark.sql.Column) =
       (c.cast(dec) * lit(1000000L)).cast(LongType)
@@ -306,7 +329,6 @@ object Lifo {
     def microsColWide(c: org.apache.spark.sql.Column) =
       (c.cast(DecimalType(19, 6)) * lit(1000000L)).cast(LongType)
     val joined = txns
-      .join(positions.select(col("symbol"), col("current_qty")), Seq("symbol"))
       .select(
         col("symbol"),                                                    // 0
         col("executed_at_us").cast("long"),                               // 1 (sort key)
@@ -320,7 +342,7 @@ object Lifo {
         microsColWide(abs(col("net_value").cast(dec) - col("value").cast(dec))).as("fee_u"), // 6
         microsCol(col("price")).as("price_u"),                            // 7
         col("quantity").cast("int").as("qty"),                            // 8
-        col("current_qty").cast("int")                                    // 9
+        currentQtyCol.as("current_qty_i")                                 // 9
       )
       .repartition(col("symbol"))
       .sortWithinPartitions(col("symbol"), col("executed_at_us").desc, col("qty").desc)

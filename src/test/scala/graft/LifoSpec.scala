@@ -98,6 +98,31 @@ class LifoSpec extends SparkSpec {
     assert(a.getDecimal(1).doubleValue() == 500.0)
   }
 
+  test("entryCreditsUniform equals entryCredits over all-symbols constant positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mixed shapes: complete accounting (A), incomplete -> dropped (B),
+    // close-heavy with buffered closes (C), null action/effect (D) —
+    // the uniform fast path must agree on drops, credits, fees, price
+    // and counts, not just the happy path
+    val txns = Seq(
+      ("A", 3L, "Sell to Open", 1.0, 300.0, "Credit", 310.0, 3),
+      ("A", 2L, "Buy to Close", 1.0, 999.0, "Credit", 999.0, 2),
+      ("A", 1L, "Sell to Open", 1.0, 400.0, "Credit", 402.0, 4),
+      ("B", 1L, "Sell to Open", 1.0, 100.0, "Credit", 100.0, 1),
+      ("C", 5L, "Buy to Close", 2.0, 50.0, "Debit", 51.0, 2),
+      ("C", 4L, "Sell to Open", 3.0, 90.0, "Credit", 90.0, 4),
+      ("C", 3L, "Sell to Open", 3.0, 60.0, "Credit", 61.5, 3),
+      ("D", 2L, null, 1.0, 10.0, "Credit", 10.0, 9),
+      ("D", 1L, "Buy to Open", 1.0, 20.0, null, 21.0, 5)
+    ).toDF("symbol", "executed_at_us", "action", "price", "value", "value_effect", "net_value", "quantity")
+    val pos = txns.select("symbol").distinct().withColumn("current_qty", lit(5))
+    val general = Lifo.entryCredits(txns, pos).orderBy("symbol").collect().toSeq
+    val uniform = Lifo.entryCreditsUniform(txns, 5).orderBy("symbol").collect().toSeq
+    assert(uniform == general)
+    assert(uniform.nonEmpty) // the equality must not be vacuous
+  }
+
   test("large history streams with early exit: 200k-fill symbol, O(1) state") {
     import spark.implicits._
     // newest fill fully accounts the position; the 200k-row older tail
