@@ -184,10 +184,16 @@ object Dedup {
       textCol: String
   ): (DataFrame, DataFrame) = {
     val (n, k, bands) = readMinhashConfig(spark, path)
+    // LAZY pin (r14): both callers eagerly checkpoint the derived banded
+    // leg immediately, and computing banding computes every hashed
+    // partition — so the banded leg's materialization job persists the
+    // hashed blocks too, one scheduler job instead of two. Shingling
+    // still runs exactly once; later consumers (verify sketches, index
+    // append) read the materialized blocks.
     val hashed = batch
       .select(col(idCol).as("id"), sortedShingleHashes(col(textCol), n).as("shh"))
       .filter(size(col("shh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (hashed, bandHashed(hashed, k, bands))
   }
 

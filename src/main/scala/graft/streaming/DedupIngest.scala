@@ -89,7 +89,13 @@ object DedupIngest {
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val exact = withFp.join(keepers, Seq(idCol), "left_semi").localCheckpoint()
+    // LAZY pin (r14): novelOnlyPre's first action is a full-partition
+    // distinct-collect over this frame, so it materializes the pin in
+    // the same scheduler job — one job instead of an eager-checkpoint
+    // job plus the collect. The release below still happens only after
+    // `novel` has eagerly materialized (inside the try), so the
+    // truncated lineage is never needed again.
+    val exact = withFp.join(keepers, Seq(idCol), "left_semi").localCheckpoint(eager = false)
     // novel feeds THREE consumers (the LSH probe's shingling, the
     // in-batch flag join, the final anti-join) and its lineage carries a
     // window agg + an index anti-join — checkpoint once so the gate
