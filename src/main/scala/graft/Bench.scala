@@ -144,6 +144,16 @@ object Bench {
       s"""{"start":$loadStart,"end":${LoadStamp.json()},"gate_wait_sec":${math.round(gateWaitSec * 10) / 10.0}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyJson"failed":$failed,"queries":$qs,"reps":$repsJson,"corpus":$corpusJson,"load":$loadJson,"calib":$calibJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}"""
     println(line)
+    // Compact totals+calib twin, printed LAST (additions-only; r13
+    // verdict ask): a bounded stdout tail keeps the END of the output,
+    // and the r12 driver artifact lost the WHOLE bench result when the
+    // growing per-query line's start was truncated away. This line is a
+    // few hundred bytes — totals, calib, query/failure counts — so it
+    // survives any plausible tail window even if the full line above no
+    // longer does. Distinct metric name so an existing parser keyed on
+    // "metric":"total" can never confuse the two lines.
+    val compact = s"""{"metric":"total_compact","value":$total,"unit":"sec",$onlyJson"n_queries":${results.size},"failed":$failed,"calib":$calibJson,"sf":"$sfDir","total_sec":${math.round(total * 1000) / 1000.0}}"""
+    println(compact)
     // the builder's OWN durable copy of the COMPLETE artifact: the
     // driver archives a bounded tail of stdout and has truncated the
     // medians map mid-object (r10) — cross-round comparison must never
