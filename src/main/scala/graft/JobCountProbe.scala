@@ -18,6 +18,7 @@ object JobCountProbe {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(j.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(j.stageInfos.lastOption.map(_.name)) // stage name = call site short form
           .getOrElse("")
         jobs.add(s"job ${j.jobId} stages=${j.stageInfos.size} tasks=${j.stageInfos.map(_.numTasks).sum} $desc")
         ()
