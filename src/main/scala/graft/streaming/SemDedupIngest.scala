@@ -91,7 +91,13 @@ object SemDedupIngest {
       vecCol: String,
       threshold: Double
   ): DataFrame = {
-    val b = Similarity.assignedBatch(spark, indexPath, batch, idCol, vecCol).localCheckpoint()
+    // LAZY pin (r14, the DedupIngest pattern): the touched-cell collect
+    // below is a full-partition action and the pin's FIRST, so one
+    // scheduler job both materializes the assigned batch and returns the
+    // touched cells. `fresh` below stays EAGER — it must be materialized
+    // before release(b) drops the blocks its lineage reads.
+    val b = Similarity.assignedBatch(spark, indexPath, batch, idCol, vecCol)
+      .localCheckpoint(eager = false)
     val touched = b.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val fresh = guardAgainst(spark, indexPath, b, "id", touched).localCheckpoint()
     graft.Checkpoints.release(b)
